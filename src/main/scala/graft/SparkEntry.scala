@@ -17,10 +17,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Core.queries
+    Core.queries ++
+      graft.text.Text.queries ++
+      graft.dedup.Dedup.queries ++
+      graft.similarity.Similarity.queries ++
+      graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Core.oracles
+    Core.oracles ++
+      graft.text.Text.oracles ++
+      graft.dedup.Dedup.oracles ++
+      graft.similarity.Similarity.oracles ++
+      graft.multimodal.Multimodal.oracles
 }

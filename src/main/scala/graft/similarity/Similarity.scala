@@ -1,0 +1,151 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim,
+  * unit-normalized): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH bucketed variant as the 100 TB scale path.
+  *
+  * All vector math happens in double via sequential left-fold expressions —
+  * the identical summation order as the DuckDB oracle — and generic-real
+  * outputs are rounded to 6dp, far above fp noise (~1e-14) and far below
+  * data resolution.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  def dotSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Deterministic random hyperplanes (seeded): NumPlanes × dim, ±1
+    * entries. Deterministic across JVMs — scala.util.Random(seed) is a
+    * fixed LCG stream. */
+  val NumPlanes = 8
+  def hyperplanes(dim: Int = 64, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(NumPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** LSH signature column: NumPlanes sign bits packed into an int. */
+  def signatureCol(vecCol: String): Column = {
+    val planes = hyperplanes()
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeArr = p.mkString("array(", "D, ", "D)")
+      s"(CASE WHEN ${dotSql(vecCol, planeArr)} > 0 THEN shiftleft(1, $i) ELSE 0 END)"
+    }
+    expr(bits.mkString(" | ")).cast("int")
+  }
+
+  /** Brute-force cosine top-k against one query vector. The query side is a
+    * 1-row broadcast; the scan side streams — TakeOrderedAndProject keeps
+    * only k rows per partition, so this is the correct *exact* plan at any
+    * scale (one pass, no shuffle of the corpus). */
+  def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(expr(cosineSql("embedding", "q_embedding")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** ANN via hyperplane LSH: bucket by signature; probe the query's bucket
+    * plus all Hamming-1 neighbors (multi-probe). Candidate set is
+    * O(corpus / 2^planes × probes) — the scan never ranks the full corpus. */
+  def annTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val signed = emb.withColumn("sig", signatureCol("embedding"))
+    val q = signed.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding"), col("sig").as("q_sig"))
+    val probes = (0 until NumPlanes).map(i => s"q_sig ^ shiftleft(1, $i)")
+      .mkString("array(q_sig, ", ", ", ")")
+    signed.join(broadcast(q.withColumn("probe_sigs", expr(probes))),
+        expr("array_contains(probe_sigs, sig)"))
+      .select(col("vec_id"),
+        round(expr(cosineSql("embedding", "q_embedding")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** Exact brute-force cosine top-20 for query vec_id=0 (oracle-checked). */
+  def qCosineTopK(spark: SparkSession, d: String): DataFrame =
+    bruteForceTopK(Tables.embeddings(spark, d), queryVecId = 0L, k = 20)
+
+  /** ANN top-10 via hyperplane LSH (deterministic; rows-only check —
+    * recall vs brute force asserted in SimilaritySpec). */
+  def qAnnLsh(spark: SparkSession, d: String): DataFrame =
+    annTopK(Tables.embeddings(spark, d), queryVecId = 0L, k = 10)
+
+  /** Per-label centroid norms: posexplode → per-dim avg → norm. Two
+    * aggregations, shuffle keyed on (label, dim) then label — no collect. */
+  def qCentroids(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val dims = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(avg(col("v").cast("double")).as("c"))
+    dims.groupBy("label")
+      .agg(round(sqrt(sum(col("c") * col("c"))), 6).as("centroid_norm"))
+      .join(emb.groupBy("label").agg(count(lit(1)).as("n_vecs")), "label")
+      .select("label", "n_vecs", "centroid_norm")
+      .orderBy("label")
+  }
+
+  /** Embedding near-dup pairs: LSH-bucketed within-bucket pairing, ranked
+    * by exact cosine — the scale path for embedding-cosine dedup
+    * (all-pairs is O(n²); bucketing bounds it by bucket size). */
+  def qEmbedNearDup(spark: SparkSession, d: String): DataFrame = {
+    val signed = Tables.embeddings(spark, d)
+      .withColumn("sig", signatureCol("embedding"))
+      .select("vec_id", "sig", "embedding")
+    signed.as("a").join(signed.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(expr(cosineSql("a.embedding", "b.embedding")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_cosine_topk"   -> (qCosineTopK _),
+    "q35_ann_lsh"       -> (qAnnLsh _),
+    "q36_centroids"     -> (qCentroids _),
+    "q37_embed_neardup" -> (qEmbedNearDup _),
+  )
+
+  val oracles: Map[String, String] = {
+    // DuckDB twin of the sequential-fold cosine. list_inner_product sums in
+    // a possibly different order; round(6) absorbs the ulp difference.
+    def cos(a: String, b: String) =
+      s"list_inner_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+      s"(sqrt(list_inner_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_inner_product($b::DOUBLE[], $b::DOUBLE[])))"
+    Map(
+      "q34_cosine_topk" -> s"""
+        WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, ROUND(${cos("embedding", "q_embedding")}, 6) AS cos_sim
+        FROM embeddings CROSS JOIN q
+        ORDER BY cos_sim DESC, vec_id LIMIT 20""",
+      "q36_centroids" -> """
+        WITH dims AS (
+          SELECT label, unnest(range(len(embedding))) AS dim,
+                 unnest(embedding::DOUBLE[]) AS v
+          FROM embeddings),
+        cent AS (
+          SELECT label, dim, AVG(v) AS c FROM dims GROUP BY label, dim),
+        norms AS (
+          SELECT label, ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm
+          FROM cent GROUP BY label)
+        SELECT label, (SELECT COUNT(*) FROM embeddings e WHERE e.label = norms.label) AS n_vecs,
+               centroid_norm
+        FROM norms ORDER BY label""",
+      // q35/q37: LSH plane construction is engine-side → rows-only.
+    )
+  }
+}

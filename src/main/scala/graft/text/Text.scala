@@ -1,0 +1,220 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (language ID, quality scoring, token counting, document
+  * fingerprinting) plus the reference's wordcount/text shapes
+  * (bonus_chapters/wordcount, tf_idf naming; chapter_02 char-count shape).
+  *
+  * Everything is built from codegen'd `functions._`/SQL expressions — no
+  * UDFs — so the whole module stays inside WholeStageCodegen and scales as
+  * a single scan + one aggregation per query.
+  */
+object Text {
+
+  /** Tokenization used by every query: lowercase, split on non-letters,
+    * drop empties. Expression-identical to the DuckDB oracle fragment. */
+  val tokensSql = "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
+  val tokens: Column = expr(tokensSql)
+  /** DuckDB twin of [[tokensSql]]. */
+  val duckTokens = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  /** Small public stopword lists for the language-ID heuristic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "se", "del", "las"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "des"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "zh" -> Seq("de", "le", "he", "shi", "zai", "you", "wo", "ta", "men", "zhe"))
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Count of tokens from `words` — same fragment for Spark and DuckDB. */
+  def scoreSql(toks: String, words: Seq[String]): String =
+    s"size(filter($toks, x -> x IN ${inList(words)}))"
+  def duckScoreSql(toks: String, words: Seq[String]): String =
+    s"len(list_filter($toks, x -> x IN ${inList(words)}))"
+
+  /** Deterministic argmax over the language scores (ties resolve in list
+    * order) — the identical CASE chain runs on both engines. */
+  val argmaxCase: String = {
+    val langs = stopwords.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      s"WHEN ${rest.map(r => s"score_$l >= score_$r").mkString(" AND ")} THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** Wordcount (bonus_chapters/wordcount; rdd_transformations_overview.py:
+    * 24-41 flatMap→reduceByKey→sortBy shape): explode → count → top-k.
+    * Partial aggregation collapses each partition to its local vocabulary
+    * before the shuffle — the in-mapper-combiner the reference teaches
+    * (chapter_02/README.md:88-126), for free from HashAggregate. */
+  def qWordcount(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(explode(tokens).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)
+
+  /** Token counting + type/token stats per document (training-data token
+    * accounting). All ratios are int/int → double divisions: exact parity. */
+  def qTokenStats(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("toks", tokens)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        length(col("text")).as("n_chars"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("type_token_ratio"),
+        (length(col("text")).cast("double") / size(col("toks"))).as("chars_per_token"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: stopword ratio, mean token length, short-doc flag —
+    * the length/punct/stopword heuristics of pretraining-data filters. */
+  def qQuality(spark: SparkSession, d: String): DataFrame = {
+    val en = stopwords.head._2
+    Tables.documents(spark, d)
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr(scoreSql("toks", en)))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        (expr("aggregate(toks, 0, (acc, x) -> acc + length(x))").cast("double")
+          / col("n_tokens")).as("mean_token_len"),
+        (col("n_tokens") < 20).as("is_short"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID: n-gram/stopword-count heuristic, deterministic argmax.
+    * Emits per-language doc counts + mean winning score. */
+  def qLangId(spark: SparkSession, d: String): DataFrame = {
+    var df = Tables.documents(spark, d).withColumn("toks", tokens)
+    stopwords.foreach { case (l, ws) =>
+      df = df.withColumn(s"score_$l", expr(scoreSql("toks", ws)))
+    }
+    df.withColumn("pred_lang", expr(argmaxCase))
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("score_en")).as("sum_en_score"))
+      .orderBy("pred_lang")
+  }
+
+  /** Document fingerprinting: md5 of the normalized token stream (stable
+    * under whitespace/punctuation noise — a canonical-form fingerprint).
+    * Aggregated per source so the result is non-degenerate at every SF. */
+  def qFingerprint(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("fp", md5(concat_ws(" ", tokens)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("fp")).as("n_distinct_fp"))
+      .orderBy("source")
+
+  /** Char-frequency (chapter_02 DNA base-count shape, on documents):
+    * per-letter counts via explode of the character stream. The in-JVM twin
+    * of flatMap(char → (char,1)) → reduceByKey. */
+  def qCharFreq(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(explode(expr("filter(split(lower(text), ''), c -> c rlike '^[a-z]$')")).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n"))
+      .orderBy("c")
+
+  /** TF-IDF (bonus_chapters/tf_idf): top terms by tf-idf over the corpus.
+    * Two aggregations (term-per-doc counts, then document frequency), one
+    * join — no driver-side loops; log() is generic-real so the output is
+    * rounded to 6dp for oracle stability. */
+  def qTfIdf(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val nDocs = docs.count() // scalar, computed once; at 100 TB this is a
+                             // cheap count(*) over parquet metadata
+    val termFreq = docs
+      .select(col("doc_id"), explode(tokens).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = termFreq.groupBy("term").agg(count(lit(1)).as("df"))
+    termFreq.join(docFreq, "term")
+      .withColumn("tf_idf",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .filter(col("tf_idf") > 0)
+      .select("doc_id", "term", "tf", "df", "tf_idf")
+      .orderBy(col("tf_idf").desc, col("doc_id"), col("term"))
+      .limit(100)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_wordcount"   -> (qWordcount _),
+    "q24_token_stats" -> (qTokenStats _),
+    "q25_quality"     -> (qQuality _),
+    "q26_lang_id"     -> (qLangId _),
+    "q27_fingerprint" -> (qFingerprint _),
+    "q28_char_freq"   -> (qCharFreq _),
+    "q29_tf_idf"      -> (qTfIdf _),
+  )
+
+  val oracles: Map[String, String] = {
+    val en = stopwords.head._2
+    val scoreCols = stopwords.map { case (l, ws) =>
+      s"${duckScoreSql("toks", ws)} AS score_$l"
+    }.mkString(", ")
+    Map(
+      "q23_wordcount" -> s"""
+        SELECT word, COUNT(*) AS n
+        FROM (SELECT unnest($duckTokens) AS word FROM documents)
+        GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+      "q24_token_stats" -> s"""
+        SELECT doc_id, len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_uniq,
+               length(text) AS n_chars,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+               CAST(length(text) AS DOUBLE) / len(toks) AS chars_per_token
+        FROM (SELECT doc_id, text, $duckTokens AS toks FROM documents)
+        ORDER BY doc_id""",
+      "q25_quality" -> s"""
+        SELECT doc_id, len(toks) AS n_tokens,
+               CAST(${duckScoreSql("toks", en)} AS DOUBLE) / len(toks) AS stopword_ratio,
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                 / len(toks) AS mean_token_len,
+               len(toks) < 20 AS is_short
+        FROM (SELECT doc_id, $duckTokens AS toks FROM documents)
+        ORDER BY doc_id""",
+      "q26_lang_id" -> s"""
+        SELECT $argmaxCase AS pred_lang, COUNT(*) AS n_docs,
+               SUM(score_en) AS sum_en_score
+        FROM (SELECT $scoreCols
+              FROM (SELECT $duckTokens AS toks FROM documents))
+        GROUP BY 1 ORDER BY pred_lang""",
+      "q27_fingerprint" -> s"""
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(array_to_string($duckTokens, ' '))) AS n_distinct_fp
+        FROM documents GROUP BY source ORDER BY source""",
+      "q28_char_freq" -> """
+        SELECT c, COUNT(*) AS n
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), ''),
+                     c -> c SIMILAR TO '[a-z]')) AS c
+              FROM documents)
+        GROUP BY c ORDER BY c""",
+      "q29_tf_idf" -> s"""
+        WITH tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest($duckTokens) AS term FROM documents)
+          GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, tf.term, tf, df,
+               ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tf_idf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        WHERE ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) > 0
+        ORDER BY tf_idf DESC, doc_id, tf.term LIMIT 100""",
+    )
+  }
+}

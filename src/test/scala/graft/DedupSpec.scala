@@ -1,0 +1,52 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Corpus with planted near-duplicates: doc 101 is doc 1 with one word
+    * changed; doc 102 is an exact copy of doc 2; doc 103 is unrelated. */
+  private lazy val planted = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "spark makes large scale data processing simple fast and reliable for everyone"),
+    (3L, "completely different content about cooking pasta with tomato sauce tonight"),
+    (101L, "the quick brown fox jumps over the lazy cat and runs far away home"),
+    (102L, "spark makes large scale data processing simple fast and reliable for everyone"),
+    (103L, "unrelated musings on alpine hiking trails and mountain weather patterns"))
+    .toDF("doc_id", "text")
+
+  test("minhash LSH recalls planted near-duplicates") {
+    val cands = Dedup.lshCandidates(Dedup.minhashSignatures(planted))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 101L)), s"missed near-dup pair, got $cands")
+    assert(cands.contains((2L, 102L)), s"missed exact-dup pair, got $cands")
+    assert(!cands.contains((3L, 103L)), s"false positive on unrelated pair")
+  }
+
+  test("minhash signatures are deterministic across runs") {
+    val a = Dedup.minhashSignatures(planted).collect().map(_.toString).sorted
+    val b = Dedup.minhashSignatures(planted).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("simhash: exact dup has distance 0, near-dup is close, unrelated far") {
+    val sh = Dedup.simhash(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(ham(2L, 102L) == 0)
+    assert(ham(1L, 101L) < ham(1L, 103L),
+      s"near-dup ${ham(1L, 101L)} not closer than unrelated ${ham(1L, 103L)}")
+  }
+
+  test("exact dedup counts duplicates") {
+    val withLang = planted.withColumn("lang", lit("en"))
+    val row = Dedup.qDedupExact(spark, sf) // smoke on harness table
+    assert(row.count() > 0)
+    // planted: 6 docs, 5 distinct texts
+    val n = withLang.groupBy("lang")
+      .agg(countDistinct(md5(col("text"))).as("d")).collect().head.getLong(1)
+    assert(n == 5)
+  }
+}

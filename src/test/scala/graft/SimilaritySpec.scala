@@ -1,0 +1,38 @@
+package graft
+
+import graft.similarity.Similarity
+import graft.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force top-k: self-similarity is 1.0 and ranks first") {
+    val rows = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), 0L, 5).collect()
+    assert(rows.head.getLong(0) == 0L)
+    assert(math.abs(rows.head.getDouble(1) - 1.0) < 1e-5)
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+  }
+
+  test("ANN LSH results are a subset of the corpus ranked by true cosine") {
+    val ann = Similarity.annTopK(Tables.embeddings(spark, sf), 0L, 10).collect()
+    assert(ann.nonEmpty && ann.head.getLong(0) == 0L,
+      "query vector must match itself (its own bucket is always probed)")
+    val sims = ann.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+  }
+
+  test("ANN recall@10 vs brute force is nontrivial") {
+    val exact = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(Tables.embeddings(spark, sf), 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    // 8 hyperplanes + multiprobe on random unit vectors: modest but real
+    assert(recall >= 0.2, s"recall $recall too low — LSH is broken")
+  }
+
+  test("hyperplanes are deterministic") {
+    assert(Similarity.hyperplanes().flatten.toSeq ==
+           Similarity.hyperplanes().flatten.toSeq)
+  }
+}
