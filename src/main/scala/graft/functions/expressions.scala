@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions (SURVEY §7.4 preference order (b)): native
+  * `Expression`s with `doGenCode` that emit a single static kernel call —
+  * they stay inside WholeStageCodegen (no UDF serialization, no
+  * interpreted higher-order-function lambda dispatch per element).
+  *
+  * Used where composing built-ins is asymptotically fine but
+  * constant-factor hostile: k-permutation MinHash (k passes of
+  * interpreted `transform`/`array_min` otherwise) and SimHash (a 64-wide
+  * interpreted fold otherwise).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhash(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.minhash($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+case class MinHash3Gram(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhash3gram(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.minhash3gram($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHash3Gram =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_3gram"
+}
+
+case class Gram3SetSorted(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.gram3SetSorted(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.gram3SetSorted($c)")
+  override protected def withNewChildInternal(newChild: Expression): Gram3SetSorted =
+    copy(child = newChild)
+  override def prettyName: String = "gram3_set_sorted"
+}
+
+case class HashSetSorted(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.hashSetSorted(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.hashSetSorted($c)")
+  override protected def withNewChildInternal(newChild: Expression): HashSetSorted =
+    copy(child = newChild)
+  override def prettyName: String = "hash_set_sorted"
+}
+
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
+}
+
+/** Dot product over array<float> in double, sequential fold — bitwise
+  * equal to the `aggregate(zip_with(...))` SQL form it replaces. */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.dotFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.dotFloat($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatVecDot =
+    copy(left = l, right = r)
+  override def prettyName: String = "float_vec_dot"
+}
+
+object exprs {
+  private def e(c: Column): Expression = GraftBridge.expression(c)
+  def minhashSignature(c: Column, k: Int): Column =
+    GraftBridge.column(MinHashSignature(e(c), k))
+  def simhash64(c: Column): Column = GraftBridge.column(SimHash64(e(c)))
+  def minhash3gram(c: Column, k: Int): Column =
+    GraftBridge.column(MinHash3Gram(e(c), k))
+  def hashSetSorted(c: Column): Column = GraftBridge.column(HashSetSorted(e(c)))
+  def gram3SetSorted(c: Column): Column = GraftBridge.column(Gram3SetSorted(e(c)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCount(e(a), e(b)))
+  def vecDot(a: Column, b: Column): Column =
+    GraftBridge.column(FloatVecDot(e(a), e(b)))
+}

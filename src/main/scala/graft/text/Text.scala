@@ -126,7 +126,7 @@ object Text {
     * of flatMap(char → (char,1)) → reduceByKey. */
   def qCharFreq(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
-      .select(explode(expr("filter(split(lower(text), ''), c -> c rlike '^[a-z]$')")).as("c"))
+      .select(explode(expr("filter(split(lower(text), ''), c -> c >= 'a' AND c <= 'z')")).as("c"))
       .groupBy("c").agg(count(lit(1)).as("n"))
       .orderBy("c")
 
@@ -200,7 +200,7 @@ object Text {
       "q28_char_freq" -> """
         SELECT c, COUNT(*) AS n
         FROM (SELECT unnest(list_filter(string_split_regex(lower(text), ''),
-                     c -> c SIMILAR TO '[a-z]')) AS c
+                     c -> c >= 'a' AND c <= 'z')) AS c
               FROM documents)
         GROUP BY c ORDER BY c""",
       "q29_tf_idf" -> s"""

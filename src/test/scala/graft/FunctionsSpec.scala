@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.exprs
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FloatVecDot kernel is bitwise-equal to the SQL sequential fold") {
+    val df = Tables.embeddings(spark, sf).limit(200)
+      .select(col("vec_id"), col("embedding"))
+    val both = df.select(
+      exprs.vecDot(col("embedding"), col("embedding")).as("kernel"),
+      expr(Similarity.dotSql("embedding", "embedding")).as("sql"))
+    assert(both.filter(col("kernel") =!= col("sql")).count() == 0)
+  }
+
+  test("hashed-set Jaccard equals string-set Jaccard") {
+    val docs = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("b c d", "c d e", "d e f")),
+      (3L, Seq("x y z"))).toDF("id", "shingles")
+    val hs = docs.select(col("id"), exprs.hashSetSorted(col("shingles")).as("hs"),
+      col("shingles"))
+    val pairs = hs.as("a").join(hs.as("b"), col("a.id") < col("b.id"))
+      .select(
+        exprs.sortedIntersectCount(col("a.hs"), col("b.hs")).as("kernel"),
+        size(array_intersect(col("a.shingles"), col("b.shingles"))).as("builtin"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("minhash3gram: identical token streams share all 16 minhashes") {
+    val toks = Seq("the", "quick", "brown", "fox", "jumps")
+    val df = Seq((1L, toks), (2L, toks), (3L, Seq("entirely", "other", "words", "here")))
+      .toDF("id", "toks")
+      .select(col("id"), exprs.minhash3gram(col("toks"), 16).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("custom expressions survive codegen (no interpreter fallback crash)") {
+    // Force both codegen and interpreted paths: wholeStage on (default) and off.
+    val df = Tables.documents(spark, sf).limit(50)
+      .select(exprs.simhash64(graft.text.Text.tokens).as("sh"))
+    val on = df.collect().map(_.getLong(0)).sorted
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val off = df.collect().map(_.getLong(0)).sorted
+      assert(on.sameElements(off))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+}
