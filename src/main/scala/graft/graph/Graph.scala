@@ -1,0 +1,78 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph algorithms as pure DataFrame self-joins (SURVEY §2.4 J1–J4,
+  * chapter_06 convention: vertices carry `id`, edges carry `src, dst`).
+  * "Many graph operations are just DataFrame joins and aggregations"
+  * (graph_basics.py:12) — no graph library dependency.
+  *
+  * Scale: degrees are one aggregation (O(E)); 2-hop and triangles shuffle
+  * on join keys — at 100 TB you pre-`repartition(edges, "src")` once and
+  * reuse the exchange across the chained self-joins, and you bound
+  * supernodes (degree cap) before the quadratic joins.
+  */
+object Graph {
+
+  /** Vertex set from the edge list: union of endpoints (§2.7 set-op). */
+  def vertices(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+
+  /** In/out/total degree per vertex: two aggregations + full outer join +
+    * fillna(0) (graph_basics.py:41-62). */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_degree"))
+    val in  = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("id"), "full_outer")
+      .na.fill(0, Seq("out_degree", "in_degree"))
+      .withColumn("total_degree", col("out_degree") + col("in_degree"))
+  }
+
+  /** Bidirectional (reciprocal) edges: composite-key self-join, deduped by
+    * lexicographic `src < dst` (J2, graph_basics.py:70-88). */
+  def bidirectional(edges: DataFrame): DataFrame =
+    edges.as("e1").join(edges.as("e2"),
+        col("e1.src") === col("e2.dst") && col("e1.dst") === col("e2.src"))
+      .filter(col("e1.src") < col("e1.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"))
+      .distinct()
+
+  /** 2-hop paths (friends-of-friends / connecting flights): e1.dst=e2.src,
+    * excluding trivial round-trips (J1, graph_basics.py:91-107). */
+  def twoHop(edges: DataFrame): DataFrame =
+    edges.as("e1").join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .filter(col("e1.src") =!= col("e2.dst"))
+      .select(col("e1.src").as("start"), col("e1.dst").as("via"),
+              col("e2.dst").as("end"))
+      .distinct()
+
+  /** Triangles: triple self-join closed back to the start, oriented
+    * `a < b < c` so each triangle is counted once (J3, graph_basics.py:
+    * 110-132). Undirected triangles over the symmetrized edge set. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    und.as("e1").join(und.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(und.as("e3"),
+        col("e2.dst") === col("e3.src") && col("e3.dst") === col("e1.src"))
+      .filter(col("e1.src") < col("e1.dst") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .distinct()
+  }
+
+  /** Route fallback (J6, flight_analysis.py:96-132): direct edges if any
+    * exist, else 2-hop connections. Both plans are declared lazily; only
+    * the chosen one executes (the `count() > 0` probe is on the cheap
+    * filtered direct plan). */
+  def routesWithFallback(edges: DataFrame, from: String, to: String): DataFrame = {
+    val direct = edges.filter(col("src") === from && col("dst") === to)
+      .select(col("src").as("start"), lit(null).cast("string").as("via"),
+              col("dst").as("end"))
+    if (direct.count() > 0) direct
+    else twoHop(edges).filter(col("start") === from && col("end") === to)
+  }
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.{Num, Tables}
+import graft.graph.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second query wave: graph shapes, typed Aggregator, sessionization,
+  * as-of join, partitioned-write pruning, approximate distinct. */
+object Extra {
+
+  /** Event-transition edge list: consecutive event_type pairs per user
+    * (one window pass — the edge-building idiom for clickstream graphs). */
+  private def transitionEdges(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type").as("src"), col("event_type").as("dst"))
+  }
+
+  /** J4/D11 via the graph module: degree table of the event-transition
+    * graph (full outer join + fillna under the hood). */
+  def q40GraphDegrees(spark: SparkSession, d: String): DataFrame =
+    Graph.degrees(transitionEdges(spark, d)).orderBy("id")
+
+  /** A5: the (sum,count) monoid average as a typed Aggregator, registered
+    * as a UDAF. Buffer is integer cents — exact, associative, partition-
+    * invariant (the property the reference's wrong-mean demo is about). */
+  def q41MonoidAvg(spark: SparkSession, d: String): DataFrame = {
+    val avgCents = udaf(new graft.rdd.CentsAvg)
+    Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(avgCents(col("value")).as("avg_value"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** Sessionization: 30-minute-gap sessions per user (lag → flag → running
+    * sum), then per-user session stats. One shuffle on user_id shared by
+    * both window passes. */
+  def q42Sessionize(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess_idx", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id")
+      .agg(max(col("sess_idx")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** As-of join: each purchase matched to the user's most recent
+    * prior-or-equal click. Implemented scalably as union + one window pass
+    * (last_value ignoreNulls) — no range-join explosion; the DuckDB oracle
+    * uses its native ASOF JOIN, so this also cross-checks the rewrite. */
+  def q43AsofJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+              lit(null).cast("long").as("purchase_id"), lit(0).as("prio"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
+              col("event_id").as("purchase_id"), lit(1).as("prio"))
+    // prio orders a click before a purchase at identical ts → `>=` as-of.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("prio"), col("purchase_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.union(purchases)
+      .withColumn("matched_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("purchase_id").isNotNull)
+      .select(col("purchase_id"), col("user_id"), col("matched_click"))
+      .orderBy("purchase_id")
+  }
+
+  /** K6/S8/§4: hive-partitioned write + partition-pruned read-back.
+    * Writes lineitem partitioned by ship year, reads back with a partition
+    * filter (only the year=1997 directory is listed), aggregates by month.
+    * The oracle runs the equivalent query on the source table. */
+  def q44PartitionPruning(spark: SparkSession, d: String): DataFrame = {
+    val root = "target/tmp/graft_partition_demo"
+    Tables.lineitem(spark, d)
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .repartition(col("ship_year"))
+      .write.mode("overwrite").partitionBy("ship_year").parquet(root)
+    spark.read.parquet(root)
+      .filter(col("ship_year") === 1997)
+      .groupBy(month(col("l_shipdate")).as("ship_month"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("ship_month")
+  }
+
+  /** Approximate distinct (HLL++): approx vs exact per event_type.
+    * Engine-specific sketch → rows-only check; the ±5%-of-exact bound is
+    * asserted in ExtraSpec. */
+  def q45ApproxDistinct(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+           countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_graph_degrees"    -> (q40GraphDegrees _),
+    "q41_monoid_avg"       -> (q41MonoidAvg _),
+    "q42_sessionize"       -> (q42Sessionize _),
+    "q43_asof_join"        -> (q43AsofJoin _),
+    "q44_partition_pruning" -> (q44PartitionPruning _),
+    "q45_approx_distinct"  -> (q45ApproxDistinct _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_graph_degrees" -> """
+      WITH edges AS (
+        SELECT prev_type AS src, event_type AS dst FROM (
+          SELECT event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events) WHERE prev_type IS NOT NULL),
+      outd AS (SELECT src AS id, COUNT(*) AS out_degree FROM edges GROUP BY src),
+      ind  AS (SELECT dst AS id, COUNT(*) AS in_degree  FROM edges GROUP BY dst)
+      SELECT COALESCE(outd.id, ind.id) AS id,
+             COALESCE(out_degree, 0) AS out_degree,
+             COALESCE(in_degree, 0) AS in_degree,
+             COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS total_degree
+      FROM outd FULL OUTER JOIN ind USING (id) ORDER BY id""",
+    "q41_monoid_avg" -> """
+      SELECT event_type,
+             (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+               / COUNT(*) AS avg_value,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q42_sessionize" -> """
+      WITH flagged AS (
+        SELECT user_id,
+               CASE WHEN prev_us IS NULL
+                         OR epoch_us(ts) - prev_us > 1800000000 THEN 1
+                    ELSE 0 END AS new_sess
+        FROM (SELECT user_id, ts,
+                     LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_us
+              FROM events))
+      SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+      FROM flagged GROUP BY user_id ORDER BY user_id""",
+    "q43_asof_join" -> """
+      SELECT p.event_id AS purchase_id, p.user_id,
+             c.event_id AS matched_click
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY purchase_id""",
+    "q44_partition_pruning" -> s"""
+      SELECT MONTH(l_shipdate) AS ship_month, COUNT(*) AS n,
+             ${Num.sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem WHERE YEAR(l_shipdate) = 1997
+      GROUP BY 1 ORDER BY ship_month""",
+    // q45: HLL sketch is engine-specific — rows-only.
+  )
+}

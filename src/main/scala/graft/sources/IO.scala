@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink layer (SURVEY §2.1, S1–S9 / K1–K8).
+  *
+  * Readers mirror the reference's three schema modes (inferred / explicit /
+  * embedded — chapter_07/examples/csv_json_operations.py:46-84,
+  * parquet_operations.py:61-63) and the sinks mirror its write patterns
+  * (coalesce-to-one demo sink, hive-partitioned layout with exactly one
+  * file per partition dir — chapter_05/examples/physical_partitioning.py:
+  * 60-84, chapter_07/examples/parquet_operations.py:41-53).
+  *
+  * Scale notes: `singleFile*` writers exist for small demo outputs only —
+  * the partitioned writers are the 100 TB path (`repartition(cols)` before
+  * `partitionBy` so each hive dir gets one well-sized file, and dynamic
+  * partition overwrite instead of whole-table truncation).
+  */
+object IO {
+
+  // ------------------------------------------------------------- readers
+  /** S3: CSV with header + schema inference (two passes over the data —
+    * the cost the reference calls out; prefer explicit schemas at scale). */
+  def csvInfer(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S4: headerless CSV — columns arrive as _c0, _c1, … */
+  def csvNoHeader(spark: SparkSession, path: String): DataFrame =
+    spark.read.csv(path)
+
+  /** S5: explicit schema — no inference pass, nullability enforced. */
+  def csvWithSchema(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).csv(path)
+
+  /** S6: line-delimited JSON (schema inference incl. nested arrays/structs). */
+  def json(spark: SparkSession, path: String): DataFrame = spark.read.json(path)
+
+  /** S7: parquet (embedded schema). */
+  def parquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** S2: text-line scan → Dataset[String]. */
+  def textLines(spark: SparkSession, path: String): org.apache.spark.sql.Dataset[String] =
+    spark.read.textFile(path)
+
+  /** S8: hive-layout partition-discovery read (filters on partition
+    * columns prune directories before any file is opened). */
+  def partitionedRead(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(root)
+
+  // -------------------------------------------------------------- sinks
+  /** K1/K2: single-file CSV (demo outputs only — never for large data). */
+  def singleFileCsv(df: DataFrame, path: String, sep: String = ","): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("sep", sep).csv(path)
+
+  /** K3: single-file JSON. */
+  def singleFileJson(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+
+  /** K4: parquet sink (snappy default). */
+  def parquetSink(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+
+  /** K6: hive-partitioned parquet, exactly one file per partition dir —
+    * `repartition(cols)` first so every partition's rows land in one task. */
+  def hivePartitionedParquet(df: DataFrame, path: String, cols: String*): Unit =
+    df.repartition(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
+  /** K5: hive-partitioned CSV twin. */
+  def hivePartitionedCsv(df: DataFrame, path: String, cols: String*): Unit =
+    df.repartition(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).option("header", "true")
+      .partitionBy(cols: _*).csv(path)
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.graph.Graph
+import graft.sources.IO
+
+class GraphSpec extends SparkSpec {
+  private def res(name: String) = getClass.getResource(s"/fixtures/$name").getPath
+  private lazy val social = IO.csvInfer(spark, res("social_network.csv"))
+  private lazy val flights = IO.csvInfer(spark, res("flights.csv"))
+
+  test("vertex set = union of endpoints, distinct") {
+    val vs = Graph.vertices(social).collect().map(_.getString(0)).sorted
+    assert(vs.sameElements(Array("alice", "bob", "carol", "dave", "erin")))
+  }
+
+  test("degrees: exact in/out/total with fillna(0) semantics") {
+    val deg = Graph.degrees(social).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // hand-derived from the fixture edge list
+    assert(deg("alice") == ((2L, 3L, 5L)))
+    assert(deg("bob")   == ((3L, 1L, 4L)))
+    assert(deg("carol") == ((2L, 3L, 5L)))
+    assert(deg("dave")  == ((2L, 2L, 4L)))
+    assert(deg("erin")  == ((1L, 1L, 2L)))
+  }
+
+  test("bidirectional pairs: reciprocal edges deduped a<b") {
+    val pairs = Graph.bidirectional(social).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("alice", "bob"), ("carol", "dave"), ("alice", "carol")))
+  }
+
+  test("2-hop excludes trivial round trips") {
+    val hops = Graph.twoHop(flights).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(hops.contains(("AAA", "BBB", "DDD"))) // AAA→BBB→DDD
+    assert(hops.contains(("BBB", "CCC", "AAA"))) // BBB→CCC→AAA
+    assert(!hops.exists(h => h._1 == h._3), "round trips must be excluded")
+  }
+
+  test("triangles: oriented a<b<c, counted once") {
+    val tris = Graph.triangles(social).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // undirected edges: a-b, b-c, c-d, a-c, d-e, e-a, b-d ⇒ two triangles
+    assert(tris == Set(("alice", "bob", "carol"), ("bob", "carol", "dave")))
+  }
+
+  test("route fallback: direct when present, 2-hop otherwise") {
+    val direct = Graph.routesWithFallback(flights, "AAA", "BBB").collect()
+    assert(direct.length == 2 && direct.forall(_.isNullAt(1)))
+    val connecting = Graph.routesWithFallback(flights, "BBB", "EEE").collect()
+    assert(connecting.nonEmpty && connecting.forall(!_.isNullAt(1)))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.sources.IO
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class IOSpec extends SparkSpec {
+  private def res(name: String) = getClass.getResource(s"/fixtures/$name").getPath
+  private val tmp = "target/tmp/iospec"
+
+  test("CSV inferSchema types ints/doubles; no-header yields _c columns") {
+    val inferred = IO.csvInfer(spark, res("employees.csv"))
+    assert(inferred.schema("age").dataType == IntegerType)
+    assert(inferred.schema("salary").dataType == IntegerType)
+    assert(inferred.count() == 8)
+    val raw = IO.csvNoHeader(spark, res("sensors_no_header.csv"))
+    assert(raw.columns.sameElements(Array("_c0", "_c1", "_c2", "_c3")))
+    assert(raw.schema.fields.forall(_.dataType == StringType))
+  }
+
+  test("explicit schema: typed, no inference pass, nullability carried") {
+    val schema = StructType(Seq(
+      StructField("sensor_id", StringType, nullable = false),
+      StructField("temperature", DoubleType),
+      StructField("humidity", DoubleType),
+      StructField("reading_date", StringType)))
+    val df = IO.csvWithSchema(spark, res("sensors_no_header.csv"), schema)
+    assert(df.schema("temperature").dataType == DoubleType)
+    assert(df.count() == 6)
+    assert(math.abs(df.agg(sum("temperature")).head.getDouble(0) - 125.1) < 1e-9)
+  }
+
+  test("JSON: nested array inferred and explodable (D9)") {
+    val df = IO.json(spark, res("employees.json"))
+    assert(df.schema("skills").dataType == ArrayType(StringType))
+    val skills = df.select(col("name"), explode(col("skills")).as("skill"))
+    assert(skills.count() == 8)
+    assert(skills.filter(col("skill") === "spark").count() == 2)
+  }
+
+  test("csv/json/parquet round trips preserve data (K1-K4, K7)") {
+    val src = IO.csvInfer(spark, res("employees.csv"))
+    IO.singleFileCsv(src, s"$tmp/csv", sep = "|")
+    IO.singleFileJson(src, s"$tmp/json")
+    IO.parquetSink(src, s"$tmp/parquet")
+    val backCsv = spark.read.option("header", "true").option("sep", "|")
+      .option("inferSchema", "true").csv(s"$tmp/csv")
+    val backJson = spark.read.json(s"$tmp/json")
+    val backPq = spark.read.parquet(s"$tmp/parquet")
+    Seq(backCsv, backJson, backPq).foreach { b =>
+      assert(b.count() == 8)
+      assert(b.agg(sum("salary")).head.get(0).toString.toLong == 624000L)
+    }
+    // single-file sinks: exactly one data file
+    val files = new java.io.File(s"$tmp/csv").listFiles.filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1)
+  }
+
+  test("hive-partitioned write: one file per partition dir; pruning skips dirs (K6, S8, §4)") {
+    val tx = IO.csvInfer(spark, res("transactions.csv"))
+      .withColumn("year", split(col("date"), "/").getItem(2).cast("int"))
+      .withColumn("month", split(col("date"), "/").getItem(1).cast("int"))
+    IO.hivePartitionedParquet(tx, s"$tmp/part", "year", "month")
+    val dirs = new java.io.File(s"$tmp/part").listFiles.filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("year=2024", "year=2025"))
+    new java.io.File(s"$tmp/part/year=2024").listFiles.filter(_.isDirectory).foreach { m =>
+      val parts = m.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${m.getName} must have exactly 1 file")
+    }
+    val pruned = IO.partitionedRead(spark, s"$tmp/part")
+      .filter(col("year") === 2024 && col("month") === 1)
+    assert(pruned.count() == 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), "partition filters must reach the scan")
+  }
+
+  test("write modes: ignore keeps, error throws (K8)") {
+    val df = IO.csvInfer(spark, res("employees.csv"))
+    IO.parquetSink(df, s"$tmp/modes")
+    IO.parquetSink(df.limit(1), s"$tmp/modes", org.apache.spark.sql.SaveMode.Ignore)
+    assert(spark.read.parquet(s"$tmp/modes").count() == 8) // ignored
+    intercept[Exception] {
+      IO.parquetSink(df, s"$tmp/modes", org.apache.spark.sql.SaveMode.ErrorIfExists)
+    }
+    IO.parquetSink(df.limit(3), s"$tmp/modes", org.apache.spark.sql.SaveMode.Append)
+    assert(spark.read.parquet(s"$tmp/modes").count() == 11)
+  }
+
+  test("ETL pipeline shape: extract → transform → load → verify (§3.2)") {
+    val extracted = IO.json(spark, res("census.json"))
+    val transformed = extracted.filter(col("age") > 54)
+      .withColumn("total", col("males") + col("females"))
+    IO.singleFileCsv(transformed, s"$tmp/etl")
+    val verified = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$tmp/etl")
+    assert(verified.count() == 4)
+    assert(verified.filter(col("age") === 70).head.getAs[Int]("total") == 920)
+  }
+}
