@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface: file-source ingestion, watermarked
+  * event-time windows, built-in session windows, and custom keyed state
+  * via mapGroupsWithState.
+  *
+  * The reference has no streaming (SURVEY §2.7); this is north-star
+  * surface. Design: every streaming transform here is a pure
+  * `DataFrame → DataFrame` usable in batch too — the streaming/batch
+  * differential spec (StreamingSpec) runs the same transform both ways
+  * over the same events and requires identical results.
+  *
+  * At scale: file-source streams read new parquet as it lands (the
+  * training-data ingestion pattern); watermarks bound state; session/
+  * window aggregations shuffle once on (key, window).
+  */
+object Streams {
+
+  /** events parquet schema for the file stream source (ts is TIMESTAMP
+    * (NANOS) on disk → read as long, converted below). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet files.
+    * `maxFilesPerTrigger=1` → one micro-batch per file (lets tests drive
+    * real multi-batch state evolution). */
+  def readEventsStream(spark: SparkSession, dir: String,
+                       maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Watermarked tumbling-window counts per event_type. */
+  def windowedCounts(events: DataFrame,
+                     watermark: String = "1 hour",
+                     windowLen: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      // decimal sum → the incremental streaming state merge is exact and
+      // therefore bitwise-equal to the batch twin regardless of batch
+      // slicing (a double buffer would drift in the last ulp).
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+              col("event_type"), col("n"), col("sum_value"))
+
+  /** Built-in session windows: 30-minute-gap sessions per user — the
+    * streaming twin of queries.Extra.q42Sessionize. One stateful
+    * aggregation emitting session-level rows; roll up per-user downstream
+    * (chaining a second stateful agg would trip Spark's global-watermark
+    * correctness check). */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+              col("n_events"))
+
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state: running per-user totals via mapGroupsWithState —
+    * order-insensitive state merge, correct under any batch slicing. */
+  def userRunningStats(events: DataFrame): Dataset[UserStats] = {
+    val spark2 = events.sparkSession
+    import spark2.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserStats]) =>
+          var n = 0L
+          var tot = 0.0
+          rows.foreach { r => n += 1; tot += r._2 }
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
+          val next = UserStats(uid, prev.n_events + n, prev.total_value + tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run any streaming DataFrame to a named in-memory table and process
+    * everything currently available (synchronous local smoke). */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q
+  }
+}

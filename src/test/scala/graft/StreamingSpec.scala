@@ -1,0 +1,93 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming ↔ batch differential: the same transforms over the same
+  * events must agree exactly, with the stream sliced into micro-batches
+  * (one file per trigger) to exercise real cross-batch state. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val streamDir = "target/tmp/stream_events"
+
+  /** Split sf0.001 events into 3 parquet files so maxFilesPerTrigger=1
+    * yields 3 micro-batches. */
+  private def rmRf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(rmRf)
+    f.delete(); ()
+  }
+
+  private lazy val prepared: Unit = {
+    val ev = spark.read.parquet(s"$sf/events.parquet") // raw: ts stays long
+    val dir = new java.io.File(streamDir)
+    if (dir.exists) rmRf(dir)
+    // Chronological micro-batches (how ingestion actually lands files):
+    // out-of-order slices would make whole batches "late" vs the
+    // watermark and the session operator would rightly drop them.
+    def ns(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    val (t1, t2) = (ns("2024-01-11 00:00:00"), ns("2024-01-21 00:00:00"))
+    ev.filter(col("ts") < t1).coalesce(1).write.parquet(s"$streamDir/f0")
+    ev.filter(col("ts") >= t1 && col("ts") < t2).coalesce(1).write.parquet(s"$streamDir/f1")
+    ev.filter(col("ts") >= t2).coalesce(1).write.parquet(s"$streamDir/f2")
+    // flatten: move part files up so the source dir is one flat listing
+    Seq("f0", "f1", "f2").foreach { sub =>
+      new java.io.File(s"$streamDir/$sub").listFiles
+        .filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$streamDir/$sub-$i.parquet"))
+        }
+      rmRf(new java.io.File(s"$streamDir/$sub"))
+    }
+  }
+
+  private def batchEvents = Tables.events(spark, sf)
+
+  test("windowed counts: streaming (3 micro-batches) == batch") {
+    prepared
+    val q = Streams.runToMemory(
+      Streams.windowedCounts(Streams.readEventsStream(spark, streamDir)),
+      "win_stream")
+    try {
+      val streamed = spark.table("win_stream")
+        .collect().map(_.toString).sorted
+      val batch = Streams.windowedCounts(batchEvents)
+        .collect().map(_.toString).sorted
+      assert(streamed.nonEmpty && streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
+  test("session windows: streaming session_window == batch lag-based q42") {
+    prepared
+    val q = Streams.runToMemory(
+      Streams.sessions(Streams.readEventsStream(spark, streamDir)),
+      "sess_stream")
+    try {
+      val streamed = spark.table("sess_stream")
+        .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.queries.Extra.q42Sessionize(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch,
+        s"diff: ${(streamed.toSet diff batch.toSet).take(5)}")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates across micro-batches") {
+    prepared
+    val q = Streams.runToMemory(
+      Streams.userRunningStats(Streams.readEventsStream(spark, streamDir)).toDF(),
+      "state_stream", OutputMode.Update())
+    try {
+      // Update mode: keep the LAST emitted row per user (final state).
+      val finalRows = spark.table("state_stream")
+        .groupBy("user_id").agg(max("n_events").as("n_events"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = batchEvents.groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(finalRows == batch)
+    } finally q.stop()
+  }
+}
