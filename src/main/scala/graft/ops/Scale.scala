@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: the join/aggregation shapes needed at 100 TB that the
+  * small-SF queries don't force — key-salting for skew, bucketed tables
+  * for exchange-free co-located joins.
+  *
+  * AQE (on by default in our sessions) handles moderate runtime skew; the
+  * explicit salt here is for the pathological hot-key case where one key
+  * exceeds a single executor's memory even after AQE splits.
+  */
+object Scale {
+
+  /** Salted inner equi-join for skewed left keys: the left side gets a
+    * random salt in [0, salts); the right side is replicated `salts` ways
+    * (explode). Correct for inner equi-joins: every (key, salt) pair on
+    * the left finds exactly the one replicated right row. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      (rand(seed = 42) * salts).cast("int"))
+    val replicatedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write a DataFrame as a bucketed, sorted table: joins and
+    * aggregations on the bucket key then run with NO exchange (bucket
+    * pruning + SortMergeJoin over pre-sorted buckets). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", s"target/tmp/buckets/$table")
+      .saveAsTable(table)
+
+  /** Shuffle-exchange count in a plan — the unit-test currency for "did
+    * this shuffle when it didn't need to". Broadcast exchanges don't
+    * count (they move a small side, not the data). */
+  def countExchanges(df: DataFrame): Int =
+    df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // AQE toString repeats the pre-AQE plan
+      .linesIterator.count(l => l.contains("Exchange") &&
+        !l.contains("ReusedExchange") && !l.contains("BroadcastExchange"))
+}

@@ -42,6 +42,18 @@ class FunctionsSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("custom expressions callable from SQL after registration") {
+    graft.functions.Registry.register(spark)
+    Tables.documents(spark, sf).limit(10).createOrReplaceTempView("docs_v")
+    val rows = spark.sql(
+      """SELECT doc_id, simhash64(split(lower(text), '[^a-z]+')) AS sh,
+                float_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+                              array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d
+         FROM docs_v""").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getDouble(2) == 11.0))
+  }
+
   test("custom expressions survive codegen (no interpreter fallback crash)") {
     // Force both codegen and interpreted paths: wholeStage on (default) and off.
     val df = Tables.documents(spark, sf).limit(50)

@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.Scale
+import graft.queries.Core
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: lock in the plans we designed for, so a
+  * regression (lost pushdown, surprise shuffle, dropped broadcast) fails
+  * tests instead of silently costing 10× at scale. */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Final physical plan only (AQE's toString appends a duplicate
+    * "== Initial Plan ==" section — cut it or every node counts twice). */
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  /** Formatted explain — scan details (PushedFilters/ReadSchema) are
+    * printed in full here; the tree toString truncates them. */
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: filter pushed to parquet, schema pruned, whole-stage codegen") {
+    val f = formatted(Core.q01PricingSummary(spark, sf))
+    assert(f.contains("PushedFilters") && f.contains("LessThanOrEqual(l_shipdate"))
+    assert(!f.contains("l_orderkey"), "unused column not pruned from ReadSchema")
+    // Spark prints whole-stage codegen spans as *(n) in the tree
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan(Core.q01PricingSummary(spark, sf))).isDefined)
+  }
+
+  test("q02: all three predicates reach the scan; only 4 columns read") {
+    val f = formatted(Core.q02FilterProject(spark, sf))
+    assert(f.contains("GreaterThan(o_totalprice") &&
+           f.contains("EqualTo(o_orderstatus") &&
+           f.contains("StringContains(o_orderpriority"))
+    assert(!f.contains("o_orderdate"), "o_orderdate must be pruned from the scan")
+  }
+
+  test("q05: dimension joins are broadcast, fact side never shuffled for the join") {
+    val p = plan(Core.q05BroadcastDims(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q12 top-k plans TakeOrderedAndProject (no global sort)") {
+    val p = plan(Core.q12TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"), "global sort must not appear")
+  }
+
+  test("q01 aggregation is partial+final (map-side combine)") {
+    val p = plan(Core.q01PricingSummary(spark, sf))
+    assert(p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final agg")
+  }
+
+  test("window queries shuffle once on the partition key") {
+    val p = plan(Core.q16WindowRank(spark, sf))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one user_id exchange:\n$p")
+  }
+
+  test("salted join: correct result, skew key spread over salts") {
+    import spark.implicits._
+    val left = (Seq.fill(1000)("hot") ++ Seq("a", "b", "c")).toDF("k")
+      .withColumn("lv", lit(1))
+    val right = Seq("hot", "a", "b", "z").toDF("k").withColumn("rv", lit(2))
+    val plain = left.join(right, "k")
+    val salted = Scale.saltedJoin(left, right, "k", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("hot" -> 1000L, "a" -> 1L, "b" -> 1L))
+  }
+
+  test("bucketed self-join + agg on the bucket key: zero shuffle exchanges") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    Scale.writeBucketed(li, "li_bucketed", "l_orderkey", buckets = 4)
+    // force the bucket-aware SMJ path (broadcast would win at this toy SF)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = spark.table("li_bucketed")
+      val joined = t.as("a").join(t.as("b"), "l_orderkey")
+        .groupBy(col("a.l_orderkey")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      assert(Scale.countExchanges(joined) == 0,
+        s"bucketed join must not shuffle:\n${joined.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
