@@ -72,6 +72,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) index: coarse-quantize every vector to its
+    * nearest of k deterministic seed centroids (the k lowest vec_ids —
+    * a stand-in for trained k-means; the plumbing is identical).
+    * Assignment = broadcast centroids × corpus, max_by(dot) per vector —
+    * one pass, no iteration. Returns (vec_id, cluster, embedding). */
+  def ivfIndex(emb: DataFrame, k: Int = 16): DataFrame = {
+    val centroids = broadcast(
+      emb.orderBy("vec_id").limit(k)
+        .select(col("vec_id").as("cid"), col("embedding").as("centroid")))
+    emb.crossJoin(centroids)
+      .withColumn("dot", graft.functions.exprs.vecDot(col("embedding"), col("centroid")))
+      .groupBy("vec_id")
+      .agg(expr("max_by(cid, struct(dot, -cid))").as("cluster"),
+           first(col("embedding")).as("embedding"))
+  }
+
+  /** IVF ANN: rank the query against the k centroids, search only the
+    * nprobe nearest clusters — the scan touches corpus/k × nprobe vectors.
+    * At 100 TB the index is written `partitionBy(cluster)` so a probe is
+    * partition pruning, not a filter. */
+  def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int,
+              nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
+    val indexed = ivfIndex(emb, nClusters)
+    val q = indexed.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding"))
+    val centroids = emb.orderBy("vec_id").limit(nClusters)
+      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+    val probeClusters = centroids.crossJoin(broadcast(q))
+      .withColumn("dot", graft.functions.exprs.vecDot(col("centroid"), col("q_embedding")))
+      .orderBy(col("dot").desc, col("cid")).limit(nprobe)
+      .select(col("cid"))
+    indexed.join(broadcast(probeClusters), col("cluster") === col("cid"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(expr(cosineSql("embedding", "q_embedding")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Exact brute-force cosine top-20 for query vec_id=0 (oracle-checked). */
@@ -113,11 +152,17 @@ object Similarity {
       .limit(20)
   }
 
+  /** IVF ANN top-10 (deterministic seeds; rows-only — recall vs brute
+    * force asserted in SimilaritySpec). */
+  def qIvfAnn(spark: SparkSession, d: String): DataFrame =
+    ivfTopK(Tables.embeddings(spark, d), queryVecId = 0L, k = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_cosine_topk"   -> (qCosineTopK _),
     "q35_ann_lsh"       -> (qAnnLsh _),
     "q36_centroids"     -> (qCentroids _),
     "q37_embed_neardup" -> (qEmbedNearDup _),
+    "q46_ivf_ann"       -> (qIvfAnn _),
   )
 
   val oracles: Map[String, String] = {

@@ -151,7 +151,21 @@ object Text {
       .limit(100)
   }
 
+  /** BPE-ish token accounting: `\w+|[^\w\s]` — words plus standalone
+    * punctuation, the pre-tokenizer shape of byte-pair encoders. Counted
+    * per source (regexp_count-style, single scan). */
+  def qBpeTokens(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("n_bpe", size(regexp_extract_all(col("text"),
+        lit("""\w+|[^\w\s]"""), lit(0))))
+      .groupBy("source")
+      .agg(sum(col("n_bpe")).as("total_tokens"),
+           max(col("n_bpe")).as("max_tokens"),
+           count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_bpe_tokens"  -> (qBpeTokens _),
     "q23_wordcount"   -> (qWordcount _),
     "q24_token_stats" -> (qTokenStats _),
     "q25_quality"     -> (qQuality _),
@@ -167,6 +181,12 @@ object Text {
       s"${duckScoreSql("toks", ws)} AS score_$l"
     }.mkString(", ")
     Map(
+      "q47_bpe_tokens" -> """
+        SELECT source,
+               SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS total_tokens,
+               MAX(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS max_tokens,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY source ORDER BY source""",
       "q23_wordcount" -> s"""
         SELECT word, COUNT(*) AS n
         FROM (SELECT unnest($duckTokens) AS word FROM documents)

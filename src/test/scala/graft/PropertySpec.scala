@@ -1,0 +1,92 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+/** Property tests (SURVEY §5 upgrade): the monoid laws the reference
+  * states in prose (chapter_04/README.md:45-61) and partition-invariance —
+  * the exact failure its wrong-mean demo exposes — plus kernel invariants.
+  *
+  * Uses scalacheck generators with fixed seeds (deterministic CI) sampled
+  * manually — the scalatest↔scalacheck bridge artifact isn't available in
+  * this offline environment. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val kv: Gen[List[(String, Int)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b", "c", "d"),
+      Gen.chooseNum(-1000, 1000)))
+
+  test("monoid (sum,count) average is invariant under partitioning") {
+    for (data <- samples(kv, 10)) {
+      def run(p: Int) = spark.sparkContext
+        .parallelize(data.map { case (k, v) => (k, v.toDouble) }, p)
+        .mapValues(v => (v, 1L))
+        .reduceByKey((x, y) => (x._1 + y._1, x._2 + y._2))
+        .mapValues { case (s, n) => s / n }
+        .collect().toMap
+      assert(run(1) == run(7))
+    }
+  }
+
+  test("decimal sums are partition-invariant at full precision") {
+    val vals = Gen.listOfN(200, Gen.chooseNum(1, 9999999).map(_ / 100.0))
+    for (data <- samples(vals, 5)) {
+      def total(p: Int): Double =
+        spark.createDataset(data).repartition(p).toDF("value")
+          .agg(Num.dsum(col("value"))).head.getDouble(0)
+      assert(total(1) == total(7)) // bitwise ==, not approx
+    }
+  }
+
+  test("sumByKey4Ways: all four strategies agree for any input") {
+    for (data <- samples(kv, 10)) {
+      val results = graft.rdd.RddOps.sumByKey4Ways(
+        spark.sparkContext.parallelize(data, 4))
+      assert(results.distinct.size == 1)
+    }
+  }
+
+  test("sortedIntersectCount == exact set intersection for any string sets") {
+    val strs = Gen.listOf(Gen.identifier.map(_.take(8)))
+    for ((a, b) <- samples(Gen.zip(strs, strs), 20)) {
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.exprs.hashSetSorted(col("a")).as("ha"),
+                graft.functions.exprs.hashSetSorted(col("b")).as("hb"))
+        .select(graft.functions.exprs.sortedIntersectCount(col("ha"), col("hb")))
+      assert(df.head.getInt(0) == (a.toSet & b.toSet).size)
+    }
+  }
+
+  test("kernels are deterministic for any token list") {
+    val toks = Gen.listOfN(15, Gen.identifier.map(_.take(6)))
+      .suchThat(_.length >= 3)
+    for (a <- samples(toks, 10)) {
+      def sig = Seq(Tuple1(a)).toDF("a").select(
+        graft.functions.exprs.minhash3gram(col("a"), 16).as("m"),
+        graft.functions.exprs.simhash64(col("a")).as("s"),
+        graft.functions.exprs.gram3SetSorted(col("a")).as("g")).head
+      val (r1, r2) = (sig, sig)
+      assert(r1.getSeq[Long](0) == r2.getSeq[Long](0))
+      assert(r1.getLong(1) == r2.getLong(1))
+      assert(r1.getSeq[Long](2) == r2.getSeq[Long](2))
+      assert(r1.getSeq[Long](2).length == a.sliding(3).map(_.mkString(" ")).toSet.size)
+    }
+  }
+
+  test("round-trip: parquet write/read preserves any (string,double) rows") {
+    val rows = Gen.nonEmptyListOf(
+      Gen.zip(Gen.alphaNumStr.map(_.take(12)), Gen.chooseNum(-1000000, 1000000).map(_ / 7.0)))
+    for (data <- samples(rows, 5)) {
+      val df = data.toDF("k", "v")
+      df.write.mode("overwrite").parquet("target/tmp/prop_roundtrip")
+      val back = spark.read.parquet("target/tmp/prop_roundtrip")
+      assert(back.collect().map(r => (r.getString(0), r.getDouble(1))).sorted
+        .sameElements(data.sorted))
+    }
+  }
+}

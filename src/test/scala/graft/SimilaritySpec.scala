@@ -31,6 +31,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall too low — LSH is broken")
   }
 
+  test("IVF: partitions the corpus; probe search ranks by true cosine") {
+    val emb = Tables.embeddings(spark, sf)
+    val indexed = Similarity.ivfIndex(emb, k = 8)
+    assert(indexed.count() == emb.count(), "every vector must be assigned")
+    assert(indexed.select("cluster").distinct().count() <= 8)
+    val ann = Similarity.ivfTopK(emb, 0L, 10, nClusters = 8, nprobe = 3).collect()
+    assert(ann.head.getLong(0) == 0L, "query matches itself (own cluster probed)")
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val recall = (exact & ann.map(_.getLong(0)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall $recall too low")
+  }
+
   test("hyperplanes are deterministic") {
     assert(Similarity.hyperplanes().flatten.toSeq ==
            Similarity.hyperplanes().flatten.toSeq)
