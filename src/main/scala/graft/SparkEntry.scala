@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Core, Extra}
+import graft.queries.{Core, Extra, Patterns}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Core.queries ++ Extra.queries ++
+    Core.queries ++ Extra.queries ++ Patterns.queries ++
       graft.text.Text.queries ++
       graft.dedup.Dedup.queries ++
       graft.similarity.Similarity.queries ++
@@ -26,7 +26,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Core.oracles ++ Extra.oracles ++
+    Core.oracles ++ Extra.oracles ++ Patterns.oracles ++
       graft.text.Text.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.similarity.Similarity.oracles ++

@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classic data design patterns — the reference's declared-but-pending
+  * chapters 09/10 (README.md:146-150): top-N per group, histogram/binning,
+  * secondary sort, inverted index, percentiles. Each is the canonical
+  * distributed formulation: windows and ordered aggregates, never
+  * driver-side loops. */
+object Patterns {
+
+  /** Top-N per group (ch. 09's flagship pattern): 3 highest-value orders
+    * per market segment. rank-over-window = one shuffle on the group key;
+    * no global sort. */
+  def q48TopNPerGroup(spark: SparkSession, d: String): DataFrame = {
+    val joined = Tables.orders(spark, d)
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
+  /** Histogram / binning: fixed-width 50k buckets over order totals.
+    * Bin id is a scalar expression → single aggregation, no shuffle of
+    * raw values beyond the groupBy. */
+  def q49Histogram(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("bucket")
+
+  /** Secondary sort: per-user event-type sequence ordered by (ts,
+    * event_id), first 5 shown. The distributed form is sort-within-group
+    * via ordered collect (sort_array over structs) — never a global sort,
+    * never assuming input order. */
+  def q50SecondarySort(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("user_id")
+      .agg(slice(expr(
+        "transform(sort_array(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+        1, 5).as("first5_types"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** Inverted index (search-engine pattern; bonus tf_idf sibling):
+    * term → document-frequency + first postings, bounded output. */
+  def q51InvertedIndex(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), explode(graft.text.Text.tokens).as("term"))
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"),
+           slice(sort_array(collect_set(col("doc_id"))), 1, 5).as("postings_head"))
+      .orderBy("term")
+
+  /** Exact percentiles (linear interpolation) of a 2-decimal measure,
+    * rounded at 4dp: above fp divergence between engines' interpolation
+    * order, below the data's resolution. */
+  def q52Percentiles(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(expr(
+        "transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D)), x -> round(x, 4))")
+        .as("price_quartiles"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_topn_per_group"  -> (q48TopNPerGroup _),
+    "q49_histogram"       -> (q49Histogram _),
+    "q50_secondary_sort"  -> (q50SecondarySort _),
+    "q51_inverted_index"  -> (q51InvertedIndex _),
+    "q52_percentiles"     -> (q52Percentiles _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q48_topn_per_group" -> """
+      SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      WHERE rk <= 3 ORDER BY c_mktsegment, rk""",
+    "q49_histogram" -> s"""
+      SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+             COUNT(*) AS n, ${Num.sqlDsum("o_totalprice")} AS sum_price
+      FROM orders GROUP BY 1 ORDER BY bucket""",
+    "q50_secondary_sort" -> """
+      SELECT user_id,
+             (list(event_type ORDER BY ts, event_id))[1:5] AS first5_types,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id""",
+    "q51_inverted_index" -> s"""
+      SELECT term, COUNT(DISTINCT doc_id) AS df,
+             list_sort(list(DISTINCT doc_id))[1:5] AS postings_head
+      FROM (SELECT doc_id, unnest(${graft.text.Text.duckTokens}) AS term
+            FROM documents)
+      GROUP BY term ORDER BY term""",
+    "q52_percentiles" -> """
+      SELECT l_returnflag,
+             list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+                            x -> round(x, 4)) AS price_quartiles,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+  )
+}
