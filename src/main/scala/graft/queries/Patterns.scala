@@ -70,7 +70,24 @@ object Patterns {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Top-N per group via the bounded-heap aggregate
+    * ([[graft.functions.TopKByScore]]): identical results to the window
+    * formulation (q48) with O(groups × k) shuffle instead of O(rows) —
+    * the ranking twin of map-side combine. Oracle = same SQL as q48. */
+  def q53TopKAgg(spark: SparkSession, d: String): DataFrame = {
+    val top3 = udaf(new graft.functions.TopKByScore(3))
+    Tables.orders(spark, d)
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("c_mktsegment"), (col("pos") + 1).as("rk"),
+              col("entry._2").as("o_orderkey"), col("entry._1").as("o_totalprice"))
+      .orderBy("c_mktsegment", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_topk_agg"        -> (q53TopKAgg _),
     "q48_topn_per_group"  -> (q48TopNPerGroup _),
     "q49_histogram"       -> (q49Histogram _),
     "q50_secondary_sort"  -> (q50SecondarySort _),
@@ -79,6 +96,13 @@ object Patterns {
   )
 
   val oracles: Map[String, String] = Map(
+    "q53_topk_agg" -> """
+      SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      WHERE rk <= 3 ORDER BY c_mktsegment, rk""",
     "q48_topn_per_group" -> """
       SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
         SELECT c_mktsegment, o_orderkey, o_totalprice,

@@ -136,15 +136,17 @@ object Text {
     * rounded to 6dp for oracle stability. */
   def qTfIdf(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val nDocs = docs.count() // scalar, computed once; at 100 TB this is a
-                             // cheap count(*) over parquet metadata
+    // Corpus size as a 1-row broadcast inside the SAME plan — no separate
+    // driver-side count() action (which would scan the corpus twice and
+    // block query construction).
+    val nDocs = broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs")))
     val termFreq = docs
       .select(col("doc_id"), explode(tokens).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val docFreq = termFreq.groupBy("term").agg(count(lit(1)).as("df"))
-    termFreq.join(docFreq, "term")
+    termFreq.join(docFreq, "term").crossJoin(nDocs)
       .withColumn("tf_idf",
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
       .filter(col("tf_idf") > 0)
       .select("doc_id", "term", "tf", "df", "tf_idf")
       .orderBy(col("tf_idf").desc, col("doc_id"), col("term"))
