@@ -31,6 +31,18 @@ object Graph {
       .withColumn("total_degree", col("out_degree") + col("in_degree"))
   }
 
+  /** Single-pass degrees: explode each edge into (src, out) + (dst, in)
+    * contributions, one aggregation — no self-duplicated edge subplan, no
+    * outer join. Identical results to [[degrees]] (GraphSpec asserts it);
+    * at scale this halves the edge scans and removes 3 of 5 exchanges. */
+  def degreesFast(edges: DataFrame): DataFrame =
+    edges.select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("out"), lit(0L).as("in")),
+        struct(col("dst").as("id"), lit(0L).as("out"), lit(1L).as("in")))).as("c"))
+      .groupBy(col("c.id").as("id"))
+      .agg(sum(col("c.out")).as("out_degree"), sum(col("c.in")).as("in_degree"))
+      .withColumn("total_degree", col("out_degree") + col("in_degree"))
+
   /** Bidirectional (reciprocal) edges: composite-key self-join, deduped by
     * lexicographic `src < dst` (J2, graph_basics.py:70-88). */
   def bidirectional(edges: DataFrame): DataFrame =

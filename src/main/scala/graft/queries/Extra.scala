@@ -20,10 +20,12 @@ object Extra {
       .select(col("prev_type").as("src"), col("event_type").as("dst"))
   }
 
-  /** J4/D11 via the graph module: degree table of the event-transition
-    * graph (full outer join + fillna under the hood). */
+  /** Degree table of the event-transition graph — single-pass
+    * formulation (the J4 outer-join+fillna shape itself is exercised by
+    * q06 and GraphSpec; this query uses the plan you'd run at scale:
+    * one window pass + one aggregation, 2 exchanges instead of 5). */
   def q40GraphDegrees(spark: SparkSession, d: String): DataFrame =
-    Graph.degrees(transitionEdges(spark, d)).orderBy("id")
+    Graph.degreesFast(transitionEdges(spark, d)).orderBy("id")
 
   /** A5: the (sum,count) monoid average as a typed Aggregator, registered
     * as a UDAF. Buffer is integer cents — exact, associative, partition-

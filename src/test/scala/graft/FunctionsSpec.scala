@@ -42,6 +42,16 @@ class FunctionsSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("rounding trap (SURVEY §7.5#1): Spark rounds the decimal repr, HALF_UP") {
+    // 2.675 is stored as 2.67499999…; Spark's round() works on the shortest
+    // decimal representation (BigDecimal.valueOf) with HALF_UP → 2.68,
+    // while engines rounding the raw binary (and Python's banker's round)
+    // give 2.67. This is why oracle-compared outputs never round values
+    // that sit structurally on a rounding boundary (see graft.Num).
+    val r = spark.range(1).select(round(lit(2.675), 2)).head.getDouble(0)
+    assert(r == 2.68)
+  }
+
   test("custom expressions callable from SQL after registration") {
     graft.functions.Registry.register(spark)
     Tables.documents(spark, sf).limit(10).createOrReplaceTempView("docs_v")

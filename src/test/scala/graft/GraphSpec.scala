@@ -24,6 +24,15 @@ class GraphSpec extends SparkSpec {
     assert(deg("erin")  == ((1L, 1L, 2L)))
   }
 
+  test("degreesFast single-pass == degrees outer-join formulation") {
+    val a = Graph.degrees(social).collect().map(_.toString).sorted
+    val b = Graph.degreesFast(social).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    val f = Graph.degreesFast(flights).collect().map(_.toString).sorted
+    val g = Graph.degrees(flights).collect().map(_.toString).sorted
+    assert(f.sameElements(g))
+  }
+
   test("bidirectional pairs: reciprocal edges deduped a<b") {
     val pairs = Graph.bidirectional(social).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
