@@ -60,6 +60,26 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation decodes, scales to (w, h), and
+    * re-encodes. Deterministic fake: metadata updated exactly as a real
+    * resize would, payload truncated proportionally — the schema flow
+    * (payload + width/height rewritten together) is the real contract. */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.media_type != "image") r
+        else {
+          val scale = math.min(1.0,
+            (w.toLong * h).toDouble / (r.width.toLong * r.height))
+          val nBytes = math.max(1, (r.payload.length * scale).toInt)
+          r.copy(payload = java.util.Arrays.copyOf(r.payload, nBytes),
+                 width = w, height = h)
+        }
+      }
+    }
+  }
+
   /** STUB frame sampling: every k-th "frame" (here: 16-byte stripe) of a
     * video payload — the partition/batch plumbing of real frame extraction. */
   def sampleFrames(media: Dataset[MediaRow], everyK: Int): DataFrame = {

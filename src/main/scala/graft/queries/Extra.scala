@@ -83,7 +83,8 @@ object Extra {
     * filter (only the year=1997 directory is listed), aggregates by month.
     * The oracle runs the equivalent query on the source table. */
   def q44PartitionPruning(spark: SparkSession, d: String): DataFrame = {
-    val root = "target/tmp/graft_partition_demo"
+    // absolute scratch path: Verify/Bench may run from any cwd
+    val root = sys.props("java.io.tmpdir") + "/graft_partition_demo"
     Tables.lineitem(spark, d)
       .withColumn("ship_year", year(col("l_shipdate")))
       .repartition(col("ship_year"))

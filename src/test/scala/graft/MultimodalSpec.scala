@@ -23,6 +23,18 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(_.n_bytes > 0))
   }
 
+  test("resize stub rewrites payload and metadata together, images only") {
+    val media = Multimodal.mediaTable(spark, sf).as[Multimodal.MediaRow]
+    val resized = Multimodal.resizeImages(media, 64, 64).collect()
+    val orig = media.collect().map(r => r.media_id -> r).toMap
+    resized.foreach { r =>
+      if (r.media_type == "image") {
+        assert(r.width == 64 && r.height == 64)
+        assert(r.payload.length <= orig(r.media_id).payload.length)
+      } else assert(r.width == orig(r.media_id).width, "non-images untouched")
+    }
+  }
+
   test("frame sampling yields every k-th frame of video payloads only") {
     val media = Multimodal.mediaTable(spark, sf).as[Multimodal.MediaRow]
     val frames = Multimodal.sampleFrames(media, everyK = 2).collect()
