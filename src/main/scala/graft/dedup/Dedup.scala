@@ -179,7 +179,19 @@ object Dedup {
       .orderBy(col("n_docs").desc, col("simhash"))
       .limit(20)
 
+  /** Canonical-representative dedup: one keeper (min doc_id) per content
+    * fingerprint — the materialized form a pipeline actually applies
+    * (dropDuplicates alone keeps an ARBITRARY row; min-by is the
+    * deterministic, oracle-checkable version). Single shuffle on the
+    * 128-bit fingerprint, never on text bytes. */
+  def qDedupCanonical(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_dedup_canonical" -> (qDedupCanonical _),
     "q30_dedup_exact"   -> (qDedupExact _),
     "q31_ngram_jaccard" -> (qNgramJaccard _),
     "q32_minhash_lsh"   -> (qMinhashLsh _),
@@ -187,6 +199,9 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q54_dedup_canonical" -> """
+      SELECT md5(text) AS fp, MIN(doc_id) AS keeper_doc, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY fp""",
     "q30_dedup_exact" -> """
       SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct
       FROM documents GROUP BY lang ORDER BY lang""",
