@@ -49,6 +49,30 @@ object IO {
   def partitionedRead(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(root)
 
+  /** Multimodal ingestion: whole files as rows of (path, modificationTime,
+    * length, content binary) — how raw image/audio/video lands in a
+    * DataFrame before decode. Supports pathGlobFilter pushdown. */
+  def binaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
+  /** Image source (Spark built-in): decodes to a struct<origin, height,
+    * width, nChannels, mode, data binary> — typed metadata + opaque pixels,
+    * the multimodal column contract (chapter_07/README.md:132-174 documents
+    * the source without code; here it is real). */
+  def images(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("image").load(path)
+
+  /** JDBC sink+source (embedded Derby — same API as any RDBMS at scale;
+    * partitionColumn/numPartitions options parallelize real servers). */
+  def jdbcWrite(df: DataFrame, url: String, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("jdbc").option("url", url).option("dbtable", table)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").save()
+
+  def jdbcRead(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc").option("url", url).option("dbtable", table)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+
   // -------------------------------------------------------------- sinks
   /** K1/K2: single-file CSV (demo outputs only — never for large data). */
   def singleFileCsv(df: DataFrame, path: String, sep: String = ","): Unit =

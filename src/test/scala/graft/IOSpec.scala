@@ -86,6 +86,40 @@ class IOSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/modes").count() == 11)
   }
 
+  test("binaryFile source: whole files become binary rows (multimodal ingestion)") {
+    val dir = getClass.getResource("/fixtures").getPath
+    val df = IO.binaryFiles(spark, dir, glob = "*.csv")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val people = rows.find(_.getAs[String]("path").endsWith("people.csv")).get
+    val content = new String(people.getAs[Array[Byte]]("content"), "UTF-8")
+    assert(content.startsWith("name,city,value"))
+    assert(people.getAs[Long]("length") == content.getBytes("UTF-8").length)
+  }
+
+  test("image source: decodes PNG to typed metadata + pixel binary") {
+    // generate a real 8x5 PNG so the built-in image source has real input
+    val img = new java.awt.image.BufferedImage(8, 5,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (x <- 0 until 8; y <- 0 until 5) img.setRGB(x, y, (x * 30) << 16 | (y * 50))
+    val dir = new java.io.File(s"$tmp/images"); dir.mkdirs()
+    javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, "t.png"))
+    val df = IO.images(spark, dir.getAbsolutePath)
+    val row = df.select("image.width", "image.height", "image.nChannels", "image.data").head
+    assert(row.getInt(0) == 8 && row.getInt(1) == 5)
+    assert(row.getInt(2) == 3)
+    assert(row.getAs[Array[Byte]](3).length == 8 * 5 * 3)
+  }
+
+  test("JDBC round trip via embedded Derby") {
+    val url = s"jdbc:derby:$tmp/derbydb;create=true"
+    val src = IO.csvInfer(spark, res("employees.csv"))
+    IO.jdbcWrite(src, url, "emps")
+    val back = IO.jdbcRead(spark, url, "emps")
+    assert(back.count() == 8)
+    assert(back.agg(sum("salary")).head.get(0).toString.toLong == 624000L)
+  }
+
   test("ETL pipeline shape: extract → transform → load → verify (§3.2)") {
     val extracted = IO.json(spark, res("census.json"))
     val transformed = extracted.filter(col("age") > 54)
