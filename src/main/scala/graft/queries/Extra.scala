@@ -106,7 +106,20 @@ object Extra {
            countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** Content-keyed train/test split stats (ops.Splits): deterministic
+    * bucket assignment via xxhash64 → rows-only check (hash engine-
+    * specific); invariants (disjoint, complete, ratio) in SplitsSpec. */
+  def q55SplitStats(spark: SparkSession, d: String): DataFrame = {
+    val (train, test) = graft.ops.Splits.trainTest(
+      Tables.documents(spark, d), "doc_id", testPercent = 20)
+    train.withColumn("split", lit("train"))
+      .unionByName(test.withColumn("split", lit("test")))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_split_stats"      -> (q55SplitStats _),
     "q40_graph_degrees"    -> (q40GraphDegrees _),
     "q41_monoid_avg"       -> (q41MonoidAvg _),
     "q42_sessionize"       -> (q42Sessionize _),

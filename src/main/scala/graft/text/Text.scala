@@ -96,18 +96,19 @@ object Text {
       .orderBy("doc_id")
   }
 
-  /** Language ID: n-gram/stopword-count heuristic, deterministic argmax.
-    * Emits per-language doc counts + mean winning score. */
+  /** Language ID: n-gram/stopword-count heuristic, deterministic argmax,
+    * reported as a (labeled lang × predicted lang) confusion matrix —
+    * the evaluation shape a data-quality pipeline actually emits. */
   def qLangId(spark: SparkSession, d: String): DataFrame = {
     var df = Tables.documents(spark, d).withColumn("toks", tokens)
     stopwords.foreach { case (l, ws) =>
       df = df.withColumn(s"score_$l", expr(scoreSql("toks", ws)))
     }
     df.withColumn("pred_lang", expr(argmaxCase))
-      .groupBy("pred_lang")
+      .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("score_en")).as("sum_en_score"))
-      .orderBy("pred_lang")
+      .orderBy("lang", "pred_lang")
   }
 
   /** Document fingerprinting: md5 of the normalized token stream (stable
@@ -210,11 +211,11 @@ object Text {
         FROM (SELECT doc_id, $duckTokens AS toks FROM documents)
         ORDER BY doc_id""",
       "q26_lang_id" -> s"""
-        SELECT $argmaxCase AS pred_lang, COUNT(*) AS n_docs,
+        SELECT lang, $argmaxCase AS pred_lang, COUNT(*) AS n_docs,
                SUM(score_en) AS sum_en_score
-        FROM (SELECT $scoreCols
-              FROM (SELECT $duckTokens AS toks FROM documents))
-        GROUP BY 1 ORDER BY pred_lang""",
+        FROM (SELECT lang, $scoreCols
+              FROM (SELECT lang, $duckTokens AS toks FROM documents))
+        GROUP BY 1, 2 ORDER BY lang, pred_lang""",
       "q27_fingerprint" -> s"""
         SELECT source, COUNT(*) AS n_docs,
                COUNT(DISTINCT md5(array_to_string($duckTokens, ' '))) AS n_distinct_fp
