@@ -98,6 +98,15 @@ object Dedup {
       .limit(topK)
   }
 
+  /** Incremental dedup: drop new documents whose fingerprint already
+    * exists in a historical corpus — anti join on the 128-bit fingerprint
+    * (the daily-batch-vs-lake operation; only fingerprints shuffle, and at
+    * scale the historical side is a bloom-filtered bucketed table). */
+  def dedupAgainst(newDocs: DataFrame, knownFingerprints: DataFrame): DataFrame =
+    newDocs.withColumn("fp", md5(col("text")))
+      .join(knownFingerprints, Seq("fp"), "left_anti")
+      .drop("fp")
+
   // ---------------------------------------------------------------- queries
 
   /** Exact dedup (hash-groupBy): distinct-text counts per lang.

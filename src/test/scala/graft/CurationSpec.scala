@@ -1,0 +1,47 @@
+package graft
+
+import graft.pipeline.Curation
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curation funnel: stages compose, report is sane") {
+    val docs = Tables.documents(spark, sf)
+    val report = Curation.curate(docs).collect()
+    assert(report.nonEmpty)
+    val kept = report.map(_.getAs[Long]("n_kept")).sum
+    assert(kept > 0 && kept <= docs.count())
+    report.foreach { r =>
+      val ratio = r.getAs[Double]("corpus_stop_ratio")
+      assert(ratio >= 0.01 && ratio <= 1.0)
+    }
+  }
+
+  test("curation is one plan: no intermediate actions, filters pushed") {
+    val df = Curation.curate(Tables.documents(spark, sf))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("FileScan") || p.contains("Scan parquet"))
+  }
+
+  test("withSplit is deterministic and covers every row") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = Curation.withSplit(docs).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1.values.sum == docs.count())
+    assert(s1.keySet == Set("train", "test"))
+  }
+
+  test("incremental dedup drops only known fingerprints") {
+    val hist = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val known = hist.select(md5(col("text")).as("fp"))
+    val fresh = Seq((10L, "alpha beta gamma"), (11L, "brand new content here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(fresh, known).collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(11L))
+    assert(kept.head.schema.fieldNames.sameElements(Array("doc_id", "text")))
+  }
+}
