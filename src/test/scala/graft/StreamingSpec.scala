@@ -75,6 +75,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: micro-batches land in parquet, total preserved") {
+    prepared
+    val outDir = "target/tmp/stream_out"
+    if (new java.io.File(outDir).exists) rmRf(new java.io.File(outDir))
+    val q = Streams.readEventsStream(spark, streamDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val landed = spark.read.parquet(outDir)
+      assert(landed.count() == batchEvents.count())
+      assert(landed.select("batch_id").distinct().count() == 3)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     prepared
     val q = Streams.runToMemory(
