@@ -22,6 +22,15 @@ object Similarity {
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** Codegen'd cosine (FloatVecDot kernel): identical sequential-fold
+    * summation to [[cosineSql]] — bitwise the same value, so oracle
+    * queries can use it — at compiled-loop speed (the interpreted
+    * `aggregate` lambda costs ~100 ns/element; the kernel ~1). */
+  def cosCol(a: Column, b: Column): Column = {
+    import graft.functions.exprs.vecDot
+    vecDot(a, b) / (sqrt(vecDot(a, a)) * sqrt(vecDot(b, b)))
+  }
+
   /** Deterministic random hyperplanes (seeded): NumPlanes × dim, ±1
     * entries. Deterministic across JVMs — scala.util.Random(seed) is a
     * fixed LCG stream. */
@@ -31,14 +40,17 @@ object Similarity {
     Array.fill(NumPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** LSH signature column: NumPlanes sign bits packed into an int. */
+  /** LSH signature column: NumPlanes sign bits packed into an int.
+    * Planes are ±1 — exactly representable as float, so the kernel dot
+    * (float args, double accumulation) equals the old double-literal
+    * SQL fold. */
   def signatureCol(vecCol: String): Column = {
-    val planes = hyperplanes()
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeArr = p.mkString("array(", "D, ", "D)")
-      s"(CASE WHEN ${dotSql(vecCol, planeArr)} > 0 THEN shiftleft(1, $i) ELSE 0 END)"
+    import graft.functions.exprs.vecDot
+    val bits = hyperplanes().zipWithIndex.map { case (p, i) =>
+      when(vecDot(col(vecCol), typedlit(p.map(_.toFloat))) > 0,
+        lit(1 << i)).otherwise(lit(0))
     }
-    expr(bits.mkString(" | ")).cast("int")
+    bits.reduce((a, b) => a.bitwiseOR(b)).cast("int")
   }
 
   /** Brute-force cosine top-k against one query vector. The query side is a
@@ -50,7 +62,7 @@ object Similarity {
       .select(col("embedding").as("q_embedding"))
     emb.crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(expr(cosineSql("embedding", "q_embedding")), 6).as("cos_sim"))
+        round(cosCol(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -67,7 +79,7 @@ object Similarity {
     signed.join(broadcast(q.withColumn("probe_sigs", expr(probes))),
         expr("array_contains(probe_sigs, sig)"))
       .select(col("vec_id"),
-        round(expr(cosineSql("embedding", "q_embedding")), 6).as("cos_sim"))
+        round(cosCol(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -106,7 +118,7 @@ object Similarity {
     indexed.join(broadcast(probeClusters), col("cluster") === col("cid"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(expr(cosineSql("embedding", "q_embedding")), 6).as("cos_sim"))
+        round(cosCol(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -147,7 +159,7 @@ object Similarity {
     signed.as("a").join(signed.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(expr(cosineSql("a.embedding", "b.embedding")), 6).as("cos_sim"))
+        round(cosCol(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
       .limit(20)
   }
