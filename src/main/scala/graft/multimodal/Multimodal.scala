@@ -125,7 +125,7 @@ object Multimodal {
       SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
              COUNT(*) AS n_media,
-             SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+             CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
              COUNT(DISTINCT sha256(text)) AS n_distinct_payloads
       FROM documents GROUP BY 1 ORDER BY media_type""",
     // q39: stubbed kernel output — rows-only.

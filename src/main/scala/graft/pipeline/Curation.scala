@@ -81,7 +81,7 @@ object Curation {
         WHERE n_tokens >= 30 AND stopword_ratio >= 0.01),
       keepers AS (
         SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text))
-      SELECT lang, COUNT(*) AS n_kept, SUM(n_tokens) AS total_tokens,
+      SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
              CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS corpus_stop_ratio
       FROM kept JOIN keepers USING (doc_id)
       GROUP BY lang ORDER BY lang""")

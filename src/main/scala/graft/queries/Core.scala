@@ -436,7 +436,7 @@ object Core {
       FROM events GROUP BY 1 ORDER BY day""",
     "q21_json_extract" -> """
       SELECT event_type,
-             SUM(CAST(props->>'$.k' AS INT)) AS sum_k,
+             CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
              MAX(CAST(props->>'$.k' AS INT)) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""",
     "q22_mappartitions_stats" -> s"""

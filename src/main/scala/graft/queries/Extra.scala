@@ -159,7 +159,7 @@ object Extra {
                      LAG(epoch_us(ts)) OVER (PARTITION BY user_id
                                              ORDER BY ts, event_id) AS prev_us
               FROM events))
-      SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+      SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM flagged GROUP BY user_id ORDER BY user_id""",
     "q43_asof_join" -> """
       SELECT p.event_id AS purchase_id, p.user_id,
@@ -169,7 +169,7 @@ object Extra {
         ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY purchase_id""",
     "q44_partition_pruning" -> s"""
-      SELECT MONTH(l_shipdate) AS ship_month, COUNT(*) AS n,
+      SELECT CAST(MONTH(l_shipdate) AS INT) AS ship_month, COUNT(*) AS n,
              ${Num.sqlDsum("l_quantity")} AS sum_qty
       FROM lineitem WHERE YEAR(l_shipdate) = 1997
       GROUP BY 1 ORDER BY ship_month""",

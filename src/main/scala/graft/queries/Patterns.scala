@@ -97,14 +97,14 @@ object Patterns {
 
   val oracles: Map[String, String] = Map(
     "q53_topk_agg" -> """
-      SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+      SELECT c_mktsegment, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice FROM (
         SELECT c_mktsegment, o_orderkey, o_totalprice,
                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
         FROM orders JOIN customer ON o_custkey = c_custkey)
       WHERE rk <= 3 ORDER BY c_mktsegment, rk""",
     "q48_topn_per_group" -> """
-      SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+      SELECT c_mktsegment, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice FROM (
         SELECT c_mktsegment, o_orderkey, o_totalprice,
                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk

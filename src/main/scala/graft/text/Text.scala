@@ -186,8 +186,8 @@ object Text {
     Map(
       "q47_bpe_tokens" -> """
         SELECT source,
-               SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS total_tokens,
-               MAX(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS max_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_tokens,
+               CAST(MAX(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS INT) AS max_tokens,
                COUNT(*) AS n_docs
         FROM documents GROUP BY source ORDER BY source""",
       "q23_wordcount" -> s"""
@@ -195,15 +195,15 @@ object Text {
         FROM (SELECT unnest($duckTokens) AS word FROM documents)
         GROUP BY word ORDER BY n DESC, word LIMIT 50""",
       "q24_token_stats" -> s"""
-        SELECT doc_id, len(toks) AS n_tokens,
-               len(list_distinct(toks)) AS n_uniq,
-               length(text) AS n_chars,
+        SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+               CAST(length(text) AS INT) AS n_chars,
                CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
                CAST(length(text) AS DOUBLE) / len(toks) AS chars_per_token
         FROM (SELECT doc_id, text, $duckTokens AS toks FROM documents)
         ORDER BY doc_id""",
       "q25_quality" -> s"""
-        SELECT doc_id, len(toks) AS n_tokens,
+        SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
                CAST(${duckScoreSql("toks", en)} AS DOUBLE) / len(toks) AS stopword_ratio,
                CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
                  / len(toks) AS mean_token_len,
@@ -212,7 +212,7 @@ object Text {
         ORDER BY doc_id""",
       "q26_lang_id" -> s"""
         SELECT lang, $argmaxCase AS pred_lang, COUNT(*) AS n_docs,
-               SUM(score_en) AS sum_en_score
+               CAST(SUM(score_en) AS BIGINT) AS sum_en_score
         FROM (SELECT lang, $scoreCols
               FROM (SELECT lang, $duckTokens AS toks FROM documents))
         GROUP BY 1, 2 ORDER BY lang, pred_lang""",

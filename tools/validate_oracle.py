@@ -46,6 +46,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(ecols)}")
             n_bad += 1
             continue
+        # dtype drift (warning-level): duckdb's HUGEINT/BIGINT vs spark's
+        # INT/BIGINT would trip a strict schema compare
+        gtypes = {d[0]: str(d[1]) for d in got.description}
+        etypes = {d[0]: str(d[1]) for d in exp.description}
+        for c in gtypes:
+            if gtypes[c] != etypes.get(c):
+                print(f"WARN {name}: dtype {c}: spark={gtypes[c]} oracle={etypes.get(c)}")
         if len(grows) == 0:
             print(f"WARN {name}: zero rows (weak signal)")
         gk, ek = frame_key(grows, gcols), frame_key(erows, ecols)
