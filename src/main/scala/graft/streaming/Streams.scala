@@ -70,6 +70,13 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
               col("n_events"))
 
+  /** Streaming exact dedup: keep the first arrival per content
+    * fingerprint across micro-batches (stateful dropDuplicates — state
+    * holds fingerprints, bounded by the watermark horizon at scale).
+    * The streaming twin of Dedup.dedupAgainst for continuous ingestion. */
+  def streamingDedup(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fp", md5(col(textCol))).dropDuplicates("fp").drop("fp")
+
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state: running per-user totals via mapGroupsWithState —

@@ -75,6 +75,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append mode + watermark emits only finalized windows (a prefix of batch)") {
+    prepared
+    val q = Streams.runToMemory(
+      Streams.windowedCounts(Streams.readEventsStream(spark, streamDir)),
+      "win_append", org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val appended = spark.table("win_append").collect().map(_.toString).toSet
+      val batch = Streams.windowedCounts(batchEvents).collect().map(_.toString).toSet
+      // Append emits a window only once the watermark passes its end: the
+      // result must be a strict subset (the last day(s) stay open) and
+      // every emitted row must match the batch result exactly.
+      assert(appended.subsetOf(batch), "append rows must agree with batch")
+      assert(appended.nonEmpty && appended.size < batch.size,
+        s"expected open windows withheld: ${appended.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink: micro-batches land in parquet, total preserved") {
     prepared
     val outDir = "target/tmp/stream_out"
@@ -91,6 +108,37 @@ class StreamingSpec extends SparkSpec {
       val landed = spark.read.parquet(outDir)
       assert(landed.count() == batchEvents.count())
       assert(landed.select("batch_id").distinct().count() == 3)
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first arrival per fingerprint across batches") {
+    import org.apache.spark.sql.types._
+    val dir = "target/tmp/stream_dedup"
+    if (new java.io.File(dir).exists) rmRf(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    // batch 1: docs 1,2; batch 2: doc 3 + a duplicate of doc 1's text
+    Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Seq((3L, "epsilon zeta"), (4L, "alpha beta")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    Seq("b1", "b2").foreach { sub =>
+      new java.io.File(s"$dir/$sub").listFiles.filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$dir/$sub-$i.parquet")) }
+      rmRf(new java.io.File(s"$dir/$sub"))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.runToMemory(Streams.streamingDedup(stream), "dedup_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val kept = spark.table("dedup_stream").collect()
+        .map(_.getLong(0)).sorted
+      assert(kept.sameElements(Array(1L, 2L, 3L)),
+        s"duplicate (doc 4) must be dropped, first arrivals kept: ${kept.mkString(",")}")
     } finally q.stop()
   }
 
