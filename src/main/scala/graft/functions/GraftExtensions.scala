@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object Registry {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "tokenize_lower"         -> (es => TokenizeLower(es.head)),
     "minhash_signature"      -> (es => MinHashSignature(es.head, 16)),
     "minhash_3gram"          -> (es => MinHash3Gram(es.head, 16)),
     "simhash64"              -> (es => SimHash64(es.head)),

@@ -71,6 +71,26 @@ object TextKernels {
     out
   }
 
+  private val NonLetter = java.util.regex.Pattern.compile("[^a-z]+")
+
+  /** Tokenizer kernel: lowercase → split on non-letters → drop empties.
+    * Exactly `filter(split(lower(text), '[^a-z]+'), x -> x != '')` (same
+    * java regex engine Spark's split uses), but codegen-friendly: the HOF
+    * form is interpreted AND evicts its whole projection from
+    * whole-stage codegen. */
+  def tokenizeLower(s: UTF8String): ArrayData = {
+    val parts = NonLetter.split(s.toString.toLowerCase(java.util.Locale.ROOT), -1)
+    val out = new Array[AnyRef](parts.length)
+    var w = 0
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) { out(w) = UTF8String.fromString(parts(i)); w += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, w))
+  }
+
   /** k-permutation MinHash directly over token 3-grams: combines the three
     * token hashes instead of materializing shingle strings (no concat, no
     * UTF-8 re-encode, one hash pass per token). */

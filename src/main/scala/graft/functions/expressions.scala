@@ -41,6 +41,17 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+case class TokenizeLower(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenizeLower(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenizeLower($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenizeLower =
+    copy(child = newChild)
+  override def prettyName: String = "tokenize_lower"
+}
+
 case class MinHash3Gram(child: Expression, numHashes: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -106,6 +117,7 @@ object exprs {
   def minhashSignature(c: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(e(c), k))
   def simhash64(c: Column): Column = GraftBridge.column(SimHash64(e(c)))
+  def tokenizeLower(c: Column): Column = GraftBridge.column(TokenizeLower(e(c)))
   def minhash3gram(c: Column, k: Int): Column =
     GraftBridge.column(MinHash3Gram(e(c), k))
   def hashSetSorted(c: Column): Column = GraftBridge.column(HashSetSorted(e(c)))

@@ -18,7 +18,11 @@ object Text {
   /** Tokenization used by every query: lowercase, split on non-letters,
     * drop empties. Expression-identical to the DuckDB oracle fragment. */
   val tokensSql = "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
-  val tokens: Column = expr(tokensSql)
+  /** Kernel tokenizer ([[graft.functions.TokenizeLower]]) — semantics
+    * identical to [[tokensSql]] (same java regex), but codegen-capable:
+    * the HOF form is interpreted and evicts its projection from
+    * whole-stage codegen (PlanAuditSpec pins this). */
+  val tokens: Column = graft.functions.exprs.tokenizeLower(col("text"))
   /** DuckDB twin of [[tokensSql]]. */
   val duckTokens = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
 

@@ -42,6 +42,15 @@ class FunctionsSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("kernel tokenizer == HOF split/filter form on the full corpus") {
+    val docs = Tables.documents(spark, sf)
+    val diff = docs.select(
+        graft.text.Text.tokens.as("kernel"),
+        expr(graft.text.Text.tokensSql).as("hof"))
+      .filter(col("kernel") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
   test("rounding trap (SURVEY §7.5#1): Spark rounds the decimal repr, HALF_UP") {
     // 2.675 is stored as 2.67499999…; Spark's round() works on the shortest
     // decimal representation (BigDecimal.valueOf) with HALF_UP → 2.68,

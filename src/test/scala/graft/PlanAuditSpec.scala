@@ -64,6 +64,19 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one user_id exchange:\n$p")
   }
 
+  test("custom kernel expressions live inside whole-stage codegen spans") {
+    val df = Tables.documents(spark, sf)
+      .select(graft.functions.exprs.simhash64(graft.text.Text.tokens).as("sh"))
+      .groupBy("sh").count()
+    df.collect()
+    val p = plan(df)
+    // the projection computing simhash64 must sit inside a *(n) codegen
+    // span — CodegenFallback would print it outside any starred operator
+    val projLine = p.linesIterator.find(_.contains("simhash64"))
+    assert(projLine.isDefined && projLine.get.contains("*("),
+      s"simhash64 fell out of codegen:\n$p")
+  }
+
   test("salted join: correct result, skew key spread over salts") {
     import spark.implicits._
     val left = (Seq.fill(1000)("hot") ++ Seq("a", "b", "c")).toDF("k")
