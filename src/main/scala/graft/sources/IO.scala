@@ -87,6 +87,12 @@ object IO {
   def parquetSink(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
 
+  /** ORC twin (the other columnar format Spark supports natively —
+    * same pushdown/pruning machinery as parquet). */
+  def orcSink(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+  def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+
   /** K6: hive-partitioned parquet, exactly one file per partition dir —
     * `repartition(cols)` first so every partition's rows land in one task. */
   def hivePartitionedParquet(df: DataFrame, path: String, cols: String*): Unit =

@@ -86,6 +86,16 @@ class IOSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/modes").count() == 11)
   }
 
+  test("ORC round trip with predicate pushdown") {
+    val src = IO.csvInfer(spark, res("employees.csv"))
+    IO.orcSink(src, s"$tmp/orc")
+    val back = IO.orc(spark, s"$tmp/orc").filter(col("salary") > 80000)
+    assert(back.count() == 4)
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("salary"),
+      "ORC scan must receive the pushed filter")
+  }
+
   test("binaryFile source: whole files become binary rows (multimodal ingestion)") {
     val dir = getClass.getResource("/fixtures").getPath
     val df = IO.binaryFiles(spark, dir, glob = "*.csv")

@@ -89,6 +89,39 @@ class PlanAuditSpec extends SparkSpec {
       == Map("hot" -> 1000L, "a" -> 1L, "b" -> 1L))
   }
 
+  test("AQE splits a skewed join partition at runtime (SCALING.md claim)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"))
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try {
+      // one hot key carrying ~100× the data of the others
+      val left = spark.range(200000)
+        .select(when($"id" % 100 === 0, concat(lit("k"), $"id" % 50))
+          .otherwise(lit("hot")).as("k"), $"id".as("v"))
+      val right = (0 until 50).map(i => s"k$i").toDF("k")
+        .union(Seq("hot").toDF("k"))
+      // global agg after the join: partial+final, no keyed distribution
+      // requirement — a groupBy(k) downstream would BLOCK the skew split
+      // (splitting breaks the required hash distribution)
+      val joined = left.join(right, "k").agg(count(lit(1)).as("n"), sum("v"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("isSkewJoin=true") || p.contains("skew=true"),
+        s"AQE skew split did not trigger:\n$p")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("bucketed self-join + agg on the bucket key: zero shuffle exchanges") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     Scale.writeBucketed(li, "li_bucketed", "l_orderkey", buckets = 4)
