@@ -86,7 +86,21 @@ object Patterns {
       .orderBy("c_mktsegment", "rk")
   }
 
+  /** Structured → hierarchical (ch. 10 classic): nest each order's line
+    * items as an ordered array of structs — the denormalization pattern
+    * for document stores / nested parquet. One groupBy; array ordered by
+    * line number for determinism. */
+  def q57NestLineitems(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_orderkey") < 100)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+           sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
+             .as("items"))
+      .orderBy("l_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_nest_lineitems"  -> (q57NestLineitems _),
     "q53_topk_agg"        -> (q53TopKAgg _),
     "q48_topn_per_group"  -> (q48TopNPerGroup _),
     "q49_histogram"       -> (q49Histogram _),
@@ -96,6 +110,13 @@ object Patterns {
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_nest_lineitems" -> """
+      SELECT l_orderkey, COUNT(*) AS n_items,
+             list(struct_pack(l_linenumber := l_linenumber,
+                              l_quantity := l_quantity)
+                  ORDER BY l_linenumber, l_quantity) AS items
+      FROM lineitem WHERE l_orderkey < 100
+      GROUP BY l_orderkey ORDER BY l_orderkey""",
     "q53_topk_agg" -> """
       SELECT c_mktsegment, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice FROM (
         SELECT c_mktsegment, o_orderkey, o_totalprice,
