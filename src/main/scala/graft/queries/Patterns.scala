@@ -99,7 +99,30 @@ object Patterns {
              .as("items"))
       .orderBy("l_orderkey")
 
+  /** Ranking-function family (pending ch. 08 completeness): row_number,
+    * dense_rank (on a coarser key), ntile quartiles, lead — one partition
+    * key, so Catalyst computes all four with a single exchange. */
+  def q58RankFamily(spark: SparkSession, d: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byBucket = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(floor(col("o_totalprice") / 50000).desc)
+    Tables.orders(spark, d)
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(byPrice))
+      .withColumn("bucket_rank", dense_rank().over(byBucket))
+      .withColumn("quartile", ntile(4).over(byPrice))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(byPrice))
+      .filter(col("rn") <= 5)
+      .select(col("c_mktsegment"), col("rn").cast("int").as("rn"),
+        col("bucket_rank").cast("int").as("bucket_rank"),
+        col("quartile").cast("int").as("quartile"),
+        col("o_totalprice"), col("next_price"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_rank_family"     -> (q58RankFamily _),
     "q57_nest_lineitems"  -> (q57NestLineitems _),
     "q53_topk_agg"        -> (q53TopKAgg _),
     "q48_topn_per_group"  -> (q48TopNPerGroup _),
@@ -110,6 +133,21 @@ object Patterns {
   )
 
   val oracles: Map[String, String] = Map(
+    "q58_rank_family" -> """
+      SELECT c_mktsegment, CAST(rn AS INT) AS rn,
+             CAST(bucket_rank AS INT) AS bucket_rank,
+             CAST(quartile AS INT) AS quartile, o_totalprice, next_price
+      FROM (
+        SELECT c_mktsegment, o_totalprice,
+          ROW_NUMBER() OVER w AS rn,
+          DENSE_RANK() OVER (PARTITION BY c_mktsegment
+                             ORDER BY FLOOR(o_totalprice / 50000) DESC) AS bucket_rank,
+          NTILE(4) OVER w AS quartile,
+          LEAD(o_totalprice, 1) OVER w AS next_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY o_totalprice DESC, o_orderkey))
+      WHERE rn <= 5 ORDER BY c_mktsegment, rn""",
     "q57_nest_lineitems" -> """
       SELECT l_orderkey, COUNT(*) AS n_items,
              list(struct_pack(l_linenumber := l_linenumber,
