@@ -199,7 +199,41 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("n_copies"))
       .orderBy("fp")
 
+  /** The full near-dup pipeline in one plan: MinHash signatures → LSH
+    * band buckets → candidate pairs → verification with BOTH the cheap
+    * signature estimate (matching minhash fraction ≈ Jaccard) and the
+    * exact hashed-shingle Jaccard. At 100 TB the estimate prunes
+    * candidates before the exact sets are ever shuffled.
+    * Hash-dependent → rows-only check; estimator quality in DedupSpec. */
+  def qMinhashVerify(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val base = docs
+      .withColumn("toks", Text.tokens)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.exprs.minhash3gram(col("toks"), NumHashes).as("sig"),
+        graft.functions.exprs.gram3SetSorted(col("toks")).as("hs"))
+      .repartition(col("doc_id")) // materialize kernels once (see q31 note)
+    val cands = lshCandidates(base.select("doc_id", "sig"))
+    cands
+      .join(base.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("hs").as("hs_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("hs").as("hs_b")), "doc_b")
+      .withColumn("est_jaccard", expr(
+        s"CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) AS DOUBLE) / $NumHashes"))
+      .withColumn("inter",
+        graft.functions.exprs.sortedIntersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("exact_jaccard",
+        col("inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+      .select("doc_a", "doc_b", "est_jaccard", "exact_jaccard")
+      .orderBy(col("exact_jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_minhash_verify" -> (qMinhashVerify _),
     "q54_dedup_canonical" -> (qDedupCanonical _),
     "q30_dedup_exact"   -> (qDedupExact _),
     "q31_ngram_jaccard" -> (qNgramJaccard _),

@@ -40,6 +40,17 @@ class DedupSpec extends SparkSpec {
       s"near-dup ${ham(1L, 101L)} not closer than unrelated ${ham(1L, 103L)}")
   }
 
+  test("minhash signature agreement estimates Jaccard (the LSH estimator)") {
+    val rows = Dedup.qMinhashVerify(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getDouble(2); val exact = r.getDouble(3)
+      // 16 hashes → binomial std ≈ sqrt(j(1-j)/16) ≤ 0.125; allow 4σ
+      assert(math.abs(est - exact) <= 0.5,
+        s"estimator wildly off: est=$est exact=$exact for ${r.getLong(0)}-${r.getLong(1)}")
+    }
+  }
+
   test("exact dedup counts duplicates") {
     val withLang = planted.withColumn("lang", lit("en"))
     val row = Dedup.qDedupExact(spark, sf) // smoke on harness table
