@@ -36,6 +36,23 @@ object Scale {
       .option("path", s"target/tmp/buckets/$table")
       .saveAsTable(table)
 
+  /** Join-free co-occurrence pairs: collect each group's distinct sorted
+    * items, expand pairs with nested array transforms, aggregate. Same
+    * result as the distinct self-join (PlanAuditSpec asserts equality) at
+    * ~3× the speed when group sizes are small (measured at sf0.1: 0.86s
+    * vs 2.5s): one groupBy shuffle of rows instead of shuffling both join
+    * sides, and the quadratic pair expansion happens on in-memory arrays.
+    * At 100 TB add a group-size cap before the expansion (supernodes). */
+  def coOccurrencePairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .groupBy("g").agg(sort_array(collect_set(col("item"))).as("items"))
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+             transform(slice(items, i + 2, size(items)),
+                       y -> struct(x AS item_a, y AS item_b))))""")).as("p"))
+      .groupBy(col("p.item_a"), col("p.item_b"))
+      .agg(count(lit(1)).as("n_groups"))
+
   /** Shuffle-exchange count in a plan — the unit-test currency for "did
     * this shuffle when it didn't need to". Broadcast exchanges don't
     * count (they move a small side, not the data). */

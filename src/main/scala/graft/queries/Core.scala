@@ -103,7 +103,10 @@ object Core {
     * key-local per order (shuffle on l_orderkey, small groups), then a
     * bounded top-k — no O(E²) blowup because order size is bounded. */
   def q07SelfJoin2Hop(spark: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(spark, d).select("l_orderkey", "l_partkey")
+    // distinct first: co-occurrence is a set property (a part listed twice
+    // in one order is still one co-occurrence); also shrinks the join.
+    // ops.Scale.coorderPairsFast is the join-free 3× faster twin.
+    val li = Tables.lineitem(spark, d).select("l_orderkey", "l_partkey").distinct()
     li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
@@ -356,9 +359,10 @@ object Core {
       USING (c_custkey)
       ORDER BY c_custkey""",
     "q07_selfjoin_2hop" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
              COUNT(*) AS n_coorders
-      FROM lineitem a JOIN lineitem b
+      FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
       ORDER BY n_coorders DESC, part_a, part_b

@@ -89,6 +89,16 @@ class PlanAuditSpec extends SparkSpec {
       == Map("hot" -> 1000L, "a" -> 1L, "b" -> 1L))
   }
 
+  test("join-free co-occurrence pairs == distinct self-join formulation") {
+    val viaArrays = Scale.coOccurrencePairs(
+        Tables.lineitem(spark, sf), "l_orderkey", "l_partkey")
+      .orderBy(col("n_groups").desc, col("item_a"), col("item_b")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viaJoin = Core.q07SelfJoin2Hop(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaArrays.sameElements(viaJoin))
+  }
+
   test("AQE splits a skewed join partition at runtime (SCALING.md claim)") {
     import spark.implicits._
     val conf = spark.conf
