@@ -123,6 +123,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 scalar quantization: per-vector scale = amax/127; 4× storage
+    * reduction for ANN candidate stages. Returns the original embedding,
+    * the quantized ints, and the dequantized vector for error analysis —
+    * all expression-level (a production path would pack bytes). */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("amax", expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("qvec", expr(
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / amax) AS INT))"))
+      .withColumn("deq", expr(
+        "transform(qvec, q -> CAST(q AS DOUBLE) * amax / 127.0)"))
+
+  /** Quantization quality report: per-label mean cosine between original
+    * and dequantized vectors (≈1 − quantization loss). */
+  def qQuantization(spark: SparkSession, d: String): DataFrame = {
+    def dotDD(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    quantizeInt8(Tables.embeddings(spark, d))
+      .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("cos_q", expr(
+        s"${dotDD("emb_d", "deq")} / (sqrt(${dotDD("emb_d", "emb_d")}) * sqrt(${dotDD("deq", "deq")}))"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+           round(avg(col("cos_q")), 6).as("mean_cos_after_int8"))
+      .orderBy("label")
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Exact brute-force cosine top-20 for query vec_id=0 (oracle-checked). */
@@ -175,6 +203,7 @@ object Similarity {
     "q36_centroids"     -> (qCentroids _),
     "q37_embed_neardup" -> (qEmbedNearDup _),
     "q46_ivf_ann"       -> (qIvfAnn _),
+    "q60_quantization"  -> (qQuantization _),
   )
 
   val oracles: Map[String, String] = {
@@ -202,6 +231,20 @@ object Similarity {
         SELECT label, (SELECT COUNT(*) FROM embeddings e WHERE e.label = norms.label) AS n_vecs,
                centroid_norm
         FROM norms ORDER BY label""",
+      "q60_quantization" -> """
+        WITH q AS (
+          SELECT label,
+                 list_transform(embedding::DOUBLE[], x ->
+                   CAST(CAST(ROUND(x * 127.0 / amax) AS INT) AS DOUBLE) * amax / 127.0) AS deq,
+                 embedding::DOUBLE[] AS emb_d
+          FROM (SELECT label, embedding,
+                       list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+                FROM embeddings))
+        SELECT label, COUNT(*) AS n_vecs,
+               ROUND(AVG(list_inner_product(emb_d, deq) /
+                 (sqrt(list_inner_product(emb_d, emb_d)) * sqrt(list_inner_product(deq, deq)))), 6)
+                 AS mean_cos_after_int8
+        FROM q GROUP BY label ORDER BY label""",
       // q35/q37: LSH plane construction is engine-side → rows-only.
     )
   }
