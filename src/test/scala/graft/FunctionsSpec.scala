@@ -42,6 +42,28 @@ class FunctionsSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("RewriteTokenize optimizer rule swaps the HOF pattern for the kernel") {
+    spark.experimental.extraOptimizations =
+      Seq(graft.functions.RewriteTokenize)
+    try {
+      val df = Tables.documents(spark, sf).limit(100)
+        .select(col("doc_id"), expr(graft.text.Text.tokensSql).as("toks"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("tokenize_lower"),
+        s"rule did not fire:\n$optimized")
+      assert(!optimized.contains("lambdafunction"), "HOF should be gone")
+      // results identical to the unrewritten form
+      spark.experimental.extraOptimizations = Nil
+      val plain = Tables.documents(spark, sf).limit(100)
+        .select(col("doc_id"), expr(graft.text.Text.tokensSql).as("toks"))
+        .collect().map(_.toString).sorted
+      spark.experimental.extraOptimizations =
+        Seq(graft.functions.RewriteTokenize)
+      val rewritten = df.collect().map(_.toString).sorted
+      assert(rewritten.sameElements(plain))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("kernel tokenizer == HOF split/filter form on the full corpus") {
     val docs = Tables.documents(spark, sf)
     val diff = docs.select(
