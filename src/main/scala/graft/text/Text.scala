@@ -171,7 +171,23 @@ object Text {
            count(lit(1)).as("n_docs"))
       .orderBy("source")
 
+  /** Repetition ratio: distinct 3-grams / total 3-grams per document —
+    * the n-gram repetition signal pretraining filters use (low ratio =
+    * repetitive boilerplate). Hashed-set cardinality == string-set
+    * cardinality modulo 2^-64 collisions, so the oracle compares exactly. */
+  def qRepetition(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("toks", tokens)
+      .filter(size(col("toks")) >= 10)
+      .select(col("doc_id"),
+        (size(col("toks")) - 2).as("n_grams"),
+        size(graft.functions.exprs.gram3SetSorted(col("toks"))).as("n_distinct_grams"))
+      .withColumn("repetition_ratio",
+        col("n_distinct_grams").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_repetition"  -> (qRepetition _),
     "q47_bpe_tokens"  -> (qBpeTokens _),
     "q23_wordcount"   -> (qWordcount _),
     "q24_token_stats" -> (qTokenStats _),
@@ -188,6 +204,14 @@ object Text {
       s"${duckScoreSql("toks", ws)} AS score_$l"
     }.mkString(", ")
     Map(
+      "q61_repetition" -> s"""
+        SELECT doc_id, CAST(len(toks) - 2 AS INT) AS n_grams,
+               CAST(len(${graft.dedup.Dedup.duckShinglesSql}) AS INT) AS n_distinct_grams,
+               CAST(len(${graft.dedup.Dedup.duckShinglesSql}) AS DOUBLE)
+                 / (len(toks) - 2) AS repetition_ratio
+        FROM (SELECT doc_id, $duckTokens AS toks FROM documents)
+        WHERE len(toks) >= 10
+        ORDER BY doc_id""",
       "q47_bpe_tokens" -> """
         SELECT source,
                CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_tokens,
