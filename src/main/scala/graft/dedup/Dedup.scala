@@ -232,7 +232,35 @@ object Dedup {
       .limit(20)
   }
 
+  /** Eval-set contamination detection: find training documents sharing
+    * ≥ minShared distinct 8-grams with any "eval" document (here: eval =
+    * source src0, train = the rest). Ultra-common grams (train df >
+    * dfCap) are dropped first — standard practice, and what bounds the
+    * gram join at scale (a stopword-ish 8-gram would otherwise fan out
+    * quadratically). One explode-join-aggregate; no pairwise scan. */
+  def qContamination(spark: SparkSession, d: String): DataFrame = {
+    val n = 8; val dfCap = 20; val minShared = 3
+    val docs = Tables.documents(spark, d)
+      .withColumn("toks", Text.tokens)
+      .filter(size(col("toks")) >= n)
+    def grams(df: DataFrame, idCol: String) = df
+      .select(col("doc_id").as(idCol),
+        explode(graft.functions.exprs.gramNSetSorted(col("toks"), n)).as("g"))
+    val evalG  = grams(docs.filter(col("source") === "src0"), "eval_doc")
+    val trainG = grams(docs.filter(col("source") =!= "src0"), "train_doc")
+    val rareTrainG = trainG.join(
+      trainG.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
+        .select("g"), "g")
+    evalG.join(rareTrainG, "g")
+      .groupBy("eval_doc", "train_doc")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+      .orderBy(col("shared_grams").desc, col("eval_doc"), col("train_doc"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_contamination"  -> (qContamination _),
     "q59_minhash_verify" -> (qMinhashVerify _),
     "q54_dedup_canonical" -> (qDedupCanonical _),
     "q30_dedup_exact"   -> (qDedupExact _),
@@ -242,6 +270,24 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q62_contamination" -> s"""
+      WITH toks AS (
+        SELECT doc_id, source, ${Text.duckTokens} AS toks FROM documents),
+      grams AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+                 i -> array_to_string(toks[i:i+7], ' ')))) AS g
+        FROM toks WHERE len(toks) >= 8),
+      train AS (SELECT doc_id, g FROM grams WHERE source <> 'src0'),
+      eval_g AS (SELECT doc_id, g FROM grams WHERE source = 'src0'),
+      rare_train AS (
+        SELECT t.doc_id, t.g FROM train t
+        JOIN (SELECT g FROM train GROUP BY g HAVING COUNT(*) <= 20) r USING (g))
+      SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc,
+             COUNT(*) AS shared_grams
+      FROM eval_g e JOIN rare_train t USING (g)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      ORDER BY shared_grams DESC, eval_doc, train_doc LIMIT 20""",
     "q54_dedup_canonical" -> """
       SELECT md5(text) AS fp, MIN(doc_id) AS keeper_doc, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY fp""",

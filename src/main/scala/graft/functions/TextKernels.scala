@@ -145,6 +145,26 @@ object TextKernels {
     sortDedup(g, n - 2)
   }
 
+  /** Distinct sorted hashes of the token n-gram set (generalized
+    * [[gram3SetSorted]] — contamination checks use 8–13-gram windows). */
+  def gramNSetSorted(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) { th(i) = hashUtf8(tokens.getUTF8String(i), 42L); i += 1 }
+    val g = new Array[Long](len - n + 1)
+    i = 0
+    while (i <= len - n) {
+      var h = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < n) { h = mix(h ^ mix(th(i + j))); j += 1 }
+      g(i) = h
+      i += 1
+    }
+    sortDedup(g, len - n + 1)
+  }
+
   private def sortDedup(h: Array[Long], n: Int): ArrayData = {
     java.util.Arrays.sort(h, 0, n)
     var w = 0

@@ -75,6 +75,17 @@ case class Gram3SetSorted(child: Expression) extends UnaryExpression {
   override def prettyName: String = "gram3_set_sorted"
 }
 
+case class GramNSetSorted(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.gramNSetSorted(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.gramNSetSorted($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): GramNSetSorted =
+    copy(child = newChild)
+  override def prettyName: String = "gramn_set_sorted"
+}
+
 case class HashSetSorted(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -122,6 +133,8 @@ object exprs {
     GraftBridge.column(MinHash3Gram(e(c), k))
   def hashSetSorted(c: Column): Column = GraftBridge.column(HashSetSorted(e(c)))
   def gram3SetSorted(c: Column): Column = GraftBridge.column(Gram3SetSorted(e(c)))
+  def gramNSetSorted(c: Column, n: Int): Column =
+    GraftBridge.column(GramNSetSorted(e(c), n))
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCount(e(a), e(b)))
   def vecDot(a: Column, b: Column): Column =
