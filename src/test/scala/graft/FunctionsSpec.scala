@@ -32,6 +32,18 @@ class FunctionsSpec extends SparkSpec {
     pairs.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("gramN hashed-set cardinality == distinct string n-gram count") {
+    val docs = Tables.documents(spark, sf).limit(200)
+      .withColumn("toks", graft.text.Text.tokens)
+      .filter(size(col("toks")) >= 8)
+    val diff = docs.select(
+        size(graft.functions.exprs.gramNSetSorted(col("toks"), 8)).as("kernel"),
+        expr("""size(array_distinct(transform(sequence(0, size(toks) - 8),
+                  i -> concat_ws(' ', slice(toks, i + 1, 8)))))""").as("strings"))
+      .filter(col("kernel") =!= col("strings"))
+    assert(diff.count() == 0)
+  }
+
   test("minhash3gram: identical token streams share all 16 minhashes") {
     val toks = Seq("the", "quick", "brown", "fox", "jumps")
     val df = Seq((1L, toks), (2L, toks), (3L, Seq("entirely", "other", "words", "here")))
