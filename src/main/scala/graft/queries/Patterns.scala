@@ -121,7 +121,28 @@ object Patterns {
       .orderBy("c_mktsegment", "rn")
   }
 
+  /** Feature engineering (pending ch. 12): per-user time-series features —
+    * lag, delta, and a bounded rolling window (previous 5 events). One
+    * window partition serves every feature; the rolling sum uses the
+    * decimal buffer so frames are exact at any parallelism. */
+  def q63Features(spark: SparkSession, d: String): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev5 = w.rowsBetween(-5, -1)
+    Tables.events(spark, d)
+      .filter(col("user_id") < 10)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("roll_sum_5",
+        sum(col("value").cast(Dec)).over(prev5).cast("double"))
+      .withColumn("roll_cnt_5", count(lit(1)).over(prev5))
+      .select("user_id", "event_id", "value", "prev_value", "delta",
+        "roll_sum_5", "roll_cnt_5")
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_features"        -> (q63Features _),
     "q58_rank_family"     -> (q58RankFamily _),
     "q57_nest_lineitems"  -> (q57NestLineitems _),
     "q53_topk_agg"        -> (q53TopKAgg _),
@@ -133,6 +154,18 @@ object Patterns {
   )
 
   val oracles: Map[String, String] = Map(
+    "q63_features" -> """
+      SELECT user_id, event_id, value,
+             LAG(value, 1) OVER w AS prev_value,
+             value - LAG(value, 1) OVER w AS delta,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS roll_sum_5,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS roll_cnt_5
+      FROM events WHERE user_id < 10
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
     "q58_rank_family" -> """
       SELECT c_mktsegment, CAST(rn AS INT) AS rn,
              CAST(bucket_rank AS INT) AS bucket_rank,
