@@ -73,6 +73,26 @@ object IO {
     spark.read.format("jdbc").option("url", url).option("dbtable", table)
       .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(rows / rowsPerFile) files. Streaming `foreachBatch` appends and
+    * over-parallel writers leave file sprawl that degrades scan planning
+    * (one task per tiny file); periodic compaction is the standard
+    * maintenance job. Writes to a temp dir then swaps, so a crash never
+    * leaves the table truncated. */
+  def compact(spark: SparkSession, path: String, rowsPerFile: Long): Int = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    val tmp = path.stripSuffix("/") + ".compact-tmp"
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dir = new java.io.File(path)
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); () }
+    rm(dir)
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+    files
+  }
+
   // -------------------------------------------------------------- sinks
   /** K1/K2: single-file CSV (demo outputs only — never for large data). */
   def singleFileCsv(df: DataFrame, path: String, sep: String = ","): Unit =

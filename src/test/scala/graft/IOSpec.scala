@@ -130,6 +130,27 @@ class IOSpec extends SparkSpec {
     assert(back.agg(sum("salary")).head.get(0).toString.toLong == 624000L)
   }
 
+  test("compaction: many small appended files → few, data identical") {
+    val path = s"$tmp/compactme"
+    val df = IO.csvInfer(spark, res("employees.csv"))
+    // simulate streaming appends: 8 single-row writes
+    new java.io.File(path).delete()
+    (0 until 8).foreach { i =>
+      df.filter(col("salary") % 8 === i).coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+    }
+    val before = spark.read.parquet(path).collect().map(_.toString).sorted
+    val smallFiles = new java.io.File(path).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    val nFiles = IO.compact(spark, path, rowsPerFile = 100)
+    val afterFiles = new java.io.File(path).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    val after = spark.read.parquet(path).collect().map(_.toString).sorted
+    assert(after.sameElements(before), "compaction must not change data")
+    assert(nFiles == 1 && afterFiles == 1 && smallFiles > 1,
+      s"expected $smallFiles small files → 1, got $afterFiles")
+  }
+
   test("ETL pipeline shape: extract → transform → load → verify (§3.2)") {
     val extracted = IO.json(spark, res("census.json"))
     val transformed = extracted.filter(col("age") > 54)
