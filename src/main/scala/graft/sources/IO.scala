@@ -93,6 +93,26 @@ object IO {
     files
   }
 
+  /** Keyed upsert into a parquet table (poor-man's MERGE: without a table
+    * format there is no transactional row update, so this is read →
+    * anti-join out replaced keys → union updates → swap-write). At 100 TB
+    * you use a real table format (Iceberg/Delta) for this; the operator
+    * exists so the engine's API covers the semantics, and the swap keeps
+    * it crash-safe like [[compact]]. */
+  def upsert(spark: SparkSession, path: String, updates: org.apache.spark.sql.DataFrame,
+             key: String): Unit = {
+    val current = spark.read.parquet(path)
+    val merged = current.join(updates.select(key), Seq(key), "left_anti")
+      .unionByName(updates)
+    val tmp = path.stripSuffix("/") + ".upsert-tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dir = new java.io.File(path)
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); () }
+    rm(dir)
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new java.io.IOException(s"upsert swap failed for $path")
+  }
+
   // -------------------------------------------------------------- sinks
   /** K1/K2: single-file CSV (demo outputs only — never for large data). */
   def singleFileCsv(df: DataFrame, path: String, sep: String = ","): Unit =

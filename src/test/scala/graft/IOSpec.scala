@@ -151,6 +151,21 @@ class IOSpec extends SparkSpec {
       s"expected $smallFiles small files → 1, got $afterFiles")
   }
 
+  test("upsert: updates replace matching keys, inserts append, others intact") {
+    import spark.implicits._
+    val path = s"$tmp/upsertme"
+    IO.csvInfer(spark, res("employees.csv"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    val updates = Seq(("ana", 35, "eng", 99000), ("zoe", 29, "eng", 85000))
+      .toDF("name", "age", "department", "salary")
+    IO.upsert(spark, path, updates, "name")
+    val after = spark.read.parquet(path)
+    assert(after.count() == 9) // 8 originals − 1 replaced + 2 upserts
+    assert(after.filter(col("name") === "ana").head.getAs[Int]("salary") == 99000)
+    assert(after.filter(col("name") === "zoe").count() == 1)
+    assert(after.filter(col("name") === "bruno").head.getAs[Int]("salary") == 82000)
+  }
+
   test("ETL pipeline shape: extract → transform → load → verify (§3.2)") {
     val extracted = IO.json(spark, res("census.json"))
     val transformed = extracted.filter(col("age") > 54)
