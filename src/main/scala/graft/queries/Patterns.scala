@@ -141,7 +141,25 @@ object Patterns {
       .orderBy("user_id", "event_id")
   }
 
+  /** Cumulative distinct users per day. The naive form (distinct over an
+    * expanding prefix) is quadratic; the scalable rewrite maps each user
+    * to their FIRST day (one aggregation), counts first-appearances per
+    * day, and prefix-sums — linear + one tiny window. */
+  def q64CumulativeUsers(spark: SparkSession, d: String): DataFrame = {
+    val firstSeen = Tables.events(spark, d)
+      .groupBy("user_id")
+      .agg(min(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")).as("first_day"))
+    firstSeen.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cumulative_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_cumulative_users" -> (q64CumulativeUsers _),
     "q63_features"        -> (q63Features _),
     "q58_rank_family"     -> (q58RankFamily _),
     "q57_nest_lineitems"  -> (q57NestLineitems _),
@@ -154,6 +172,17 @@ object Patterns {
   )
 
   val oracles: Map[String, String] = Map(
+    "q64_cumulative_users" -> """
+      WITH first_seen AS (
+        SELECT user_id, MIN(STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d')) AS first_day
+        FROM events GROUP BY user_id),
+      per_day AS (
+        SELECT first_day AS day, COUNT(*) AS new_users
+        FROM first_seen GROUP BY first_day)
+      SELECT day, new_users,
+             SUM(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_users
+      FROM per_day ORDER BY day""",
     "q63_features" -> """
       SELECT user_id, event_id, value,
              LAG(value, 1) OVER w AS prev_value,
