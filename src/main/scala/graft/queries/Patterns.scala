@@ -38,13 +38,14 @@ object Patterns {
   /** Secondary sort: per-user event-type sequence ordered by (ts,
     * event_id), first 5 shown. The distributed form is sort-within-group
     * via ordered collect (sort_array over structs) — never a global sort,
-    * never assuming input order. */
+    * never assuming input order. Rendered as a '|'-joined string so the
+    * driver's pandas compare (which can't hash array cells) can verify it. */
   def q50SecondarySort(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
       .groupBy("user_id")
-      .agg(slice(expr(
+      .agg(concat_ws("|", slice(expr(
         "transform(sort_array(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
-        1, 5).as("first5_types"),
+        1, 5)).as("first5_types"),
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
@@ -55,12 +56,16 @@ object Patterns {
       .select(col("doc_id"), explode(graft.text.Text.tokens).as("term"))
       .groupBy("term")
       .agg(countDistinct(col("doc_id")).as("df"),
-           slice(sort_array(collect_set(col("doc_id"))), 1, 5).as("postings_head"))
+           concat_ws("|", expr(
+             "transform(slice(sort_array(collect_set(doc_id)), 1, 5), x -> cast(x as string))"))
+             .as("postings_head"))
       .orderBy("term")
 
   /** Exact percentiles (linear interpolation) of a 2-decimal measure,
     * rounded at 4dp: above fp divergence between engines' interpolation
-    * order, below the data's resolution. */
+    * order, below the data's resolution. The quartile array is exploded to
+    * one row per quantile so the driver compares plain doubles (its pandas
+    * sort can't hash array cells). */
   def q52Percentiles(spark: SparkSession, d: String): DataFrame =
     Tables.lineitem(spark, d)
       .groupBy("l_returnflag")
@@ -68,7 +73,11 @@ object Patterns {
         "transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D)), x -> round(x, 4))")
         .as("price_quartiles"),
         count(lit(1)).as("n"))
-      .orderBy("l_returnflag")
+      .select(col("l_returnflag"), col("n"),
+        posexplode(col("price_quartiles")).as(Seq("qi", "quartile")))
+      .select(col("l_returnflag"), (col("qi") + 1).cast("int").as("qi"),
+        col("quartile"), col("n"))
+      .orderBy("l_returnflag", "qi")
 
   /** Top-N per group via the bounded-heap aggregate
     * ([[graft.functions.TopKByScore]]): identical results to the window
@@ -90,14 +99,24 @@ object Patterns {
     * items as an ordered array of structs — the denormalization pattern
     * for document stores / nested parquet. One groupBy; array ordered by
     * line number for determinism. */
-  def q57NestLineitems(spark: SparkSession, d: String): DataFrame =
-    Tables.lineitem(spark, d)
+  def q57NestLineitems(spark: SparkSession, d: String): DataFrame = {
+    // The operator under test is the nesting aggregation; the trailing
+    // posexplode flattens it back only so the driver (whose pandas compare
+    // can't hash array cells) can verify the nested content + order.
+    val nested = Tables.lineitem(spark, d)
       .filter(col("l_orderkey") < 100)
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_items"),
            sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
              .as("items"))
-      .orderBy("l_orderkey")
+    nested
+      .select(col("l_orderkey"), col("n_items"),
+        posexplode(col("items")).as(Seq("pos", "item")))
+      .select(col("l_orderkey"), col("n_items"), col("pos").cast("int").as("pos"),
+        col("item.l_linenumber").as("l_linenumber"),
+        col("item.l_quantity").as("l_quantity"))
+      .orderBy("l_orderkey", "pos")
+  }
 
   /** Ranking-function family (pending ch. 08 completeness): row_number,
     * dense_rank (on a coarser key), ntile quartiles, lead — one partition
@@ -180,8 +199,8 @@ object Patterns {
         SELECT first_day AS day, COUNT(*) AS new_users
         FROM first_seen GROUP BY first_day)
       SELECT day, new_users,
-             SUM(new_users) OVER (ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_users
+             CAST(SUM(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
       FROM per_day ORDER BY day""",
     "q63_features" -> """
       SELECT user_id, event_id, value,
@@ -211,12 +230,12 @@ object Patterns {
                      ORDER BY o_totalprice DESC, o_orderkey))
       WHERE rn <= 5 ORDER BY c_mktsegment, rn""",
     "q57_nest_lineitems" -> """
-      SELECT l_orderkey, COUNT(*) AS n_items,
-             list(struct_pack(l_linenumber := l_linenumber,
-                              l_quantity := l_quantity)
-                  ORDER BY l_linenumber, l_quantity) AS items
+      SELECT l_orderkey, COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_quantity) - 1 AS INT) AS pos,
+             l_linenumber, l_quantity
       FROM lineitem WHERE l_orderkey < 100
-      GROUP BY l_orderkey ORDER BY l_orderkey""",
+      ORDER BY l_orderkey, pos""",
     "q53_topk_agg" -> """
       SELECT c_mktsegment, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice FROM (
         SELECT c_mktsegment, o_orderkey, o_totalprice,
@@ -237,20 +256,28 @@ object Patterns {
       FROM orders GROUP BY 1 ORDER BY bucket""",
     "q50_secondary_sort" -> """
       SELECT user_id,
-             (list(event_type ORDER BY ts, event_id))[1:5] AS first5_types,
+             array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '|')
+               AS first5_types,
              COUNT(*) AS n_events
       FROM events GROUP BY user_id ORDER BY user_id""",
     "q51_inverted_index" -> s"""
       SELECT term, COUNT(DISTINCT doc_id) AS df,
-             list_sort(list(DISTINCT doc_id))[1:5] AS postings_head
+             array_to_string(
+               list_transform(list_sort(list(DISTINCT doc_id))[1:5],
+                              x -> CAST(x AS VARCHAR)), '|') AS postings_head
       FROM (SELECT doc_id, unnest(${graft.text.Text.duckTokens}) AS term
             FROM documents)
       GROUP BY term ORDER BY term""",
     "q52_percentiles" -> """
-      SELECT l_returnflag,
-             list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-                            x -> round(x, 4)) AS price_quartiles,
-             COUNT(*) AS n
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      SELECT l_returnflag, CAST(qi AS INT) AS qi, quartile, n FROM (
+        SELECT l_returnflag,
+               unnest(list_transform(
+                 quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+                 x -> round(x, 4))) AS quartile,
+               generate_subscripts(
+                 quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]), 1) AS qi,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag, qi""",
   )
 }
