@@ -29,32 +29,53 @@ object TextKernels {
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
 
   /** k-permutation MinHash signature of a string array (set semantics —
-    * duplicates can't change a min). One bytes-pass per element. */
+    * duplicates can't change a min). One bytes-pass per element. Null
+    * elements are skipped, matching how Spark's own hash-based aggregates
+    * treat null as "no contribution" — the SQL-registered form doesn't
+    * constrain its input's containsNull. */
   def minhash(elements: ArrayData, numHashes: Int): ArrayData = {
     val n = elements.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = hashUtf8(elements.getUTF8String(i), 42L)
-      var j = 0
-      while (j < numHashes) {
-        val hj = mix(h ^ (j * 0x9e3779b97f4a7c15L))
-        if (hj < sig(j)) sig(j) = hj
-        j += 1
+      if (!elements.isNullAt(i)) {
+        val h = hashUtf8(elements.getUTF8String(i), 42L)
+        var j = 0
+        while (j < numHashes) {
+          val hj = mix(h ^ (j * 0x9e3779b97f4a7c15L))
+          if (hj < sig(j)) sig(j) = hj
+          j += 1
+        }
       }
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
-  /** 64-bit SimHash of a token array with term-frequency weighting
-    * (duplicate tokens accumulate — the array IS the token stream). */
-  def simhash(tokens: ArrayData): Long = {
+  /** Hashes of a string array's non-null elements (null elements are
+    * skipped — the SQL-registered kernels accept unconstrained arrays). */
+  private def hashNonNull(tokens: ArrayData): Array[Long] = {
     val n = tokens.numElements()
+    val th = new Array[Long](n)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) { th(w) = hashUtf8(tokens.getUTF8String(i), 42L); w += 1 }
+      i += 1
+    }
+    if (w == n) th else java.util.Arrays.copyOf(th, w)
+  }
+
+  /** 64-bit SimHash of a token array with term-frequency weighting
+    * (duplicate tokens accumulate — the array IS the token stream).
+    * Null tokens are skipped. */
+  def simhash(tokens: ArrayData): Long = {
+    val th = hashNonNull(tokens)
+    val n = th.length
     val counters = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = hashUtf8(tokens.getUTF8String(i), 42L)
+      val h = th(i)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
@@ -75,11 +96,14 @@ object TextKernels {
 
   /** Tokenizer kernel: lowercase → split on non-letters → drop empties.
     * Exactly `filter(split(lower(text), '[^a-z]+'), x -> x != '')` (same
-    * java regex engine Spark's split uses), but codegen-friendly: the HOF
+    * java regex engine Spark's split uses, and `UTF8String.toLowerCase` —
+    * the exact lowering Spark's `lower()` performs, so the RewriteTokenize
+    * rule is semantics-preserving on all inputs, not just ASCII, and is
+    * immune to the JVM default locale), but codegen-friendly: the HOF
     * form is interpreted AND evicts its whole projection from
     * whole-stage codegen. */
   def tokenizeLower(s: UTF8String): ArrayData = {
-    val parts = NonLetter.split(s.toString.toLowerCase(java.util.Locale.ROOT), -1)
+    val parts = NonLetter.split(s.toLowerCase.toString, -1)
     val out = new Array[AnyRef](parts.length)
     var w = 0
     var i = 0
@@ -95,13 +119,11 @@ object TextKernels {
     * token hashes instead of materializing shingle strings (no concat, no
     * UTF-8 re-encode, one hash pass per token). */
   def minhash3gram(tokens: ArrayData, numHashes: Int): ArrayData = {
-    val n = tokens.numElements()
+    val th = hashNonNull(tokens)
+    val n = th.length
     val sig = Array.fill(numHashes)(Long.MaxValue)
     if (n >= 3) {
-      val th = new Array[Long](n)
       var i = 0
-      while (i < n) { th(i) = hashUtf8(tokens.getUTF8String(i), 42L); i += 1 }
-      i = 0
       while (i <= n - 3) {
         val h = mix(mix(th(i) ^ mix(th(i + 1))) ^ mix(th(i + 2)))
         var j = 0
@@ -117,13 +139,10 @@ object TextKernels {
   }
 
   /** Distinct sorted 64-bit hashes of a string array — set representation
-    * for fast pairwise intersection. */
+    * for fast pairwise intersection. Null elements are skipped. */
   def hashSetSorted(elements: ArrayData): ArrayData = {
-    val n = elements.numElements()
-    val h = new Array[Long](n)
-    var i = 0
-    while (i < n) { h(i) = hashUtf8(elements.getUTF8String(i), 42L); i += 1 }
-    sortDedup(h, n)
+    val h = hashNonNull(elements)
+    sortDedup(h, h.length)
   }
 
   /** Distinct sorted hashes of the token 3-gram set — one token-hash pass,
@@ -131,13 +150,11 @@ object TextKernels {
     * 3-gram → hash map matches string-shingle set cardinalities modulo
     * 2^-64 collisions). */
   def gram3SetSorted(tokens: ArrayData): ArrayData = {
-    val n = tokens.numElements()
+    val th = hashNonNull(tokens)
+    val n = th.length
     if (n < 3) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val th = new Array[Long](n)
-    var i = 0
-    while (i < n) { th(i) = hashUtf8(tokens.getUTF8String(i), 42L); i += 1 }
     val g = new Array[Long](n - 2)
-    i = 0
+    var i = 0
     while (i <= n - 3) {
       g(i) = mix(mix(th(i) ^ mix(th(i + 1))) ^ mix(th(i + 2)))
       i += 1
@@ -148,13 +165,11 @@ object TextKernels {
   /** Distinct sorted hashes of the token n-gram set (generalized
     * [[gram3SetSorted]] — contamination checks use 8–13-gram windows). */
   def gramNSetSorted(tokens: ArrayData, n: Int): ArrayData = {
-    val len = tokens.numElements()
+    val th = hashNonNull(tokens)
+    val len = th.length
     if (len < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val th = new Array[Long](len)
-    var i = 0
-    while (i < len) { th(i) = hashUtf8(tokens.getUTF8String(i), 42L); i += 1 }
     val g = new Array[Long](len - n + 1)
-    i = 0
+    var i = 0
     while (i <= len - n) {
       var h = 0x9e3779b97f4a7c15L
       var j = 0
@@ -194,6 +209,9 @@ object TextKernels {
     * parity) at compiled-loop speed. */
   def dotFloat(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"float_vec_dot: mismatched vector lengths $n vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -73,23 +73,44 @@ object IO {
     spark.read.format("jdbc").option("url", url).option("dbtable", table)
       .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
 
+  /** Crash-safe directory swap via the Hadoop [[org.apache.hadoop.fs.FileSystem]]
+    * API, so the same operator works on local FS, HDFS, or any Hadoop-
+    * supported store (on object stores rename is a copy — there a real
+    * table format's atomic commit is the answer; this is the no-catalog
+    * fallback). Ordering: live → `.old` backup, tmp → live, delete backup.
+    * A crash between any two steps leaves the full table at either `path`
+    * or `path.old` — never nothing; a failed install restores the backup. */
+  private def swapDirs(spark: SparkSession, path: String, tmp: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path.stripSuffix("/"))
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmpP = new Path(tmp)
+    val old = new Path(path.stripSuffix("/") + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"swap: backup rename failed for $path")
+    if (!fs.rename(tmpP, live)) {
+      fs.rename(old, live)
+      throw new java.io.IOException(
+        s"swap: install rename failed for $path (backup restored)")
+    }
+    fs.delete(old, true)
+    ()
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(rows / rowsPerFile) files. Streaming `foreachBatch` appends and
     * over-parallel writers leave file sprawl that degrades scan planning
     * (one task per tiny file); periodic compaction is the standard
-    * maintenance job. Writes to a temp dir then swaps, so a crash never
-    * leaves the table truncated. */
+    * maintenance job. Writes to a temp dir then swaps ([[swapDirs]]), so a
+    * crash never leaves the table truncated. */
   def compact(spark: SparkSession, path: String, rowsPerFile: Long): Int = {
     val df = spark.read.parquet(path)
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
     val tmp = path.stripSuffix("/") + ".compact-tmp"
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dir = new java.io.File(path)
-    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); () }
-    rm(dir)
-    if (!new java.io.File(tmp).renameTo(dir))
-      throw new java.io.IOException(s"compaction swap failed for $path")
+    swapDirs(spark, path, tmp)
     files
   }
 
@@ -106,11 +127,7 @@ object IO {
       .unionByName(updates)
     val tmp = path.stripSuffix("/") + ".upsert-tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dir = new java.io.File(path)
-    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); () }
-    rm(dir)
-    if (!new java.io.File(tmp).renameTo(dir))
-      throw new java.io.IOException(s"upsert swap failed for $path")
+    swapDirs(spark, path, tmp)
   }
 
   // -------------------------------------------------------------- sinks

@@ -71,30 +71,50 @@ object Streams {
               col("n_events"))
 
   /** Streaming exact dedup: keep the first arrival per content
-    * fingerprint across micro-batches (stateful dropDuplicates — state
-    * holds fingerprints, bounded by the watermark horizon at scale).
-    * The streaming twin of Dedup.dedupAgainst for continuous ingestion. */
+    * fingerprint across micro-batches (stateful dropDuplicates).
+    * NOTE: fingerprint state is NEVER evicted in this form — global
+    * first-wins semantics costs unbounded state on an unbounded stream.
+    * For long-running ingestion use [[streamingDedupWithinWatermark]],
+    * which bounds state at the cost of only catching duplicates that
+    * arrive within the watermark horizon of each other. */
   def streamingDedup(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fp", md5(col(textCol))).dropDuplicates("fp").drop("fp")
+
+  /** Bounded-state streaming dedup: duplicates are dropped only if they
+    * arrive within `watermark` (event-time) of the first copy — fingerprint
+    * state is evicted once the watermark passes, so state size is
+    * O(arrival rate × horizon), not O(stream length). This is the shape
+    * that survives an unbounded 100 TB/day ingest; pair it with a periodic
+    * batch `Dedup.dedupAgainst` sweep for the long-range duplicates. */
+  def streamingDedupWithinWatermark(docs: DataFrame, tsCol: String,
+                                    watermark: String = "1 hour",
+                                    textCol: String = "text"): DataFrame =
+    docs.withColumn("fp", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
 
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state: running per-user totals via mapGroupsWithState —
-    * order-insensitive state merge, correct under any batch slicing. */
+    * order-insensitive state merge. State carries the total in CENTS
+    * (long) per the repo's decimal discipline ([[graft.Num]]): the merge
+    * is exact, so results are bitwise-identical under any batch slicing
+    * (a raw double buffer could drift in the last ulp). */
   def userRunningStats(events: DataFrame): Dataset[UserStats] = {
     val spark2 = events.sparkSession
     import spark2.implicits._
     events.select(col("user_id"), col("value")).as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserStats]) =>
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Long)]) =>
           var n = 0L
-          var tot = 0.0
-          rows.foreach { r => n += 1; tot += r._2 }
-          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
-          val next = UserStats(uid, prev.n_events + n, prev.total_value + tot)
+          var cents = 0L
+          rows.foreach { r => n += 1; cents += math.round(r._2 * 100) }
+          val (pn, pc) = state.getOption.getOrElse((0L, 0L))
+          val next = (pn + n, pc + cents)
           state.update(next)
-          next
+          UserStats(uid, next._1, next._2 / 100.0)
       }
   }
 

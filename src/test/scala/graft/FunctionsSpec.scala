@@ -85,6 +85,47 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("kernels skip null array elements (== filtering them out first)") {
+    // SQL-registered forms don't constrain containsNull — a null element
+    // must not NPE, and must hash identically to the null-free array.
+    val withNulls = Seq((1L, Seq[String]("a", null, "b", "c", null, "d")))
+      .toDF("id", "toks")
+    val clean = Seq((1L, Seq("a", "b", "c", "d"))).toDF("id", "toks")
+    def all(df: org.apache.spark.sql.DataFrame) = df.select(
+      exprs.minhashSignature(col("toks"), 8).as("mh"),
+      exprs.simhash64(col("toks")).as("sh"),
+      exprs.minhash3gram(col("toks"), 8).as("mh3"),
+      exprs.hashSetSorted(col("toks")).as("hs"),
+      exprs.gram3SetSorted(col("toks")).as("g3"),
+      exprs.gramNSetSorted(col("toks"), 2).as("gn")).head
+    assert(all(withNulls) == all(clean))
+  }
+
+  test("float_vec_dot rejects mismatched vector lengths") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(exprs.vecDot(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("mismatched vector lengths")))
+  }
+
+  test("kernel tokenizer matches lower()+split on non-ASCII text") {
+    // UTF8String.toLowerCase (what lower() uses) — not the JVM default
+    // locale — so 'İ' and 'ß' behave identically in both forms.
+    val df = Seq((1L, "İstanbul STRASSE ß Ärger ÇAĞRI naïve"),
+                 (2L, "ŻÓŁĆ Grüße ΕΛΛΑΔΑ"))
+      .toDF("doc_id", "text")
+    val diff = df.select(
+        graft.text.Text.tokens.as("kernel"),
+        expr(graft.text.Text.tokensSql).as("hof"))
+      .filter(col("kernel") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
   test("rounding trap (SURVEY §7.5#1): Spark rounds the decimal repr, HALF_UP") {
     // 2.675 is stored as 2.67499999…; Spark's round() works on the shortest
     // decimal representation (BigDecimal.valueOf) with HALF_UP → 2.68,

@@ -142,6 +142,131 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup-within-watermark: nearby dupes dropped, state evicted after horizon") {
+    import org.apache.spark.sql.types._
+    val dir = "target/tmp/stream_dedup_wm"
+    if (new java.io.File(dir).exists) rmRf(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // Pins Spark's ACTUAL eviction cadence (measured, not modeled): state
+    // cleanup in batch N runs with the watermark computed at the end of
+    // batch N-1 — one batch of lag. b1: doc 3 duplicates doc 1 within the
+    // 10-minute horizon → dropped. b2 (12:00) advances the event-time high
+    // mark, but doc 1's fingerprint is only evicted at the END of b3 (the
+    // first batch that RUNS with watermark 11:50 > 10:00+10m). So doc 5
+    // (13:00, duplicate text) in b3 still hits live state → dropped; doc 7
+    // (14:00, same text) in b4 arrives after eviction → kept. Bounded
+    // state trades long-range duplicate detection for O(horizon) state.
+    Seq((1L, "alpha beta", ts("2024-01-01 10:00:00")),
+        (2L, "gamma delta", ts("2024-01-01 10:05:00")),
+        (3L, "alpha beta", ts("2024-01-01 10:06:00")))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$dir/b1")
+    Seq((4L, "epsilon", ts("2024-01-01 12:00:00")))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$dir/b2")
+    Seq((5L, "alpha beta", ts("2024-01-01 13:00:00")))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$dir/b3")
+    Seq((7L, "alpha beta", ts("2024-01-01 14:00:00")))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$dir/b4")
+    Seq("b1", "b2", "b3", "b4").foreach { sub =>
+      new java.io.File(s"$dir/$sub").listFiles.filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$dir/$sub-$i.parquet")) }
+      rmRf(new java.io.File(s"$dir/$sub"))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.runToMemory(
+      Streams.streamingDedupWithinWatermark(stream, "ts", "10 minutes"),
+      "dedup_wm_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val kept = spark.table("dedup_wm_stream").collect().map(_.getLong(0)).sorted
+      assert(kept.sameElements(Array(1L, 2L, 4L, 7L)),
+        s"got: ${kept.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("userRunningStats totals are bitwise slicing-invariant (cents state)") {
+    prepared
+    def finalTotals(src: String, maxFiles: Int): Map[Long, Double] = {
+      val name = s"stats_inv_$maxFiles"
+      val q = Streams.runToMemory(
+        Streams.userRunningStats(
+          Streams.readEventsStream(spark, src, maxFiles)).toDF(),
+        name, OutputMode.Update())
+      try {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("n_events").desc)
+        spark.table(name)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      } finally q.stop()
+    }
+    val sliced = finalTotals(streamDir, 1) // 3 micro-batches
+    val whole = finalTotals(streamDir, 3)  // single micro-batch
+    assert(sliced == whole, "cents-long state must be slicing-invariant")
+    // and exactly equal to the batch decimal sum
+    val batch = batchEvents.groupBy("user_id")
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sliced == batch)
+  }
+
+  test("session windows, append mode: late rows below watermark are dropped") {
+    import org.apache.spark.sql.types._
+    val dir = "target/tmp/stream_sess_late"
+    if (new java.io.File(dir).exists) rmRf(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 30-min gap sessions, 1-hour watermark. Pins Spark's ACTUAL late-data
+    // semantics (measured — they defied the naive model): session_window
+    // applies NO row-level late filter. b3's 12:00 row arrives "late"
+    // (watermark is already 14:00 from b2) yet is still admitted, forms
+    // its own session, and is finalized/emitted as soon as the watermark
+    // passes its close. Late data only disappears when it would need to
+    // MERGE into an already-evicted session; a disjoint late session
+    // passes through. Downstream consumers must therefore tolerate
+    // out-of-order session emission — watermark ordering is not arrival
+    // ordering.
+    Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$dir/b1")
+    Seq((1L, ts("2024-01-01 15:00:00")))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$dir/b2")
+    Seq((1L, ts("2024-01-01 12:00:00")), (1L, ts("2024-01-01 16:00:00")))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$dir/b3")
+    Seq((1L, ts("2024-01-01 20:00:00")))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$dir/b4")
+    Seq("b1", "b2", "b3", "b4").foreach { sub =>
+      new java.io.File(s"$dir/$sub").listFiles.filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$dir/$sub-$i.parquet")) }
+      rmRf(new java.io.File(s"$dir/$sub"))
+    }
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.runToMemory(Streams.sessions(stream),
+      "sess_late_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val emitted = spark.table("sess_late_stream")
+        .collect()
+        .map(r => (r.getTimestamp(1).toString, r.getLong(2)))
+        .sortBy(_._1)
+      val expected = Array(
+        ("2024-01-01 10:00:00.0", 2L), // b1's 2-event session
+        ("2024-01-01 12:00:00.0", 1L), // b3's LATE row: admitted, own session
+        ("2024-01-01 15:00:00.0", 1L), // b2's singleton
+        ("2024-01-01 16:00:00.0", 1L)) // b3's on-time row
+      assert(emitted.sameElements(expected),
+        s"pinned session_window late semantics changed; got: ${emitted.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     prepared
     val q = Streams.runToMemory(
