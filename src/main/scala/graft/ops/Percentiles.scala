@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed percentiles (linear interpolation, `quantile_cont`
+  * semantics) for grouped data — the 100 TB formulations. Spark's built-in
+  * `percentile` aggregate buffers every (value, count) of a group inside
+  * one aggregation buffer: value-domain-bounded for low-cardinality
+  * measures but an OOM liability on hot groups with wide domains.
+  *
+  * Two memory-safe formulations, measured at sf0.1 local[8] steady state
+  * (see BENCHMARKS.md for the full matrix):
+  *
+  *  - [[viaWindowRank]] — `row_number` per group + straddling-rank filter.
+  *    One exchange, sort-based, spills via UnsafeExternalSorter. Fastest
+  *    simple plan (~1.0 s) but the per-group sort runs in ONE task: fine
+  *    when groups are many, a parallelism wall when one group is huge.
+  *  - [[viaBucketSelection]] — two-level histogram selection. A coarse
+  *    `floor(v/W)` histogram (map-side partial agg → O(groups × domain/W)
+  *    shuffle) locates the bucket holding each target rank; an exact-value
+  *    histogram over only the candidate buckets picks the straddling order
+  *    statistics. No operator ever sorts or buffers raw rows; every window
+  *    runs over histogram rows, so parallelism and memory are bounded by
+  *    the VALUE DOMAIN, not the data size. Costs more stages (~1.2 s
+  *    local; pure scheduling latency that amortizes at scale).
+  *
+  * Both interpolate `v_lo + (p − lo)·(v_hi − v_lo)` at `p = 1 + q·(n−1)` —
+  * the formula Spark's `percentile` and DuckDB's `quantile_cont` share; q
+  * and integer n are binary-exact doubles, so results are deterministic
+  * across engines. PatternsSpec pins all three formulations equal.
+  *
+  * Output: one row per (group, quantile): groupCol, qi (1-based int),
+  * quantile value, n (group count).
+  */
+object Percentiles {
+
+  private def interpolated(vLo: Column, vHi: Column, p: Column): Column =
+    vLo + (p - floor(p)) * (vHi - vLo)
+
+  /** Window-rank formulation: one exchange, per-group single-task sort. */
+  def viaWindowRank(df: DataFrame, groupCol: String, valueCol: String,
+                    quantiles: Seq[Double]): DataFrame = {
+    val li = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val ranked = li.withColumn("rn", row_number().over(
+      Window.partitionBy(col("g")).orderBy(col("v"))))
+    val spec = li.groupBy(col("g").as("sg")).agg(count(lit(1)).as("n"))
+      .select(col("sg"), col("n"),
+        posexplode(typedlit(quantiles)).as(Seq("qi0", "q")))
+      .withColumn("p", lit(1.0) + col("q") * (col("n") - 1).cast("double"))
+      .withColumn("lo", floor(col("p")).cast("long"))
+      .withColumn("hi", ceil(col("p")).cast("long"))
+    ranked.join(broadcast(spec),
+        col("g") === col("sg") &&
+          (col("rn") === col("lo") || col("rn") === col("hi")))
+      .groupBy(col("sg"), col("qi0"), col("n"), col("p"), col("lo"))
+      .agg(min(when(col("rn") === col("lo"), col("v"))).as("v_lo"),
+           min(when(col("rn") === col("hi"), col("v"))).as("v_hi"))
+      .select(col("sg").as(groupCol),
+        (col("qi0") + 1).cast("int").as("qi"),
+        interpolated(col("v_lo"), col("v_hi"), col("p")).as("quantile"),
+        col("n"))
+  }
+
+  /** Two-level bucket-selection formulation: no raw-row sort anywhere,
+    * full parallelism at any scale. `bucketWidth` sets the coarse bucket
+    * size in value units; candidate buckets then hold at most
+    * `bucketWidth × (distinct values per unit)` histogram rows regardless
+    * of data size (e.g. 2-decimal currency → ≤ 100·W values/bucket). */
+  def viaBucketSelection(df: DataFrame, groupCol: String, valueCol: String,
+                         quantiles: Seq[Double], bucketWidth: Double): DataFrame = {
+    val li = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val bucket = floor(col("v") / bucketWidth).cast("long")
+
+    // Pass 1: coarse histogram + running rank ranges per bucket.
+    val hist = li.groupBy(col("g"), bucket.as("b")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("hi_rank", sum(col("cnt")).over(
+        Window.partitionBy(col("g")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lo_rank", col("hi_rank") - col("cnt") + 1)
+
+    // Quantile spec: n per group (reuses hist's exchange), target ranks.
+    val spec = hist.groupBy(col("g").as("sg")).agg(sum(col("cnt")).as("n"))
+      .select(col("sg"), col("n"),
+        posexplode(typedlit(quantiles)).as(Seq("qi0", "q")))
+      .withColumn("p", lit(1.0) + col("q") * (col("n") - 1).cast("double"))
+    val targets = spec.select(col("sg"), col("qi0"), col("n"), col("p"),
+      explode(array(floor(col("p")).cast("long"), ceil(col("p")).cast("long"))).as("t"))
+
+    // Which coarse bucket holds each target rank, and the rank within it.
+    val located = targets.join(cum,
+        col("sg") === col("g") && col("t").between(col("lo_rank"), col("hi_rank")))
+      .select(col("sg"), col("qi0"), col("n"), col("p"), col("t"),
+        col("b").as("tb"), (col("t") - col("lo_rank") + 1).as("k"))
+
+    // Pass 2: exact-value histogram restricted to candidate buckets.
+    val candBuckets = located.select(col("sg").as("cg"), col("tb").as("cb")).distinct()
+    val vhist = li.join(broadcast(candBuckets),
+        col("g") === col("cg") && bucket === col("cb"))
+      .groupBy(col("g"), col("cb").as("vb"), col("v"))
+      .agg(count(lit(1)).as("vcnt"))
+    val vcum = vhist.withColumn("v_hi_rank", sum(col("vcnt")).over(
+        Window.partitionBy(col("g"), col("vb")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("v_lo_rank", col("v_hi_rank") - col("vcnt") + 1)
+
+    // The k-th smallest value within a bucket is the value whose
+    // cumulative range covers k; assemble v_lo/v_hi and interpolate.
+    located.join(vcum,
+        col("sg") === vcum("g") && col("tb") === col("vb") &&
+          col("k").between(col("v_lo_rank"), col("v_hi_rank")))
+      .groupBy(col("sg"), col("qi0"), col("n"), col("p"))
+      .agg(min(when(col("t") === floor(col("p")).cast("long"), col("v"))).as("v_lo"),
+           min(when(col("t") === ceil(col("p")).cast("long"), col("v"))).as("v_hi"))
+      .select(col("sg").as(groupCol),
+        (col("qi0") + 1).cast("int").as("qi"),
+        interpolated(col("v_lo"), col("v_hi"), col("p")).as("quantile"),
+        col("n"))
+  }
+}

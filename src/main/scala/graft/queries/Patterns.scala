@@ -66,80 +66,24 @@ object Patterns {
     * order, below the data's resolution. One row per quantile so the
     * driver compares plain doubles.
     *
-    * Distributed selection, NOT Spark's `percentile` aggregate (which
-    * buffers every value of a group in one aggregation buffer — an OOM at
-    * 100 TB when a group is hot) and NOT a per-group `row_number` window
-    * (memory-safe but sorts a whole group in one task — a parallelism
-    * wall at 100 TB). Two-level bucket selection instead:
-    *
-    *  1. Coarse histogram `(group, floor(v/W))` — map-side partial
-    *     aggregation crushes the shuffle to O(groups × domain/W) rows; a
-    *     running sum over that tiny table locates the bucket holding each
-    *     target rank `floor(p)` / `ceil(p)` where `p = 1 + q·(n−1)`.
-    *  2. Exact-value histogram over ONLY the ≤2 candidate buckets per
-    *     quantile (broadcast semi filter) — bounded by the value domain
-    *     (2-decimal currency → ≤ W·100 distinct values per bucket at any
-    *     data size), so every window here is tiny forever.
-    *
-    * No operator sorts or buffers raw rows; both passes parallelize over
-    * all partitions. Interpolation `v_lo + (p − lo)·(v_hi − v_lo)` is the
-    * same formula as Spark's percentile and DuckDB's quantile_cont, so
-    * the oracle is unchanged (q, n binary-exact doubles → p, lo, hi are
-    * deterministic across engines). PatternsSpec pins equality with the
-    * buffering aggregate. */
-  def q52Percentiles(spark: SparkSession, d: String): DataFrame = {
-    val W = 100 // coarse bucket width in price units
-    val li = Tables.lineitem(spark, d)
-      .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("v"))
-    val bucket = floor(col("v") / W).cast("long")
-
-    // Pass 1: coarse histogram + running rank ranges per bucket.
-    val hist = li.groupBy(col("rf"), bucket.as("b")).agg(count(lit(1)).as("cnt"))
-    val cum = hist.withColumn("hi_rank", sum(col("cnt")).over(
-        Window.partitionBy(col("rf")).orderBy(col("b"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("lo_rank", col("hi_rank") - col("cnt") + 1)
-
-    // Quantile spec: n per group (reuses hist's exchange), target ranks.
-    val spec = hist.groupBy(col("rf").as("srf")).agg(sum(col("cnt")).as("n"))
-      .select(col("srf"), col("n"),
-        posexplode(typedlit(Seq(0.25, 0.5, 0.75))).as(Seq("qi0", "q")))
-      .withColumn("p", lit(1.0) + col("q") * (col("n") - 1).cast("double"))
-    val targets = spec.select(col("srf"), col("qi0"), col("n"), col("p"),
-      explode(array(floor(col("p")).cast("long"), ceil(col("p")).cast("long"))).as("t"))
-
-    // Which coarse bucket holds each target rank, and the rank within it.
-    val located = targets.join(cum,
-        col("srf") === col("rf") && col("t").between(col("lo_rank"), col("hi_rank")))
-      .select(col("srf"), col("qi0"), col("n"), col("p"), col("t"),
-        col("b").as("tb"), (col("t") - col("lo_rank") + 1).as("k"))
-
-    // Pass 2: exact-value histogram restricted to candidate buckets.
-    val candBuckets = located.select(col("srf").as("crf"), col("tb").as("cb")).distinct()
-    val vhist = li.join(broadcast(candBuckets),
-        col("rf") === col("crf") && bucket === col("cb"))
-      .groupBy(col("rf"), col("cb").as("vb"), col("v"))
-      .agg(count(lit(1)).as("vcnt"))
-    val vcum = vhist.withColumn("v_hi_rank", sum(col("vcnt")).over(
-        Window.partitionBy(col("rf"), col("vb")).orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("v_lo_rank", col("v_hi_rank") - col("vcnt") + 1)
-
-    // The k-th smallest value within a bucket is the value whose
-    // cumulative range covers k; assemble v_lo/v_hi and interpolate.
-    located.join(vcum,
-        col("srf") === vcum("rf") && col("tb") === col("vb") &&
-          col("k").between(col("v_lo_rank"), col("v_hi_rank")))
-      .groupBy(col("srf"), col("qi0"), col("n"), col("p"))
-      .agg(min(when(col("t") === floor(col("p")).cast("long"), col("v"))).as("v_lo"),
-           min(when(col("t") === ceil(col("p")).cast("long"), col("v"))).as("v_hi"))
-      .select(col("srf").as("l_returnflag"),
-        (col("qi0") + 1).cast("int").as("qi"),
-        round(col("v_lo") + (col("p") - floor(col("p"))) * (col("v_hi") - col("v_lo")), 4)
-          .as("quartile"),
-        col("n"))
+    * Uses [[graft.ops.Percentiles.viaWindowRank]] — a distributed
+    * formulation with NO per-group value buffer (Spark's `percentile`
+    * aggregate holds every group value in one aggregation buffer, an OOM
+    * on hot groups at 100 TB): rank rows per group with `row_number`
+    * (sort-based, spills via UnsafeExternalSorter), keep only the two
+    * rows straddling each quantile position, interpolate. The twin
+    * formulation [[graft.ops.Percentiles.viaBucketSelection]] removes the
+    * remaining single-task-per-group sort for the hot-group extreme;
+    * PatternsSpec pins all formulations equal, BENCHMARKS.md has the
+    * measured matrix. Same interpolation formula as quantile_cont → the
+    * oracle is unchanged. */
+  def q52Percentiles(spark: SparkSession, d: String): DataFrame =
+    graft.ops.Percentiles.viaWindowRank(
+        Tables.lineitem(spark, d), "l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.75))
+      .select(col("l_returnflag"), col("qi"),
+        round(col("quantile"), 4).as("quartile"), col("n"))
       .orderBy("l_returnflag", "qi")
-  }
 
   /** Top-N per group via the bounded-heap aggregate
     * ([[graft.functions.TopKByScore]]): identical results to the window
