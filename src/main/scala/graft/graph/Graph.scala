@@ -76,6 +76,27 @@ object Graph {
       .distinct()
   }
 
+  /** Supernode guard: drop every edge incident to a vertex whose total
+    * degree exceeds `maxDegree`, BEFORE any quadratic self-join. The hot
+    * list is tiny by construction (supernodes are the tail), so both
+    * anti-joins broadcast — the guard costs one degree aggregation plus
+    * two map-side filters, and bounds the per-key work of any downstream
+    * join expansion by maxDegree². */
+  def capDegrees(edges: DataFrame, maxDegree: Long): DataFrame = {
+    val hot = degreesFast(edges)
+      .filter(col("total_degree") > maxDegree)
+      .select(col("id"))
+    edges
+      .join(broadcast(hot), col("src") === col("id"), "left_anti")
+      .join(broadcast(hot), col("dst") === col("id"), "left_anti")
+  }
+
+  /** [[triangles]] with the supernode guard applied first: every returned
+    * triangle is a triangle of the full graph whose corners all have
+    * degree ≤ maxDegree (a subset — GraphSpec property-checks it). */
+  def trianglesCapped(edges: DataFrame, maxDegree: Long): DataFrame =
+    triangles(capDegrees(edges, maxDegree))
+
   /** Route fallback (J6, flight_analysis.py:96-132): direct edges if any
     * exist, else 2-hop connections. Both plans are declared lazily; only
     * the chosen one executes (the `count() > 0` probe is on the cheap

@@ -33,7 +33,8 @@ object Scale {
                     buckets: Int): Unit =
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
-      .option("path", s"target/tmp/buckets/$table")
+      // absolute scratch path: callers may run from any cwd
+      .option("path", sys.props("java.io.tmpdir") + s"/graft_buckets/$table")
       .saveAsTable(table)
 
   /** Join-free co-occurrence pairs: collect each group's distinct sorted
@@ -42,10 +43,17 @@ object Scale {
     * ~3× the speed when group sizes are small (measured at sf0.1: 0.86s
     * vs 2.5s): one groupBy shuffle of rows instead of shuffling both join
     * sides, and the quadratic pair expansion happens on in-memory arrays.
-    * At 100 TB add a group-size cap before the expansion (supernodes). */
-  def coOccurrencePairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    *
+    * `maxGroupSize` is the supernode guard: groups larger than it are
+    * dropped after the (cheap, linear) collect_set and before the
+    * quadratic expansion, bounding per-group work by maxGroupSize². The
+    * capped result is a subset of the uncapped pairs restricted to small
+    * groups (PropertySpec checks the subset property). */
+  def coOccurrencePairs(df: DataFrame, groupCol: String, itemCol: String,
+                        maxGroupSize: Int = Int.MaxValue): DataFrame =
     df.select(col(groupCol).as("g"), col(itemCol).as("item"))
       .groupBy("g").agg(sort_array(collect_set(col("item"))).as("items"))
+      .filter(size(col("items")) <= maxGroupSize)
       .select(explode(expr(
         """flatten(transform(items, (x, i) ->
              transform(slice(items, i + 2, size(items)),

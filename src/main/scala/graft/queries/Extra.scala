@@ -118,8 +118,22 @@ object Extra {
       .orderBy("split", "lang")
   }
 
+  /** Split-balance contract, oracle-checked: the train/test halves of the
+    * hash split, unioned, must reproduce the per-lang document counts
+    * exactly — pins completeness + disjointness (a dropped or duplicated
+    * row shifts a count) even though the hash assignment itself is
+    * engine-specific (that stays rows-only in q55). */
+  def q65SplitBalance(spark: SparkSession, d: String): DataFrame = {
+    val (train, test) = graft.ops.Splits.trainTest(
+      Tables.documents(spark, d), "doc_id", testPercent = 20)
+    train.unionByName(test)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_split_stats"      -> (q55SplitStats _),
+    "q65_split_balance"    -> (q65SplitBalance _),
     "q40_graph_degrees"    -> (q40GraphDegrees _),
     "q41_monoid_avg"       -> (q41MonoidAvg _),
     "q42_sessionize"       -> (q42Sessionize _),
@@ -174,5 +188,8 @@ object Extra {
       FROM lineitem WHERE YEAR(l_shipdate) = 1997
       GROUP BY 1 ORDER BY ship_month""",
     // q45: HLL sketch is engine-specific — rows-only.
+    "q65_split_balance" -> """
+      SELECT lang, COUNT(*) AS n_docs
+      FROM documents GROUP BY lang ORDER BY lang""",
   )
 }

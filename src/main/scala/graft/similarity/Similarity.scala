@@ -84,34 +84,86 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF (inverted-file) index: coarse-quantize every vector to its
-    * nearest of k deterministic seed centroids (the k lowest vec_ids —
-    * a stand-in for trained k-means; the plumbing is identical).
-    * Assignment = broadcast centroids × corpus, max_by(dot) per vector —
-    * one pass, no iteration. Returns (vec_id, cluster, embedding). */
-  def ivfIndex(emb: DataFrame, k: Int = 16): DataFrame = {
-    val centroids = broadcast(
-      emb.orderBy("vec_id").limit(k)
-        .select(col("vec_id").as("cid"), col("embedding").as("centroid")))
-    emb.crossJoin(centroids)
-      .withColumn("dot", graft.functions.exprs.vecDot(col("embedding"), col("centroid")))
-      .groupBy("vec_id")
-      .agg(expr("max_by(cid, struct(dot, -cid))").as("cluster"),
-           first(col("embedding")).as("embedding"))
+  /** Sampled Lloyd's k-means for IVF coarse centroids. The model (k × dim
+    * floats) lives on the driver exactly as MLlib's KMeans holds it — the
+    * only driver-side data is the k centroids, never corpus rows. Each
+    * iteration is: map-only nearest-centroid assignment ([[assignClusters]])
+    * over a seeded sample, then a per-(cluster, dim) mean aggregation whose
+    * output is k×dim rows (1 KB-scale at any corpus size). Centroids are
+    * re-normalized to unit length so max-dot assignment stays max-cosine.
+    * Init = k hash-strided sample vectors (deterministic, spread across the
+    * id space — not the k lowest ids, which cluster by insertion order).
+    * Empty clusters keep their previous centroid. */
+  def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 3,
+                     fraction: Double = 0.5, seed: Long = 42L): Array[Array[Float]] = {
+    val sample = emb.sample(fraction, seed).select("vec_id", "embedding")
+      .persist()
+    try {
+      var cents: Array[Array[Float]] = sample
+        .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
+        .orderBy("h", "vec_id").limit(k)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(cents.length == k, s"sample too small for k=$k init")
+      val dim = cents.head.length
+      for (_ <- 1 to iters) {
+        val means = assignClusters(sample, cents)
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("cluster", "dim")
+          .agg(avg(col("v").cast("double")).as("m"))
+          .collect()                       // k × dim rows: the model update
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val seen = new Array[Boolean](k)
+        means.foreach { r =>
+          val c = r.getInt(0); seen(c) = true; sums(c)(r.getInt(1)) = r.getDouble(2)
+        }
+        cents = Array.tabulate(k) { c =>
+          val nrm = if (seen(c)) math.sqrt(sums(c).map(x => x * x).sum) else 0.0
+          if (nrm == 0.0) cents(c) else sums(c).map(x => (x / nrm).toFloat)
+        }
+      }
+      cents
+    } finally sample.unpersist()
   }
 
-  /** IVF ANN: rank the query against the k centroids, search only the
-    * nprobe nearest clusters — the scan touches corpus/k × nprobe vectors.
-    * At 100 TB the index is written `partitionBy(cluster)` so a probe is
-    * partition pruning, not a filter. */
+  /** Map-only nearest-centroid assignment: the k centroids are literals in
+    * the plan, each dot a codegen'd [[graft.functions.exprs.vecDot]] kernel;
+    * argmax = max over array<struct<dot, -cid>> (struct ordering breaks dot
+    * ties toward the lowest cid). No shuffle, no join — a narrow projection
+    * that scales linearly with the corpus. */
+  def assignClusters(emb: DataFrame, cents: Array[Array[Float]]): DataFrame = {
+    import graft.functions.exprs.vecDot
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(vecDot(col("embedding"), typedlit(c.toSeq)).as("dot"),
+             lit(-i).as("negcid"))
+    }
+    emb.withColumn("cluster", (-array_max(array(scored: _*)).getField("negcid")).cast("int"))
+  }
+
+  private def centroidsDf(spark: SparkSession, cents: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "centroid")
+  }
+
+  /** IVF (inverted-file) index: coarse-quantize every vector to its
+    * nearest of k sampled-k-means centroids ([[trainCentroids]]).
+    * Assignment is map-only ([[assignClusters]]) — one pass, no shuffle.
+    * Returns (vec_id, cluster, embedding); at 100 TB the index is written
+    * `partitionBy(cluster)` so a probe is partition pruning. */
+  def ivfIndex(emb: DataFrame, k: Int = 16): DataFrame =
+    assignClusters(emb, trainCentroids(emb, k))
+      .select("vec_id", "cluster", "embedding")
+
+  /** IVF ANN: rank the query against the k trained centroids, search only
+    * the nprobe nearest clusters — the scan touches corpus/k × nprobe
+    * vectors instead of the whole corpus. */
   def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int,
               nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
-    val indexed = ivfIndex(emb, nClusters)
-    val q = indexed.filter(col("vec_id") === queryVecId)
+    val cents = trainCentroids(emb, nClusters)
+    val indexed = assignClusters(emb, cents)
+    val q = emb.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_embedding"))
-    val centroids = emb.orderBy("vec_id").limit(nClusters)
-      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
-    val probeClusters = centroids.crossJoin(broadcast(q))
+    val probeClusters = centroidsDf(emb.sparkSession, cents).crossJoin(broadcast(q))
       .withColumn("dot", graft.functions.exprs.vecDot(col("centroid"), col("q_embedding")))
       .orderBy(col("dot").desc, col("cid")).limit(nprobe)
       .select(col("cid"))

@@ -54,6 +54,32 @@ class GraphSpec extends SparkSpec {
     assert(tris == Set(("alice", "bob", "carol"), ("bob", "carol", "dave")))
   }
 
+  test("supernode cap: capped triangles are a subset avoiding hot vertices") {
+    def triSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val full = triSet(Graph.triangles(social))
+    for (cap <- Seq(1L, 3L, 4L, 5L, 100L)) {
+      val capped = triSet(Graph.trianglesCapped(social, cap))
+      assert(capped.subsetOf(full), s"cap=$cap produced non-subset triangles")
+      // no corner of a surviving triangle may exceed the cap
+      val deg = Graph.degreesFast(social).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      capped.foreach { case (a, b, c) =>
+        assert(Seq(a, b, c).forall(deg(_) <= cap),
+          s"cap=$cap kept a supernode corner in ($a,$b,$c)")
+      }
+    }
+    // a generous cap keeps everything
+    assert(triSet(Graph.trianglesCapped(social, 100L)) == full)
+    // capDegrees drops exactly the edges touching hot vertices
+    val hotFree = Graph.capDegrees(social, 4L).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(hotFree.nonEmpty)
+    assert(!hotFree.exists(e => e._1 == "alice" || e._2 == "alice" ||
+                                e._1 == "carol" || e._2 == "carol"),
+      "alice/carol have degree 5 > 4 and must be excluded")
+  }
+
   test("route fallback: direct when present, 2-hop otherwise") {
     val direct = Graph.routesWithFallback(flights, "AAA", "BBB").collect()
     assert(direct.length == 2 && direct.forall(_.isNullAt(1)))

@@ -99,6 +99,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(viaArrays.sameElements(viaJoin))
   }
 
+  test("co-occurrence group-size cap: pairs subset, counts never higher") {
+    val li = Tables.lineitem(spark, sf)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = toMap(Scale.coOccurrencePairs(li, "l_orderkey", "l_partkey"))
+    val capped = toMap(Scale.coOccurrencePairs(li, "l_orderkey", "l_partkey",
+      maxGroupSize = 4))
+    assert(capped.nonEmpty && capped.size < full.size,
+      "cap=4 must drop some pairs on this data")
+    capped.foreach { case (pair, n) =>
+      assert(full.contains(pair), s"capped pair $pair absent from full result")
+      assert(n <= full(pair), s"capped count for $pair exceeds uncapped")
+    }
+    // generous cap reproduces the full result exactly
+    assert(toMap(Scale.coOccurrencePairs(li, "l_orderkey", "l_partkey",
+      maxGroupSize = 1 << 20)) == full)
+  }
+
   test("AQE splits a skewed join partition at runtime (SCALING.md claim)") {
     import spark.implicits._
     val conf = spark.conf

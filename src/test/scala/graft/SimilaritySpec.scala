@@ -40,7 +40,31 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.head.getLong(0) == 0L, "query matches itself (own cluster probed)")
     val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     val recall = (exact & ann.map(_.getLong(0)).toSet).size.toDouble / exact.size
-    assert(recall >= 0.2, s"IVF recall $recall too low")
+    assert(recall >= 0.7, s"IVF recall@10 $recall < 0.7 — trained centroids regressed")
+  }
+
+  test("k-means training: deterministic, unit-norm, improves over init") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.trainCentroids(emb, k = 8, iters = 2)
+    val b = Similarity.trainCentroids(emb, k = 8, iters = 2)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "training must be deterministic")
+    a.foreach { c =>
+      val nrm = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-4, s"centroid norm $nrm not unit")
+    }
+    // Mean max-cosine to the nearest centroid (quantization quality) must
+    // not degrade as Lloyd's iterations run — the monotone-improvement
+    // property of k-means, measured on the full corpus.
+    def quality(iters: Int): Double = {
+      val cents = Similarity.trainCentroids(emb, k = 8, iters = iters)
+      import org.apache.spark.sql.functions._
+      val scored = cents.toSeq.map(c =>
+        graft.functions.exprs.vecDot(col("embedding"), typedlit(c.toSeq)))
+      emb.select(avg(greatest(scored: _*)).as("q"))
+        .collect().head.getDouble(0)
+    }
+    val q0 = quality(0); val q3 = quality(3)
+    assert(q3 >= q0 - 1e-9, s"training degraded quantization: init=$q0 trained=$q3")
   }
 
   test("hyperplanes are deterministic") {

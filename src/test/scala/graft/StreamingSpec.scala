@@ -111,6 +111,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch ingest + periodic compaction: maintenance composes with append") {
+    prepared
+    val outDir = "target/tmp/stream_compact"
+    if (new java.io.File(outDir).exists) rmRf(new java.io.File(outDir))
+    // The production ingestion loop: every micro-batch appends parquet;
+    // every 2nd batch runs the small-file compaction job in-line. The
+    // crash-safe swap inside IO.compact must be invisible to both the
+    // appender (later batches keep landing) and readers (no lost rows).
+    var compactions = 0
+    val q = Streams.readEventsStream(spark, streamDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        if (id % 2 == 1) {
+          graft.sources.IO.compact(spark, outDir, rowsPerFile = 1000000L)
+          compactions += 1
+        }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(compactions >= 1, "at least one in-stream compaction must have run")
+      graft.sources.IO.compact(spark, outDir, rowsPerFile = 1000000L) // final pass
+      val landed = spark.read.parquet(outDir)
+      assert(landed.count() == batchEvents.count(),
+        "compaction must not lose or duplicate streamed rows")
+      assert(landed.select("event_id").distinct().count() == batchEvents.count())
+      val files = new java.io.File(outDir).listFiles
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"expected a fully compacted table, got $files files")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per fingerprint across batches") {
     import org.apache.spark.sql.types._
     val dir = "target/tmp/stream_dedup"
