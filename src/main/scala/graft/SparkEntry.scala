@@ -19,6 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Extra.queries ++ Patterns.queries ++
       graft.ops.Packing.queries ++
+      graft.ops.Sketches.queries ++
+      graft.ops.Sampling.queries ++
       graft.pipeline.Curation.queries ++
       graft.text.Text.queries ++
       graft.dedup.Dedup.queries ++
@@ -30,6 +32,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Core.oracles ++ Extra.oracles ++ Patterns.oracles ++
       graft.ops.Packing.oracles ++
+      graft.ops.Sketches.oracles ++
+      graft.ops.Sampling.oracles ++
       graft.pipeline.Curation.oracles ++
       graft.text.Text.oracles ++
       graft.dedup.Dedup.oracles ++

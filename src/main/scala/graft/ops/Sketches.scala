@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Streaming-sketch operators: bounded-memory summaries whose guarantees
+  * let an exact (oracle-checkable) answer be recovered with a cheap second
+  * pass — the 100 TB discipline of "sketch to shrink, then verify exact".
+  */
+object Sketches {
+
+  /** Misra–Gries heavy-hitters summary with k counters. The classic
+    * guarantee: any item with true frequency > N/k is present in the final
+    * summary (counts are under-estimates by at most N/k). `merge` is the
+    * Agarwal et al. (2013, "Mergeable Summaries") combiner — sum counts,
+    * then subtract the (k+1)-th largest and drop non-positives — which
+    * preserves the guarantee under ANY merge tree, so the aggregate is
+    * partition-invariant in the property that matters (candidate coverage),
+    * even though the exact surviving counts may vary with merge order.
+    * Buffer is O(k) per group regardless of data size — the reason this
+    * exists instead of a full groupBy at the discovery stage. */
+  class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Seq[String]] {
+    def zero: Map[String, Long] = Map.empty
+
+    def reduce(m: Map[String, Long], t: String): Map[String, Long] =
+      if (m.contains(t)) m.updated(t, m(t) + 1L)
+      else if (m.size < k) m.updated(t, 1L)
+      else m.flatMap { case (s, c) => if (c > 1L) Some(s -> (c - 1L)) else None }
+
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val s = b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) }
+      if (s.size <= k) s
+      else {
+        val cut = s.values.toArray.sortWith(_ > _).apply(k) // (k+1)-th largest
+        s.flatMap { case (t, c) => if (c > cut) Some(t -> (c - cut)) else None }
+      }
+    }
+
+    def finish(m: Map[String, Long]): Seq[String] = m.keys.toSeq.sorted
+
+    def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Exact heavy hitters via the two-pass sketch pattern: a Misra–Gries
+    * pass (k = 1/phi counters, O(k) state, map-side partials) narrows the
+    * candidate set; a second exact count over ONLY the candidates recovers
+    * exact frequencies; the final filter applies the threshold in integer
+    * arithmetic. The MG guarantee (every item above the threshold survives
+    * pass 1) makes the result EXACTLY equal to a full groupBy+HAVING — so
+    * the sketch path is oracle-checked, not rows-only — while the full
+    * vocabulary is never shuffled. */
+  def heavyHitters(terms: DataFrame, termCol: String, phiDen: Int): DataFrame = {
+    val mg = udaf(new MisraGries(phiDen))
+    val cand = terms.agg(mg(col(termCol)).as("cands"),
+                         count(lit(1)).as("total"))
+    terms.crossJoin(broadcast(cand))
+      .filter(array_contains(col("cands"), col(termCol)))
+      .groupBy(col(termCol), col("total"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * phiDen > col("total"))
+      .select(col(termCol), col("n"))
+      .orderBy(col("n").desc, col(termCol))
+  }
+
+  /** Tokens occurring in more than 1% of the corpus token stream. */
+  def qHeavyHitters(spark: SparkSession, d: String): DataFrame =
+    heavyHitters(
+      Tables.documents(spark, d).select(explode(graft.text.Text.tokens).as("term")),
+      "term", phiDen = 100)
+
+  /** Approximate vs exact per-group quantiles: `approx_percentile`
+    * (KLL-style sketch, bounded memory, mergeable) next to the exact
+    * value — the operator you run at 100 TB when q52's exact formulations
+    * are still too heavy, with the error budget made visible. Sketch
+    * internals are engine-specific → rows-only; SketchesSpec bounds the
+    * rank error against exact percentiles. */
+  def qApproxQuantiles(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)")
+          .as("approx"),
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("exact"))
+      .select(col("l_returnflag"),
+        posexplode(arrays_zip(typedlit(Seq(0.25, 0.5, 0.75)).as("q"),
+          col("approx"), col("exact"))))
+      .select(col("l_returnflag"), col("col.q").as("q"),
+        col("col.approx").as("approx_value"),
+        round(col("col.exact"), 6).as("exact_value"))
+      .orderBy("l_returnflag", "q")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_heavy_hitters"   -> (qHeavyHitters _),
+    "q69_approx_quantiles" -> (qApproxQuantiles _))
+
+  val oracles: Map[String, String] = Map(
+    "q71_heavy_hitters" -> s"""
+      WITH tok AS (
+        SELECT unnest(${graft.text.Text.duckTokens}) AS term FROM documents),
+      tot AS (SELECT COUNT(*) AS total FROM tok)
+      SELECT term, COUNT(*) AS n
+      FROM tok CROSS JOIN tot
+      GROUP BY term, total
+      HAVING COUNT(*) * 100 > total
+      ORDER BY n DESC, term""")
+    // q69: sketch internals engine-specific — rows-only.
+}

@@ -29,6 +29,7 @@ BUDGETS = {
     "q46_ivf_ann": 2.0,
     "q66_unigram_lm": 2.0,
     "q68_boilerplate": 2.0,
+    "q69_approx_quantiles": 2.5,  # runs sketch AND exact percentile side by side
 }
 DEFAULT_BUDGET = 1.5   # every other query is sub-0.7s typical
 TOTAL_HARD = 42.0      # suite total: fail — a real regression
