@@ -20,7 +20,11 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // stdout stays a single JSON line; failures go to stderr so a broken
+      // query is visible instead of silently benching as wall-clock-to-throw
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable => System.err.println(s"BENCH_FAIL $name: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

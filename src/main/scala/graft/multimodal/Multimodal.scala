@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * The IMAGE path is real: payloads are PNG bytes, decoded per partition
   * batch with JDK `javax.imageio` (no external codec jar needed) into
   * width/height/mean-channel features, and resize decodes → rescales →
-  * re-encodes actual pixels. Audio/video kernels remain STUBS (no PCM/
-  * video codecs in this environment) — deterministic fakes clearly marked
-  * below. The Spark-side plumbing is identical for both: schema,
-  * partition-preserving mapPartitions batches (the JVM twin of
+  * re-encodes actual pixels. The AUDIO path is real too: payloads are
+  * WAV/PCM bytes decoded with JDK `javax.sound.sampled` into frame count,
+  * sample rate, and RMS amplitude. Only the VIDEO kernel remains a STUB
+  * (no video codec ships with the JDK) — a deterministic fake clearly
+  * marked below. The Spark-side plumbing is identical for all three:
+  * schema, partition-preserving mapPartitions batches (the JVM twin of
   * `mapInPandas` — one iterator per partition, record batches in/out),
   * and binary-safe expressions.
   *
@@ -31,13 +33,15 @@ object Multimodal {
                       payload: Array[Byte], width: Int, height: Int,
                       sample_rate: Int)
 
-  /** Decode output. For decoded images the dims/means come from real
-    * pixels; for the stubbed audio/video path `decoded=false` and the
-    * pixel fields hold the -1 sentinel. */
+  /** Decode output. Images fill decoded_w/h + channel means from real
+    * pixels; audio fills n_frames/sample_rate_hz/rms from real PCM frames;
+    * the stubbed video path sets `decoded=false`. Fields that don't apply
+    * to a modality hold the -1 sentinel. */
   case class MediaFeature(media_id: Long, media_type: String,
                           n_bytes: Int, decoded: Boolean,
                           decoded_w: Int, decoded_h: Int,
                           mean_r: Double, mean_g: Double, mean_b: Double,
+                          n_frames: Long, sample_rate_hz: Int, rms: Double,
                           feature_norm: Double)
 
   /** Build a deterministic media table from `documents` (payload = utf-8
@@ -77,6 +81,56 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic mono 16-bit PCM WAV: a sine whose frequency/amplitude
+    * are fixed functions of media_id. WAV is lossless PCM, so encode →
+    * decode round-trips the exact samples. */
+  private[graft] def syntheticWav(id: Long, nFrames: Int, rate: Int): Array[Byte] = {
+    val freq = 200.0 + (id % 17) * 40.0
+    val amp = 0.25 + (id % 5) * 0.1
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * amp * 32767.0).toInt.toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** In-memory WAV/PCM decode (JDK javax.sound — no codec jar): frame
+    * count, sample rate, RMS amplitude normalized to [0,1]. Restricted to
+    * the 16-bit mono little-endian shape this pipeline writes; anything
+    * else (or a non-WAV payload) returns None → stub path. */
+  private def decodeAudio(payload: Array[Byte]): Option[(Long, Int, Double)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var ss = 0.0
+          var i = 0
+          while (i < n) {
+            val s = (((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toShort
+              .toDouble) / 32768.0
+            ss += s * s; i += 1
+          }
+          Some((n.toLong, fmt.getSampleRate.toInt,
+            if (n == 0) 0.0 else math.sqrt(ss / n)))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
   /** Null-safe in-memory PNG/JPEG decode (JDK ImageIO; no disk cache —
     * executors must not touch local tmp for per-row decodes). */
   private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
@@ -101,46 +155,78 @@ object Multimodal {
     })
   }
 
-  /** Decode → featurize. IMAGE rows with a decodable payload go through
-    * the real kernel: JDK ImageIO decode, then per-channel pixel means and
-    * the L2 norm of the (r̄, ḡ, b̄) vector. Everything else (audio/video,
-    * or an image payload ImageIO rejects) takes the documented STUB path:
-    * feature = L2 norm of raw byte values, pixel fields = -1 sentinel.
-    * Runs per partition over an iterator — the mapInPandas batch shape: no
-    * per-row JVM↔kernel round trip, bounded memory per batch. */
+  /** Swap audio rows' payloads for real (synthetic, deterministic) WAV
+    * bytes with true sample-rate metadata. */
+  def withRealAudio(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.media_type != "audio") r
+      else {
+        val rate = 8000
+        r.copy(payload = syntheticWav(r.media_id, (r.media_id % 1600 + 400).toInt, rate),
+               sample_rate = rate)
+      }
+    })
+  }
+
+  /** Real payloads for every decodable modality (image PNGs + audio WAVs;
+    * video keeps the text-byte stand-in for its stub path). */
+  def withRealMedia(media: Dataset[MediaRow]): Dataset[MediaRow] =
+    withRealAudio(withRealImages(media))
+
+  /** Decode → featurize. IMAGE rows decode with JDK ImageIO into pixel
+    * dims + per-channel means (+ the L2 norm of (r̄, ḡ, b̄) as
+    * feature_norm). AUDIO rows decode with JDK javax.sound into frame
+    * count, sample rate, and RMS amplitude (feature_norm = rms). VIDEO
+    * rows — and any payload the decoders reject — take the documented
+    * STUB path: feature = L2 norm of raw byte values, typed fields = -1
+    * sentinel. Runs per partition over an iterator — the mapInPandas
+    * batch shape: no per-row JVM↔kernel round trip, bounded memory. */
   def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
+
+    def stub(r: MediaRow): MediaFeature = {
+      // STUB: video (no codec in the JDK) or undecodable payloads —
+      // feature = L2 norm of byte values. A real kernel (JNI codec /
+      // ONNX encoder) would slot in here unchanged.
+      var ss = 0.0
+      var i = 0
+      while (i < r.payload.length) { val v = (r.payload(i) & 0xff).toDouble; ss += v * v; i += 1 }
+      MediaFeature(r.media_id, r.media_type, r.payload.length,
+        decoded = false, -1, -1, -1.0, -1.0, -1.0, -1L, -1, -1.0, math.sqrt(ss))
+    }
+
     media.mapPartitions { rows =>
       rows.map { r =>
-        val img = if (r.media_type == "image") decodeImage(r.payload) else None
-        img match {
-          case Some(im) =>
-            val w = im.getWidth; val h = im.getHeight
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = im.getRGB(x, y)
-                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                x += 1
+        r.media_type match {
+          case "image" => decodeImage(r.payload) match {
+            case Some(im) =>
+              val w = im.getWidth; val h = im.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = im.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
-            }
-            val n = w.toLong * h
-            val mr = sr.toDouble / n; val mg = sg.toDouble / n; val mb = sb.toDouble / n
-            MediaFeature(r.media_id, r.media_type, r.payload.length,
-              decoded = true, w, h, mr, mg, mb,
-              math.sqrt(mr * mr + mg * mg + mb * mb))
-          case None =>
-            // STUB: audio/video (no codecs in this environment) — feature
-            // = L2 norm of byte values. A real kernel (JNI codec / ONNX
-            // encoder) would slot in here unchanged.
-            var ss = 0.0
-            var i = 0
-            while (i < r.payload.length) { val v = (r.payload(i) & 0xff).toDouble; ss += v * v; i += 1 }
-            MediaFeature(r.media_id, r.media_type, r.payload.length,
-              decoded = false, -1, -1, -1.0, -1.0, -1.0, math.sqrt(ss))
+              val n = w.toLong * h
+              val mr = sr.toDouble / n; val mg = sg.toDouble / n; val mb = sb.toDouble / n
+              MediaFeature(r.media_id, r.media_type, r.payload.length,
+                decoded = true, w, h, mr, mg, mb, -1L, -1, -1.0,
+                math.sqrt(mr * mr + mg * mg + mb * mb))
+            case None => stub(r)
+          }
+          case "audio" => decodeAudio(r.payload) match {
+            case Some((frames, rate, rms)) =>
+              MediaFeature(r.media_id, r.media_type, r.payload.length,
+                decoded = true, -1, -1, -1.0, -1.0, -1.0, frames, rate, rms, rms)
+            case None => stub(r)
+          }
+          case _ => stub(r)
         }
       }
     }
@@ -208,17 +294,19 @@ object Multimodal {
       .orderBy("media_type")
 
   /** Decode→featurize through the typed Dataset path: image rows carry
-    * real PNG payloads and are decoded with ImageIO (pixel-derived dims +
-    * channel means); audio/video take the stub path. Rows-only check —
+    * real PNG payloads decoded with ImageIO (pixel-derived dims + channel
+    * means), audio rows real WAV payloads decoded with javax.sound
+    * (frames / rate / RMS); video takes the stub path. Rows-only check —
     * decode correctness against known fixtures asserted in MultimodalSpec. */
   def qMediaFeatures(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val media = withRealImages(mediaTable(spark, d).as[MediaRow])
+    val media = withRealMedia(mediaTable(spark, d).as[MediaRow])
     decodeAndFeaturize(media).toDF()
       .withColumn("feature_norm", round(col("feature_norm"), 6))
       .withColumn("mean_r", round(col("mean_r"), 6))
       .withColumn("mean_g", round(col("mean_g"), 6))
       .withColumn("mean_b", round(col("mean_b"), 6))
+      .withColumn("rms", round(col("rms"), 6))
       .orderBy("media_id")
   }
 

@@ -14,7 +14,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decode→featurize runs per-partition and is deterministic") {
-    val media = Multimodal.withRealImages(
+    val media = Multimodal.withRealMedia(
       Multimodal.mediaTable(spark, sf).as[Multimodal.MediaRow])
     val a = Multimodal.decodeAndFeaturize(media).collect().sortBy(_.media_id)
     val b = Multimodal.decodeAndFeaturize(media.repartition(7)).collect().sortBy(_.media_id)
@@ -22,12 +22,37 @@ class MultimodalSpec extends SparkSpec {
       x.media_id == y.media_id && math.abs(x.feature_norm - y.feature_norm) < 1e-9
     }, "featurize must be partition-invariant")
     assert(a.forall(_.n_bytes > 0))
-    // every image row decodes for real; audio/video stay on the stub path
+    // image AND audio rows decode for real; only video stays stubbed
     a.foreach { f =>
-      if (f.media_type == "image")
-        assert(f.decoded && f.decoded_w > 0 && f.decoded_h > 0)
-      else assert(!f.decoded && f.decoded_w == -1)
+      f.media_type match {
+        case "image" => assert(f.decoded && f.decoded_w > 0 && f.decoded_h > 0)
+        case "audio" => assert(f.decoded && f.n_frames > 0 &&
+          f.sample_rate_hz == 8000 && f.rms > 0.0 && f.rms < 1.0)
+        case _ => assert(!f.decoded && f.decoded_w == -1 && f.n_frames == -1L)
+      }
     }
+  }
+
+  test("audio decode recovers the exact PCM frames of a known fixture") {
+    // fixture: media_id=4 → 804-frame 8 kHz sine. Recompute the expected
+    // RMS straight from the generator formula (WAV is lossless PCM ⇒ the
+    // decoded samples must match sample-for-sample).
+    val id = 4L; val rate = 8000; val nFrames = (id % 1600 + 400).toInt
+    val freq = 200.0 + (id % 17) * 40.0
+    val amp = 0.25 + (id % 5) * 0.1
+    var ss = 0.0
+    for (i <- 0 until nFrames) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * amp * 32767.0).toInt.toShort
+      val v = s.toDouble / 32768.0
+      ss += v * v
+    }
+    val expectedRms = math.sqrt(ss / nFrames)
+    val row = Multimodal.MediaRow(id, "audio",
+      Multimodal.syntheticWav(id, nFrames, rate), 0, 0, rate)
+    val f = Multimodal.decodeAndFeaturize(Seq(row).toDS()).collect().head
+    assert(f.decoded && f.n_frames == nFrames && f.sample_rate_hz == rate)
+    assert(math.abs(f.rms - expectedRms) < 1e-12,
+      s"rms ${f.rms} != expected $expectedRms from the generator formula")
   }
 
   test("image decode extracts the exact pixels of a known fixture") {
