@@ -21,6 +21,7 @@ object SparkEntry {
       graft.ops.Packing.queries ++
       graft.ops.Sketches.queries ++
       graft.ops.Sampling.queries ++
+      graft.ops.RangeJoin.queries ++
       graft.pipeline.Curation.queries ++
       graft.text.Text.queries ++
       graft.dedup.Dedup.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
       graft.ops.Packing.oracles ++
       graft.ops.Sketches.oracles ++
       graft.ops.Sampling.oracles ++
+      graft.ops.RangeJoin.oracles ++
       graft.pipeline.Curation.oracles ++
       graft.text.Text.oracles ++
       graft.dedup.Dedup.oracles ++

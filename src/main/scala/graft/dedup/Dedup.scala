@@ -124,7 +124,15 @@ object Dedup {
     * three, and blocks bound the pair count — at sf0.1 this is ~3M pairs
     * instead of the 62M of source-only blocking. int/int → double division
     * keeps the score bitwise cross-engine. */
-  def qNgramJaccard(spark: SparkSession, d: String): DataFrame = {
+  def qNgramJaccard(spark: SparkSession, d: String): DataFrame =
+    jaccardPairs(spark, d)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+
+  /** All within-block Jaccard pairs (doc_a, doc_b, jaccard) — the shared
+    * pair generator behind q31 (top-20) and q73 (thresholded near-dup
+    * graph). */
+  def jaccardPairs(spark: SparkSession, d: String): DataFrame = {
     // Shingle sets are sorted 64-bit hash arrays built by one kernel call
     // (Gram3SetSorted); pairwise |A∩B| is one linear merge
     // (SortedIntersectCount). Composing the same pipeline from interpreted
@@ -155,8 +163,25 @@ object Dedup {
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (col("inter").cast("double") /
           (size(col("a.hs")) + size(col("b.hs")) - col("inter"))).as("jaccard"))
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(20)
+  }
+
+  /** Dedup cluster assignment: connected components over the near-dup
+    * graph (Jaccard ≥ 0.05 pairs), so transitively-linked chains of
+    * near-duplicates collapse into one cluster — the canonicalization
+    * step exact per-pair dedup cannot express (A~B, B~C, A≁C still form
+    * one cluster). Every document is a vertex; non-linked docs come back
+    * as singletons, so the output is a full partition of the corpus:
+    * (component = min doc_id in cluster, n_docs). Oracle: DuckDB
+    * WITH RECURSIVE over the identical pair set. */
+  def qDedupClusters(spark: SparkSession, d: String): DataFrame = {
+    val edges = jaccardPairs(spark, d)
+      .filter(col("jaccard") >= 0.05)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val vertices = Tables.documents(spark, d).select(col("doc_id").as("id"))
+    graft.graph.Graph.connectedComponents(edges, vertices)
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("component")
   }
 
   /** MinHash+LSH structural summary (hash-dependent → no SQL oracle;
@@ -267,6 +292,7 @@ object Dedup {
     "q31_ngram_jaccard" -> (qNgramJaccard _),
     "q32_minhash_lsh"   -> (qMinhashLsh _),
     "q33_simhash"       -> (qSimhash _),
+    "q73_dedup_clusters" -> (qDedupClusters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -310,6 +336,30 @@ object Dedup {
           ON a.source = b.source AND a.lang = b.lang
          AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
       SELECT * FROM pairs ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+    "q73_dedup_clusters" -> s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, source, lang, n_chars // 100 AS len_bucket,
+               $duckShinglesSql AS shingles
+        FROM (SELECT doc_id, source, lang, n_chars, ${Text.duckTokens} AS toks
+              FROM documents)
+        WHERE len($duckShinglesSql) > 0),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b
+          ON a.source = b.source AND a.lang = b.lang
+         AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))) >= 0.05),
+      e2 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             UNION SELECT doc_b, doc_a FROM pairs),
+      cc AS (
+        SELECT doc_id AS id, doc_id AS label FROM documents
+        UNION
+        SELECT e2.dst AS id, cc.label FROM cc JOIN e2 ON e2.src = cc.id),
+      comp AS (SELECT id, MIN(label) AS component FROM cc GROUP BY id)
+      SELECT component, COUNT(*) AS n_docs
+      FROM comp GROUP BY component ORDER BY component""",
     // q32/q33: xxhash64-based — not expressible in DuckDB; rows-only.
   )
 }

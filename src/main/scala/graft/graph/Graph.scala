@@ -97,6 +97,44 @@ object Graph {
   def trianglesCapped(edges: DataFrame, maxDegree: Long): DataFrame =
     triangles(capDegrees(edges, maxDegree))
 
+  /** Connected components by iterative min-label propagation: every
+    * vertex starts labeled with its own id; each round every vertex takes
+    * the min of its own label and its neighbors' labels; fixpoint = the
+    * component's minimum id everywhere. Converges in O(diameter) rounds —
+    * one join + one aggregation per round, `localCheckpoint` truncating
+    * the lineage so round N's plan doesn't embed rounds 1..N-1 (at
+    * cluster scale: `checkpoint` to reliable storage instead, same call
+    * shape). Convergence is detected by the label-sum fingerprint: labels
+    * only ever decrease, so an unchanged sum IS the fixpoint — one cheap
+    * aggregate instead of a subtract-join diff.
+    *
+    * `vertices` must carry every id (including isolated ones — they come
+    * back as singleton components). Returns (id, label). */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    try {
+      var labels = vertices.select(col("id"), col("id").as("label"))
+        .localCheckpoint(true)
+      var prevSum = Option.empty[Long]
+      var iter = 0
+      var curSum = labels.agg(sum("label")).collect()(0).getLong(0)
+      while (!prevSum.contains(curSum) && iter < maxIter) {
+        prevSum = Some(curSum)
+        val msgs = sym.join(labels.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), col("label"))
+        labels = labels.union(msgs)
+          .groupBy("id").agg(min("label").as("label"))
+          .localCheckpoint(true)
+        curSum = labels.agg(sum("label")).collect()(0).getLong(0)
+        iter += 1
+      }
+      labels
+    } finally { sym.unpersist(); () }
+  }
+
   /** Route fallback (J6, flight_analysis.py:96-132): direct edges if any
     * exist, else 2-hop connections. Both plans are declared lazily; only
     * the chosen one executes (the `count() > 0` probe is on the cheap

@@ -80,6 +80,29 @@ class GraphSpec extends SparkSpec {
       "alice/carol have degree 5 > 4 and must be excluded")
   }
 
+  test("connected components: chains, rings, isolated vertices, min labels") {
+    import spark.implicits._
+    // components: chain 0-1-2-3-4, ring 10-11-12-10, pair 20-21;
+    // isolated vertices 30, 31
+    val edges = Seq((1L, 0L), (1L, 2L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L)).toDF("src", "dst")
+    val vertices = (Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L, 31L))
+      .toDF("id")
+    val labels = Graph.connectedComponents(edges, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 31L))
+    // a longer chain exercises multi-round propagation (diameter 29)
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("src", "dst")
+    val chainV = (0L to 29L).toDF("id")
+    val chainLabels = Graph.connectedComponents(chain, chainV)
+      .collect().map(_.getLong(1)).distinct
+    assert(chainLabels.sameElements(Array(0L)),
+      "a 30-vertex chain must collapse to one component")
+  }
+
   test("route fallback: direct when present, 2-hop otherwise") {
     val direct = Graph.routesWithFallback(flights, "AAA", "BBB").collect()
     assert(direct.length == 2 && direct.forall(_.isNullAt(1)))

@@ -117,6 +117,42 @@ class PlanAuditSpec extends SparkSpec {
       maxGroupSize = 1 << 20)) == full)
   }
 
+  test("binned range join == naive nested-loop join; plans hash, not loop") {
+    import graft.ops.RangeJoin
+    val top = Tables.orders(spark, sf)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        expr("o_orderdate + INTERVAL 7 DAY").as("window_end"))
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_shipdate")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("o_orderkey", "l_orderkey", "l_shipdate")
+      .collect().map(_.toString).sorted.toSeq
+    val binned = RangeJoin.rangeJoinBinned(li, "l_shipdate", top,
+      "o_orderdate", "window_end", binDays = 7)
+    val naive = RangeJoin.rangeJoinNaive(li, "l_shipdate", top,
+      "o_orderdate", "window_end")
+    assert(pairs(binned).nonEmpty && pairs(binned) == pairs(naive),
+      "binning must not change the matched pairs")
+    val binnedPlan = binned.queryExecution.executedPlan.toString
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(!binnedPlan.contains("NestedLoop") &&
+      (binnedPlan.contains("HashJoin") || binnedPlan.contains("SortMergeJoin")),
+      s"binned range join must plan as an equi join:\n${binnedPlan.take(800)}")
+    assert(naivePlan.contains("NestedLoop"),
+      "the naive twin should demonstrate the nested-loop shape being avoided")
+  }
+
+  test("weighted sample plans TakeOrderedAndProject; IVF assignment has no exchange") {
+    val ws = graft.ops.Sampling.qWeightedSample(spark, sf)
+    assert(ws.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "ES sampling must be a bounded top-k, not a global sort")
+    val emb = Tables.embeddings(spark, sf)
+    val cents = graft.similarity.Similarity.trainCentroids(emb, k = 4, iters = 0)
+    val assigned = graft.similarity.Similarity.assignClusters(emb, cents)
+    assert(Scale.countExchanges(assigned) == 0,
+      "centroid assignment must be a map-only narrow projection")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     val conf = spark.conf
     val saved = Seq(

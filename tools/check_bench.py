@@ -30,6 +30,7 @@ BUDGETS = {
     "q66_unigram_lm": 2.0,
     "q68_boilerplate": 2.0,
     "q69_approx_quantiles": 2.5,  # runs sketch AND exact percentile side by side
+    "q73_dedup_clusters": 4.0,    # q31's pair join + iterative CC rounds
 }
 DEFAULT_BUDGET = 1.5   # every other query is sub-0.7s typical
 TOTAL_HARD = 42.0      # suite total: fail — a real regression
