@@ -22,6 +22,9 @@ object SparkEntry {
       graft.ops.Sketches.queries ++
       graft.ops.Sampling.queries ++
       graft.ops.RangeJoin.queries ++
+      graft.ops.Quality.queries ++
+      graft.ops.Diff.queries ++
+      graft.ops.Incremental.queries ++
       graft.pipeline.Curation.queries ++
       graft.text.Text.queries ++
       graft.dedup.Dedup.queries ++
@@ -36,6 +39,9 @@ object SparkEntry {
       graft.ops.Sketches.oracles ++
       graft.ops.Sampling.oracles ++
       graft.ops.RangeJoin.oracles ++
+      graft.ops.Quality.oracles ++
+      graft.ops.Diff.oracles ++
+      graft.ops.Incremental.oracles ++
       graft.pipeline.Curation.oracles ++
       graft.text.Text.oracles ++
       graft.dedup.Dedup.oracles ++

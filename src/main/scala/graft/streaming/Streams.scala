@@ -94,6 +94,30 @@ object Streams {
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
 
+  /** Stream-stream attribution join: each purchase matched to every click
+    * by the same user within the preceding `attribution` window — the ad-
+    * attribution shape. Works identically in batch (the differential spec
+    * runs both). In streaming, the watermarks + the time-range predicate
+    * are what let Spark bound join state: click state is droppable once
+    * the watermark passes click_ts + attribution; without the range
+    * condition the state store would grow forever. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      attribution: String = "30 minutes",
+                      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p, expr(
+      s"""c_user = p_user AND
+          purchase_ts >= click_ts AND
+          purchase_ts <= click_ts + INTERVAL $attribution"""))
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"), col("purchase_ts"), col("click_ts"))
+  }
+
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state: running per-user totals via mapGroupsWithState —

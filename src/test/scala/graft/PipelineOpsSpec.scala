@@ -64,6 +64,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == total)
   }
 
+  test("incremental view: merge of arbitrary splits == full recompute, bitwise") {
+    import graft.ops.Incremental
+    val ev = Tables.events(spark, sf)
+    val full = Incremental.view(Incremental.aggState(ev))
+      .collect().map(_.toString).sorted.toSeq
+    // any content-based split must merge back to the identical view
+    Seq(col("event_id") % 3 === 0, col("user_id") % 2 === 0,
+        col("value") > 50.0).foreach { pred =>
+      val merged = Incremental.view(Incremental.mergeStates(
+          Incremental.aggState(ev.filter(pred)),
+          Incremental.aggState(ev.filter(!pred))))
+        .collect().map(_.toString).sorted.toSeq
+      assert(merged == full, s"split on [$pred] diverged from full recompute")
+    }
+    // three-way merge associates
+    val threeWay = Incremental.view(Incremental.mergeStates(
+        Incremental.aggState(ev.filter(col("event_id") % 3 === 0)),
+        Incremental.aggState(ev.filter(col("event_id") % 3 === 1)),
+        Incremental.aggState(ev.filter(col("event_id") % 3 === 2))))
+      .collect().map(_.toString).sorted.toSeq
+    assert(threeWay == full)
+  }
+
+  test("snapshot diff classifies planted changes exactly") {
+    import graft.ops.Diff
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B!"), (4L, "d"), (9L, "new")).toDF("id", "text")
+    val d = Diff.snapshotDiff(v1, v2, "id", md5(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "changed", 3L -> "deleted",
+      4L -> "unchanged", 9L -> "inserted"))
+  }
+
   test("boilerplate: exactly top-5 grams per lang, counts non-increasing") {
     val rows = Text.qBoilerplate(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>

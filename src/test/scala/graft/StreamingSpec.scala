@@ -300,6 +300,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join == batch join (3 micro-batches)") {
+    prepared
+    def clicks(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "click")
+    def purchases(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "purchase")
+    val stream = Streams.readEventsStream(spark, streamDir)
+    val q = Streams.runToMemory(
+      Streams.attributionJoin(clicks(stream), purchases(stream)),
+      "attr_stream", OutputMode.Append())
+    try {
+      val streamed = spark.table("attr_stream")
+        .select("purchase_id", "click_id").collect().map(_.toString).sorted
+      val batch = Streams.attributionJoin(
+          clicks(batchEvents), purchases(batchEvents))
+        .select("purchase_id", "click_id").collect().map(_.toString).sorted
+      assert(streamed.nonEmpty && streamed.sameElements(batch),
+        s"stream-stream join diverged: ${streamed.length} vs ${batch.length} rows")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     prepared
     val q = Streams.runToMemory(
