@@ -18,6 +18,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Extra.queries ++ Patterns.queries ++
+      graft.queries.Analytics.queries ++
+      graft.ops.Clustering.queries ++
       graft.ops.Packing.queries ++
       graft.ops.Sketches.queries ++
       graft.ops.Sampling.queries ++
@@ -35,6 +37,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Core.oracles ++ Extra.oracles ++ Patterns.oracles ++
+      graft.queries.Analytics.oracles ++
+      graft.ops.Clustering.oracles ++
       graft.ops.Packing.oracles ++
       graft.ops.Sketches.oracles ++
       graft.ops.Sampling.oracles ++

@@ -23,7 +23,8 @@ object Registry {
     "gram3_set_sorted"       -> (es => Gram3SetSorted(es.head)),
     "hash_set_sorted"        -> (es => HashSetSorted(es.head)),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
-    "float_vec_dot"          -> (es => FloatVecDot(es(0), es(1))))
+    "float_vec_dot"          -> (es => FloatVecDot(es(0), es(1))),
+    "zorder2"                -> (es => ZOrder2(es(0), es(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

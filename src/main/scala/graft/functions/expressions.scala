@@ -123,6 +123,20 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def prettyName: String = "float_vec_dot"
 }
 
+/** Morton/Z-order code of two long columns (low 31 bits each) — the
+  * space-filling-curve clustering key for multi-dimension data skipping. */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SpatialKernels.zOrder2(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SpatialKernels.zOrder2($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder2 =
+    copy(left = l, right = r)
+  override def prettyName: String = "zorder2"
+}
+
 object exprs {
   private def e(c: Column): Expression = GraftBridge.expression(c)
   def minhashSignature(c: Column, k: Int): Column =
@@ -139,4 +153,6 @@ object exprs {
     GraftBridge.column(SortedIntersectCount(e(a), e(b)))
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(FloatVecDot(e(a), e(b)))
+  def zorder2(a: Column, b: Column): Column =
+    GraftBridge.column(ZOrder2(e(a), e(b)))
 }

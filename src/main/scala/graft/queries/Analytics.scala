@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics shapes over the events table: strict sequential
+  * funnels and cohort retention — the aggregation patterns every event
+  * warehouse runs daily, expressed as the minimal number of shuffles.
+  */
+object Analytics {
+
+  /** Strict view → click → purchase funnel: a user advances a step only
+    * with an event at-or-after their previous step's timestamp. Each
+    * step is one filtered aggregation keyed on user (the previous step's
+    * result joins in as a per-user bound) — 3 aggregations, no window
+    * over the full event stream. */
+  def qFunnel(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d).select("user_id", "event_type", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    def step(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"), col("n_users"))
+    step("1_view", v).unionByName(step("2_click_after_view", c))
+      .unionByName(step("3_purchase_after_click", p))
+      .orderBy("step")
+  }
+
+  /** Weekly cohort retention: users grouped by first-seen week; for each
+    * (cohort, weeks-since-first) cell, distinct active users. Two
+    * aggregations + one join — the cohort table is user-cardinality, the
+    * activity table (user, week)-distinct. */
+  def qCohorts(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+    val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    ev.distinct().join(cohort, "user_id")
+      .withColumn("week_idx",
+        expr("CAST(datediff(week, cohort_week) div 7 AS BIGINT)"))
+      .groupBy("cohort_week", "week_idx")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_idx")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_funnel"  -> (qFunnel _),
+    "q79_cohorts" -> (qCohorts _))
+
+  val oracles: Map[String, String] = Map(
+    "q78_funnel" -> """
+      WITH v AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, MIN(e.ts) AS c_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+        GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        GROUP BY e.user_id)
+      SELECT * FROM (
+        SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+        UNION ALL
+        SELECT '2_click_after_view', COUNT(*) FROM c
+        UNION ALL
+        SELECT '3_purchase_after_click', COUNT(*) FROM p)
+      ORDER BY step""",
+    "q79_cohorts" -> """
+      WITH w AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events),
+      cohort AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id)
+      SELECT cohort_week,
+             CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_idx,
+             COUNT(DISTINCT w.user_id) AS n_users
+      FROM w JOIN cohort ON w.user_id = cohort.user_id
+      GROUP BY 1, 2 ORDER BY cohort_week, week_idx""")
+}

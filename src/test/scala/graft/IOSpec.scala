@@ -133,8 +133,14 @@ class IOSpec extends SparkSpec {
   test("compaction: many small appended files → few, data identical") {
     val path = s"$tmp/compactme"
     val df = IO.csvInfer(spark, res("employees.csv"))
-    // simulate streaming appends: 8 single-row writes
-    new java.io.File(path).delete()
+    // simulate streaming appends: 8 single-row writes. Delete recursively —
+    // File.delete() on a non-empty dir is a silent no-op, and stale rows
+    // from prior runs accumulate until ceil(n/rowsPerFile) crosses 2.
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmRf)
+      f.delete(); ()
+    }
+    rmRf(new java.io.File(path))
     (0 until 8).foreach { i =>
       df.filter(col("salary") % 8 === i).coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)

@@ -98,6 +98,53 @@ class PipelineOpsSpec extends SparkSpec {
       4L -> "unchanged", 9L -> "inserted"))
   }
 
+  test("z-order kernel: exact interleave vs bit-by-bit reference; locality holds") {
+    import graft.functions.SpatialKernels
+    // reference: naive bit-by-bit interleave
+    def naive(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 31)
+        z |= (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (19999L, 999L),
+      (0x7fffffffL, 0x7fffffffL), (12345L, 54321L))
+    cases.foreach { case (a, b) =>
+      assert(SpatialKernels.zOrder2(a, b) == naive(a, b), s"($a, $b)")
+      assert(SpatialKernels.zOrder2(a, b) >= 0L, "must never reach the sign bit")
+    }
+    // data-skipping property: per-z-bucket spans are <= 256 in BOTH dims
+    // (2^16 bucket width fixes bits >= 8 of each dimension). sf0.01 —
+    // sf0.001's key space is under one bucket wide.
+    val rows = graft.ops.Clustering.qZOrder(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length > 1, "need multiple buckets to demonstrate locality")
+    rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 255, s"part span leaked: $r")
+      assert(r.getLong(5) - r.getLong(4) <= 255, s"supp span leaked: $r")
+    }
+  }
+
+  test("funnel steps are monotone non-increasing") {
+    val steps = graft.queries.Analytics.qFunnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(steps.keySet == Set("1_view", "2_click_after_view", "3_purchase_after_click"))
+    assert(steps("1_view") >= steps("2_click_after_view"))
+    assert(steps("2_click_after_view") >= steps("3_purchase_after_click"))
+    assert(steps("1_view") > 0)
+  }
+
+  test("cohorts: week 0 of each cohort contains every cohort member") {
+    val rows = graft.queries.Analytics.qCohorts(spark, sf).collect()
+    val byCohort = rows.groupBy(_.getDate(0).toString)
+    byCohort.foreach { case (cw, rs) =>
+      val week0 = rs.find(_.getLong(1) == 0L)
+      assert(week0.isDefined, s"cohort $cw missing week 0")
+      val size = week0.get.getLong(2)
+      rs.foreach(r => assert(r.getLong(2) <= size,
+        s"cohort $cw week ${r.getLong(1)}: retention cannot exceed cohort size"))
+    }
+  }
+
   test("boilerplate: exactly top-5 grams per lang, counts non-increasing") {
     val rows = Text.qBoilerplate(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
