@@ -184,6 +184,30 @@ object Dedup {
       .orderBy("component")
   }
 
+  /** Edit-distance verification of near-dup candidates: the top Jaccard
+    * pairs re-scored with character-level Levenshtein — the second,
+    * stricter signal a dedup pipeline applies before destructive removal
+    * (token-set similarity is order-blind; edit distance is not).
+    * Levenshtein is O(len²) per pair, which is exactly why it runs on
+    * CANDIDATES (bounded by the blocked pair generator), never the
+    * corpus. */
+  def qEditDistance(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+    val top = jaccardPairs(spark, d)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(10)
+    top
+      .join(docs.withColumnRenamed("doc_id", "doc_a")
+                .withColumnRenamed("text", "text_a"), "doc_a")
+      .join(docs.withColumnRenamed("doc_id", "doc_b")
+                .withColumnRenamed("text", "text_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
+        greatest(length(col("text_a")), length(col("text_b"))).as("max_len"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash+LSH structural summary (hash-dependent → no SQL oracle;
     * rows-only check + planted-duplicate recall spec in DedupSpec). */
   def qMinhashLsh(spark: SparkSession, d: String): DataFrame = {
@@ -293,6 +317,7 @@ object Dedup {
     "q32_minhash_lsh"   -> (qMinhashLsh _),
     "q33_simhash"       -> (qSimhash _),
     "q73_dedup_clusters" -> (qDedupClusters _),
+    "q81_edit_distance"  -> (qEditDistance _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -360,6 +385,30 @@ object Dedup {
       comp AS (SELECT id, MIN(label) AS component FROM cc GROUP BY id)
       SELECT component, COUNT(*) AS n_docs
       FROM comp GROUP BY component ORDER BY component""",
+    "q81_edit_distance" -> s"""
+      WITH sh AS (
+        SELECT doc_id, source, lang, n_chars // 100 AS len_bucket,
+               $duckShinglesSql AS shingles
+        FROM (SELECT doc_id, source, lang, n_chars, ${Text.duckTokens} AS toks
+              FROM documents)
+        WHERE len($duckShinglesSql) > 0),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.source = b.source AND a.lang = b.lang
+         AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id),
+      top AS (
+        SELECT * FROM pairs ORDER BY jaccard DESC, doc_a, doc_b LIMIT 10)
+      SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard,
+             CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
+             CAST(GREATEST(length(da.text), length(db.text)) AS INT) AS max_len
+      FROM top
+      JOIN documents da ON da.doc_id = doc_a
+      JOIN documents db ON db.doc_id = doc_b
+      ORDER BY jaccard DESC, doc_a, doc_b""",
     // q32/q33: xxhash64-based — not expressible in DuckDB; rows-only.
   )
 }

@@ -229,6 +229,20 @@ object Core {
               col("n"), col("sum_qty"))
       .orderBy("returnflag", "linestatus")
 
+  /** Cube (all 2² grouping combinations) with grouping_id — the subtotal
+    * lattice rollup only walks one path of. grouping_id's bitmask
+    * disambiguates a real NULL group value from a subtotal slot, which
+    * `coalesce('ALL')` alone cannot. */
+  def q80Cube(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+           count(lit(1)).as("n"), Num.dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("gid").cast("int").as("gid"), col("n"), col("sum_qty"))
+      .orderBy("gid", "returnflag", "linestatus")
+
   /** Pivot (stretch): event_type → columns, one row per day. The oracle
     * uses portable conditional aggregation; Spark uses pivot with an
     * explicit value list (no extra pass to discover values). */
@@ -301,6 +315,7 @@ object Core {
     "q17_window_running"    -> (q17WindowRunning _),
     "q18_time_buckets"      -> (q18TimeBuckets _),
     "q19_rollup"            -> (q19Rollup _),
+    "q80_cube"              -> (q80Cube _),
     "q20_pivot"             -> (q20Pivot _),
     "q21_json_extract"      -> (q21JsonExtract _),
     "q22_mappartitions_stats" -> (q22MapPartitionsStats _),
@@ -430,6 +445,14 @@ object Core {
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY returnflag, linestatus""",
+    "q80_cube" -> s"""
+      SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             COALESCE(l_linestatus, 'ALL') AS linestatus,
+             CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+             COUNT(*) AS n, ${Num.sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid, returnflag, linestatus""",
     "q20_pivot" -> """
       SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
              COUNT(*) FILTER (event_type = 'click')    AS click,

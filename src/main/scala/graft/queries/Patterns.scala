@@ -138,11 +138,16 @@ object Patterns {
       .withColumn("bucket_rank", dense_rank().over(byBucket))
       .withColumn("quartile", ntile(4).over(byPrice))
       .withColumn("next_price", lead(col("o_totalprice"), 1).over(byPrice))
+      // percent_rank = (rank-1)/(n-1), cume_dist = rows≤cur/n: identical
+      // integer-ratio doubles on both engines — no rounding needed
+      .withColumn("pct_rank", percent_rank().over(byPrice))
+      .withColumn("cume", cume_dist().over(byPrice))
       .filter(col("rn") <= 5)
       .select(col("c_mktsegment"), col("rn").cast("int").as("rn"),
         col("bucket_rank").cast("int").as("bucket_rank"),
         col("quartile").cast("int").as("quartile"),
-        col("o_totalprice"), col("next_price"))
+        col("o_totalprice"), col("next_price"),
+        col("pct_rank"), col("cume"))
       .orderBy("c_mktsegment", "rn")
   }
 
@@ -223,14 +228,17 @@ object Patterns {
     "q58_rank_family" -> """
       SELECT c_mktsegment, CAST(rn AS INT) AS rn,
              CAST(bucket_rank AS INT) AS bucket_rank,
-             CAST(quartile AS INT) AS quartile, o_totalprice, next_price
+             CAST(quartile AS INT) AS quartile, o_totalprice, next_price,
+             pct_rank, cume
       FROM (
         SELECT c_mktsegment, o_totalprice,
           ROW_NUMBER() OVER w AS rn,
           DENSE_RANK() OVER (PARTITION BY c_mktsegment
                              ORDER BY FLOOR(o_totalprice / 50000) DESC) AS bucket_rank,
           NTILE(4) OVER w AS quartile,
-          LEAD(o_totalprice, 1) OVER w AS next_price
+          LEAD(o_totalprice, 1) OVER w AS next_price,
+          PERCENT_RANK() OVER w AS pct_rank,
+          CUME_DIST() OVER w AS cume
         FROM orders JOIN customer ON o_custkey = c_custkey
         WINDOW w AS (PARTITION BY c_mktsegment
                      ORDER BY o_totalprice DESC, o_orderkey))
