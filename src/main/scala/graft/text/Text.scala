@@ -193,6 +193,9 @@ object Text {
     * (doc, term) TF pairs, not raw tokens, so join input is the distinct-
     * term count; the vocabulary side is tiny relative to the corpus and
     * broadcast-eligible (at extreme vocab, bucket both sides on term).
+    * The tf subplan feeds three branches (tf, vocab counts, total); at
+    * 100 TB persist/checkpoint it once — here the tokenized scan is cheap
+    * and AQE's exchange reuse covers the overlap.
     * Numeric discipline: per-term log-probs are fixed-pointed with
     * `floor(lp * 1e9)` — multiply and floor are exact IEEE ops, so both
     * engines produce the SAME integer from the same double (a `round(_, 9)`

@@ -78,6 +78,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Misra–Gries guarantee holds for any stream and any split (random)") {
+    val mg = new graft.ops.Sketches.MisraGries(8)
+    // skewed random streams: heavy items drawn often, long uniform tail
+    val stream: Gen[List[String]] = Gen.listOfN(400,
+      Gen.frequency(5 -> Gen.oneOf("h1", "h2"), 3 -> Gen.oneOf("m1", "m2", "m3"),
+        2 -> Gen.chooseNum(1, 60).map(i => s"t$i")))
+    for ((data, i) <- samples(stream, 12).zipWithIndex) {
+      val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = data.size
+      val heavy = exact.filter { case (_, c) => c > n / 8 }.keySet
+      // merge at a seed-dependent split point (simulates two partitions)
+      val cut = (i * 37) % data.size
+      val (l, r) = data.splitAt(cut)
+      val summary = mg.merge(l.foldLeft(mg.zero)(mg.reduce),
+                             r.foldLeft(mg.zero)(mg.reduce))
+      assert(summary.size <= 8, "summary must stay bounded")
+      assert(heavy.subsetOf(summary.keySet),
+        s"heavy hitters $heavy escaped the summary ${summary.keySet} (split $cut)")
+      // count under-estimation bound: true - estimate <= n/k
+      summary.foreach { case (t, est) =>
+        val truth = exact.getOrElse(t, 0L)
+        assert(est <= truth && truth - est <= n / 8 + 1,
+          s"estimate $est for $t (true $truth) outside MG bounds")
+      }
+    }
+  }
+
   test("round-trip: parquet write/read preserves any (string,double) rows") {
     val rows = Gen.nonEmptyListOf(
       Gen.zip(Gen.alphaNumStr.map(_.take(12)), Gen.chooseNum(-1000000, 1000000).map(_ / 7.0)))

@@ -2,6 +2,7 @@ package graft
 
 import graft.similarity.Similarity
 import graft.Tables
+import org.apache.spark.sql.functions.col
 
 class SimilaritySpec extends SparkSpec {
 
@@ -65,6 +66,28 @@ class SimilaritySpec extends SparkSpec {
     }
     val q0 = quality(0); val q3 = quality(3)
     assert(q3 >= q0 - 1e-9, s"training degraded quantization: init=$q0 trained=$q3")
+  }
+
+  test("IVF index written partitionBy(cluster): a probe is partition pruning") {
+    // the SCALING.md claim made concrete: persist the index clustered by
+    // coarse centroid and a single-cluster probe reads only that directory
+    val dir = sys.props("java.io.tmpdir") + "/graft_ivf_index"
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmRf)
+      f.delete(); ()
+    }
+    rmRf(new java.io.File(dir))
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.ivfIndex(emb, k = 4)
+      .write.partitionBy("cluster").parquet(dir)
+    val probe = spark.read.parquet(dir).filter(col("cluster") === 1)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cluster"),
+      s"cluster filter must prune partitions, not scan+filter:\n${plan.take(600)}")
+    // and the pruned read returns exactly that cluster's vectors
+    val expected = Similarity.ivfIndex(emb, k = 4)
+      .filter(col("cluster") === 1).count()
+    assert(probe.count() == expected && expected > 0)
   }
 
   test("hyperplanes are deterministic") {
