@@ -135,6 +135,69 @@ object Graph {
     } finally { sym.unpersist(); () }
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond"): each round hooks whole subtrees onto component minima, so
+    * convergence is O(log n) rounds instead of [[connectedComponents]]'s
+    * O(diameter) — the variant for long-chain / high-diameter graphs.
+    * Each star op is one aggregation + one join on the node (no
+    * neighbor-list collection — supernode-safe); edges are deduped and
+    * lineage-truncated per round. Returns (labels, rounds-used).
+    *
+    *  - large-star(u): every neighbor v > u re-points to
+    *    m = min(Γ(u) ∪ u)
+    *  - small-star(u): u and every neighbor v ≤ u re-point to
+    *    m = min({v ∈ Γ(u): v ≤ u} ∪ u)
+    *
+    * At the fixpoint the edge set is a star forest rooted at component
+    * minima; GraphSpec checks equality with the min-label formulation on
+    * randomized graphs and the round-count advantage on a long chain. */
+  def connectedComponentsFast(edges: DataFrame, vertices: DataFrame,
+                              maxIter: Int = 30): (DataFrame, Int) = {
+    def sym(e: DataFrame) =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy("src").agg(least(min(col("dst")), col("src")).as("m"))
+      s.join(m, "src").filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e).filter(col("dst") <= col("src"))
+      val m = s.groupBy("src").agg(least(min(col("dst")), col("src")).as("m"))
+      s.join(m, "src")
+        .select(col("dst").as("node"), col("m"))
+        .union(m.select(col("src").as("node"), col("m")))
+        .filter(col("node") =!= col("m"))
+        .select(col("node").as("src"), col("m").as("dst")).distinct()
+    }
+    // order-insensitive fingerprint: (edge count, decimal hash sum — longs
+    // would overflow under ANSI arithmetic) — stable ⇔ fixpoint
+    def fp(d: DataFrame): (Long, String) = {
+      val r = d.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    var e = edges.select("src", "dst").filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    var iter = 0
+    var prev = (-1L, "")
+    var cur = fp(e)
+    while (prev != cur && iter < maxIter) {
+      prev = cur
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      cur = fp(e)
+      iter += 1
+    }
+    val labels = vertices.select(col("id"))
+      .join(e.select(col("src").as("id"), col("dst").as("label")), Seq("id"), "left_outer")
+      .groupBy("id")
+      .agg(coalesce(min(col("label")), first(col("id"))).as("label"))
+    (labels, iter)
+  }
+
   /** Route fallback (J6, flight_analysis.py:96-132): direct edges if any
     * exist, else 2-hop connections. Both plans are declared lazily; only
     * the chosen one executes (the `count() > 0` probe is on the cheap

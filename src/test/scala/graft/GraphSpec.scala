@@ -103,6 +103,32 @@ class GraphSpec extends SparkSpec {
       "a 30-vertex chain must collapse to one component")
   }
 
+  test("large-star/small-star CC == min-label CC; converges in O(log n) rounds") {
+    import spark.implicits._
+    def partition(labels: Map[Long, Long]): Set[Set[Long]] =
+      labels.groupBy(_._2).values.map(_.keySet.toSet).toSet
+    // randomized graphs: nodes 0..39, seeded edge choices
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val edges = (1 to 25).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+      val vertices = (0L until 40L).toDF("id")
+      val simple = Graph.connectedComponents(edges, vertices)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (fastDf, _) = Graph.connectedComponentsFast(edges, vertices)
+      val fast = fastDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(partition(fast) == partition(simple), s"trial $trial diverged")
+      // star-forest labels are component minima, same as min-label's
+      assert(fast == simple, s"trial $trial: labels differ")
+    }
+    // a 64-chain has diameter 63; star rounds must stay logarithmic
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val chainV = (0L to 63L).toDF("id")
+    val (labels, rounds) = Graph.connectedComponentsFast(chain, chainV)
+    assert(labels.select("label").distinct().count() == 1)
+    assert(rounds <= 12, s"expected O(log n) rounds on a 64-chain, used $rounds")
+  }
+
   test("route fallback: direct when present, 2-hop otherwise") {
     val direct = Graph.routesWithFallback(flights, "AAA", "BBB").collect()
     assert(direct.length == 2 && direct.forall(_.isNullAt(1)))
