@@ -243,6 +243,55 @@ object Core {
               col("gid").cast("int").as("gid"), col("n"), col("sum_qty"))
       .orderBy("gid", "returnflag", "linestatus")
 
+  /** TPC-H Q5-shape flagship: revenue per nation for local-supplier
+    * orders in one region and one order year — a 6-table join whose
+    * physical shape is entirely Catalyst's to choose (the three dimension
+    * tables broadcast; the customer/orders/lineitem chain shuffles on its
+    * keys; the c_nationkey = s_nationkey "local supplier" predicate rides
+    * the supplier join). Revenue = Σ price × (1 − discount) computed in
+    * DECIMAL so the sum is exact and associative (2-dec × 2-dec = exact
+    * 4-dec products — a raw double sum would be partition-order
+    * dependent). */
+  def q82RegionalRevenue(spark: SparkSession, d: String): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    Tables.customer(spark, d)
+      .join(Tables.orders(spark, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, d),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.nation(spark, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(Dec) *
+               (lit(1).cast(Dec) - col("l_discount").cast(Dec)))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Correlated scalar subquery (TPC-H Q17 shape) through the SQL
+    * surface: items ordered in below-half-average quantity FOR THEIR
+    * PART. Catalyst decorrelates the subquery into an aggregate + join —
+    * the plan you'd write by hand — rather than per-row re-execution.
+    * Quantities are integer-valued, so AVG's double sum is exact at any
+    * partitioning and the comparison is engine-portable. */
+  def q83Correlated(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d).createOrReplaceTempView("lineitem_v")
+    spark.sql(s"""
+      SELECT l_partkey, COUNT(*) AS n_small,
+             ${Num.sqlDsum("l_extendedprice")} AS small_revenue
+      FROM lineitem_v l1
+      WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                          FROM lineitem_v l2
+                          WHERE l2.l_partkey = l1.l_partkey)
+      GROUP BY l_partkey
+      ORDER BY l_partkey""")
+  }
+
   /** Pivot (stretch): event_type → columns, one row per day. The oracle
     * uses portable conditional aggregation; Spark uses pivot with an
     * explicit value list (no extra pass to discover values). */
@@ -316,6 +365,8 @@ object Core {
     "q18_time_buckets"      -> (q18TimeBuckets _),
     "q19_rollup"            -> (q19Rollup _),
     "q80_cube"              -> (q80Cube _),
+    "q82_regional_revenue"  -> (q82RegionalRevenue _),
+    "q83_correlated"        -> (q83Correlated _),
     "q20_pivot"             -> (q20Pivot _),
     "q21_json_extract"      -> (q21JsonExtract _),
     "q22_mappartitions_stats" -> (q22MapPartitionsStats _),
@@ -453,6 +504,31 @@ object Core {
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY gid, returnflag, linestatus""",
+    "q82_regional_revenue" -> """
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q83_correlated" -> s"""
+      SELECT l_partkey, COUNT(*) AS n_small,
+             ${Num.sqlDsum("l_extendedprice")} AS small_revenue
+      FROM lineitem l1
+      WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l1.l_partkey)
+      GROUP BY l_partkey
+      ORDER BY l_partkey""",
     "q20_pivot" -> """
       SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
              COUNT(*) FILTER (event_type = 'click')    AS click,

@@ -117,6 +117,19 @@ class PlanAuditSpec extends SparkSpec {
       maxGroupSize = 1 << 20)) == full)
   }
 
+  test("q82 six-table join broadcasts dims; q83 correlated subquery decorrelates") {
+    val p82 = Core.q82RegionalRevenue(spark, sf).queryExecution
+      .executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p82.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      "the dimension chain must broadcast, not shuffle")
+    val p83 = Core.q83Correlated(spark, sf).queryExecution
+      .executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p83.contains("Subquery"),
+      "the correlated scalar subquery must decorrelate into an aggregate+join")
+    assert(p83.linesIterator.exists(_.contains("Join")),
+      "decorrelation produces a join against the per-part aggregate")
+  }
+
   test("binned range join == naive nested-loop join; plans hash, not loop") {
     import graft.ops.RangeJoin
     val top = Tables.orders(spark, sf)
