@@ -142,10 +142,24 @@ class FunctionsSpec extends SparkSpec {
     val rows = spark.sql(
       """SELECT doc_id, simhash64(split(lower(text), '[^a-z]+')) AS sh,
                 float_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
-                              array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d
+                              array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+                zorder2(doc_id, doc_id + 1) AS z
          FROM docs_v""").collect()
     assert(rows.length == 10)
     assert(rows.forall(_.getDouble(2) == 11.0))
+    rows.foreach(r => assert(r.getLong(3) ==
+      graft.functions.SpatialKernels.zOrder2(r.getLong(0), r.getLong(0) + 1)))
+  }
+
+  test("zorder2 stays inside whole-stage codegen") {
+    val df = Tables.lineitem(spark, sf).limit(100)
+      .select(exprs.zorder2(col("l_partkey"), col("l_suppkey")).as("z"))
+      .groupBy("z").count()
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val line = p.linesIterator.find(_.contains("zorder2"))
+    assert(line.isDefined && line.get.contains("*("),
+      s"zorder2 fell out of codegen:\n${p.take(800)}")
   }
 
   test("custom expressions survive codegen (no interpreter fallback crash)") {
