@@ -124,6 +124,29 @@ object Patterns {
       .orderBy("l_orderkey", "pos")
   }
 
+  /** RANGE-frame window (value-based sliding window): per event, count
+    * and exact sum of the same user's events in the PRECEDING HOUR — a
+    * time-window aggregate no ROWS frame can express (the frame width is
+    * measured in event-time, not row count). The order key is integer
+    * microseconds (`rangeBetween` needs a numeric order column); the same
+    * numeric RANGE frame runs on the DuckDB side, and peers (equal
+    * timestamps) are included identically by RANGE semantics, so the
+    * result is deterministic without a tiebreak. One shuffle on user_id. */
+  def q84RangeFrame(spark: SparkSession, d: String): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L) // 1 hour in microseconds
+    Tables.events(spark, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .withColumn("sum_last_hour",
+        sum(col("value").cast(Dec)).over(w).cast("double"))
+      .filter(col("user_id") < 10)
+      .select("user_id", "event_id", "n_last_hour", "sum_last_hour")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Ranking-function family (pending ch. 08 completeness): row_number,
     * dense_rank (on a coarser key), ntile quartiles, lead — one partition
     * key, so Catalyst computes all four with a single exchange. */
@@ -192,6 +215,7 @@ object Patterns {
     "q64_cumulative_users" -> (q64CumulativeUsers _),
     "q63_features"        -> (q63Features _),
     "q58_rank_family"     -> (q58RankFamily _),
+    "q84_range_frame"     -> (q84RangeFrame _),
     "q57_nest_lineitems"  -> (q57NestLineitems _),
     "q53_topk_agg"        -> (q53TopKAgg _),
     "q48_topn_per_group"  -> (q48TopNPerGroup _),
@@ -224,6 +248,17 @@ object Patterns {
                 ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS roll_cnt_5
       FROM events WHERE user_id < 10
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+    "q84_range_frame" -> """
+      SELECT user_id, event_id, n_last_hour, sum_last_hour FROM (
+        SELECT user_id, event_id,
+               COUNT(*) OVER w AS n_last_hour,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 AS sum_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+      WHERE user_id < 10
       ORDER BY user_id, event_id""",
     "q58_rank_family" -> """
       SELECT c_mktsegment, CAST(rn AS INT) AS rn,
