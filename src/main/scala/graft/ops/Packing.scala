@@ -46,6 +46,9 @@ object Packing {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_seq_packing" -> (qSequencePacking _))
 
+  // NB: DuckDB's window SUM(BIGINT) yields HUGEINT, which pandas coerces to
+  // float64 on the driver — chunk_id must be CAST back to BIGINT or the
+  // driver hashes "5.0" against Spark's "5" (the round-3 q67 failure).
   val oracles: Map[String, String] = Map(
     "q67_seq_packing" -> s"""
       WITH t AS (
@@ -56,7 +59,8 @@ object Packing {
                SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM t)
-      SELECT lang, (cum - n_tokens) // 512 AS chunk_id, COUNT(*) AS n_docs,
+      SELECT lang, CAST((cum - n_tokens) // 512 AS BIGINT) AS chunk_id,
+             COUNT(*) AS n_docs,
              CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
       FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""")
 }

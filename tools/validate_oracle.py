@@ -38,6 +38,23 @@ def main(sf_dir, out_dir):
             grows, gcols = got.fetchall(), [d[0] for d in got.description]
             exp = con.execute(sql)
             erows, ecols = exp.fetchall(), [d[0] for d in exp.description]
+            # The driver hashes PANDAS frames — duckdb HUGEINT (window/agg
+            # SUM over ints) silently becomes float64 there, so "5.0" vs
+            # "5" fails the hash even when fetchall() values are identical
+            # (the round-3 q67 failure). Compare pandas dtypes to catch it.
+            gdt = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).df().dtypes
+            edt = con.execute(sql).df().dtypes
+            drift = [c for c in gdt.index
+                     if c in edt.index and str(gdt[c]) != str(edt[c])]
+            if drift:
+                c = drift[0]
+                print(f"FAIL {name}: pandas dtype {c}: "
+                      f"spark={gdt[c]} oracle={edt[c]} "
+                      f"(driver hash WILL mismatch — CAST in the oracle)")
+                n_bad += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_bad += 1
