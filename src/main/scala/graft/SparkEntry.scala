@@ -23,6 +23,7 @@ object SparkEntry {
       graft.ops.Packing.queries ++
       graft.ops.Sketches.queries ++
       graft.ops.Sampling.queries ++
+      graft.ops.Scale.queries ++
       graft.ops.RangeJoin.queries ++
       graft.ops.Quality.queries ++
       graft.ops.Diff.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       graft.ops.Packing.oracles ++
       graft.ops.Sketches.oracles ++
       graft.ops.Sampling.oracles ++
+      graft.ops.Scale.oracles ++
       graft.ops.RangeJoin.oracles ++
       graft.ops.Quality.oracles ++
       graft.ops.Diff.oracles ++

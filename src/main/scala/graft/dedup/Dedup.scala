@@ -308,8 +308,35 @@ object Dedup {
       .limit(20)
   }
 
+  /** Cross-document duplication coverage (the C4/RefinedWeb "how much of
+    * this source is boilerplate shared with other documents" metric):
+    * fraction of each source's distinct-per-doc 8-grams that also occur in
+    * at least one OTHER document. One gram explode, one df aggregation,
+    * one join back — the same bounded explode-join-aggregate shape as
+    * [[qContamination]]; never pairwise. dup_frac derives from two exact
+    * BIGINTs with a single rounded division, so the oracle is exact. */
+  def dupCoverage(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = docs
+      .withColumn("toks", Text.tokens)
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.exprs.gramNSetSorted(col("toks"), n)).as("g"))
+    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+      .orderBy("source")
+  }
+
+  def qDupCoverage(spark: SparkSession, d: String): DataFrame =
+    dupCoverage(Tables.documents(spark, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_contamination"  -> (qContamination _),
+    "q87_dup_coverage"   -> (qDupCoverage _),
     "q59_minhash_verify" -> (qMinhashVerify _),
     "q54_dedup_canonical" -> (qDedupCanonical _),
     "q30_dedup_exact"   -> (qDedupExact _),
@@ -339,6 +366,22 @@ object Dedup {
       FROM eval_g e JOIN rare_train t USING (g)
       GROUP BY 1, 2 HAVING COUNT(*) >= 3
       ORDER BY shared_grams DESC, eval_doc, train_doc LIMIT 20""",
+    "q87_dup_coverage" -> s"""
+      WITH toks AS (
+        SELECT doc_id, source, ${Text.duckTokens} AS toks FROM documents),
+      grams AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+                 i -> array_to_string(toks[i:i+7], ' ')))) AS g
+        FROM toks WHERE len(toks) >= 8),
+      df AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+      SELECT source, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams,
+             ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 6) AS dup_frac
+      FROM grams JOIN df USING (g)
+      GROUP BY source ORDER BY source""",
     "q54_dedup_canonical" -> """
       SELECT md5(text) AS fp, MIN(doc_id) AS keeper_doc, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY fp""",

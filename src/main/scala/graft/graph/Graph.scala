@@ -209,4 +209,40 @@ object Graph {
     if (direct.count() > 0) direct
     else twoHop(edges).filter(col("start") === from && col("end") === to)
   }
+
+  /** Weighted PageRank in exact fixed-point arithmetic (micro-units of
+    * 1e-12): rank'(j) = 15%/N + 85% × Σ_in rank(i)·w_ij / totw_i, every
+    * step floor-integer — so the result is bit-identical on any engine at
+    * any parallelism (the q66 fixed-point rule applied to an iterative
+    * algorithm; doubles would drift across engines after 10 iterations).
+    * Dangling-node mass evaporates (the standard simplification; GraphX's
+    * `staticPageRank` does the same).
+    *
+    * Edges: (src, dst, wt). Each iteration is one join + one aggregation,
+    * both keyed — the rank vector is O(V) and re-shuffles on `id` each
+    * round. At 100 TB: pre-partition edges by src once and reuse the
+    * exchange; checkpoint `ranks` every few rounds to cut the growing
+    * lineage (this loop builds a 10-deep plan, fine locally, noted for
+    * cluster use). The only driver-side values are the node COUNT and the
+    * loop counter — never rows. */
+  def pageRankFixedPoint(edges: DataFrame, iters: Int = 10): DataFrame = {
+    val Scale = 1000000000000L // 1e12 micro-units
+    val nodes = vertices(edges)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val base = (15L * Scale) / (100L * n)
+    val outw = edges.groupBy("src").agg(sum(col("wt")).as("totw"))
+    var ranks = nodes.withColumn("r", lit(Scale / n))
+    for (_ <- 1 to iters) {
+      val contribs = edges.join(outw, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          expr("(r * 85 * wt) div (100 * totw)").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+    }
+    ranks.select(col("id"), col("r").as("rank_fp"),
+      round(col("r").cast("double") / Scale, 6).as("rank"))
+  }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed weighted sampling without replacement (Efraimidis–Spirakis
@@ -50,8 +51,82 @@ object Sampling {
       "doc_id", col("n_tokens"), k = 25)
       .orderBy("doc_id")
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q70_weighted_sample" -> (qWeightedSample _))
+  /** Training-mixture construction under a global token budget with
+    * temperature-weighted per-source shares (the UniMax / "sample source s
+    * proportional to tokens_s^alpha" discipline, alpha = 0.5):
+    *
+    *   1. per-source token totals (one aggregation);
+    *   2. integer weights w_s = floor(sqrt(tokens_s)) — sqrt is correctly
+    *      rounded IEEE, so floor(sqrt(exact int)) is bit-identical on any
+    *      engine (the q66 fixed-point rule: never round, always floor);
+    *   3. per-source budget = totalBudget * w_s div sum(w) — integer
+    *      division, exact everywhere;
+    *   4. greedy selection inside each source in deterministic
+    *      content-hash order (md5(text), doc_id tiebreak): a doc is kept
+    *      while its EXCLUSIVE prefix of tokens is under the budget, so
+    *      selection is reproducible and append-stable within a source.
+    *
+    * Scale: the weight table has |sources| rows (a global window over it is
+    * O(sources), not O(corpus)); the budget join broadcasts; the per-source
+    * window is the only corpus-wide shuffle. One pass, one shuffle.
+    */
+  def mixtureSample(docs: DataFrame, tokenCount: Column,
+                    totalBudget: Long): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = docs.withColumn("n_tokens", tokenCount)
+      .groupBy("source").agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("w", floor(sqrt(col("src_tokens"))).cast("long"))
+    val budgets = totals
+      .withColumn("w_sum", sum(col("w")).over(Window.partitionBy()))
+      .withColumn("budget", expr(s"($totalBudget * w) div w_sum"))
+      .select("source", "budget")
+    docs.withColumn("n_tokens", tokenCount)
+      .withColumn("__h", md5(col("text")))
+      .join(broadcast(budgets), "source")
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") - col("n_tokens") < col("budget"))
+  }
 
-  val oracles: Map[String, String] = Map.empty // hash-derived keys — rows-only
+  /** Mixture-sample accounting: per-source budget, docs kept, tokens kept.
+    * Fully integer → exact DuckDB oracle. */
+  def qMixtureSample(spark: SparkSession, d: String): DataFrame =
+    mixtureSample(Tables.documents(spark, d),
+        size(graft.text.Text.tokens), totalBudget = 20000L)
+      .groupBy("source")
+      .agg(max(col("budget")).as("budget"),
+        count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tokens")).as("tokens_kept"))
+      .orderBy("source")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_weighted_sample" -> (qWeightedSample _),
+    "q85_mixture_sample"  -> (qMixtureSample _))
+
+  // q70's Efraimidis–Spirakis keys are xxhash64-derived (engine-specific) —
+  // rows-only. q85 is integer-exact end-to-end (floor(sqrt), integer div,
+  // md5 order) so it gets a full oracle.
+  val oracles: Map[String, String] = Map(
+    "q85_mixture_sample" -> s"""
+      WITH t AS (
+        SELECT source, doc_id, md5(text) AS h,
+               len(${graft.text.Text.duckTokens}) AS n_tokens
+        FROM documents),
+      tot AS (
+        SELECT source, CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+        FROM t GROUP BY source),
+      b AS (
+        SELECT source, CAST((20000 * w) // (SELECT SUM(w) FROM tot) AS BIGINT) AS budget
+        FROM tot),
+      c AS (
+        SELECT t.source, budget, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY t.source ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t JOIN b ON t.source = b.source)
+      SELECT source, CAST(MAX(budget) AS BIGINT) AS budget,
+             COUNT(*) AS n_docs_kept,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+      FROM c WHERE cum - n_tokens < budget
+      GROUP BY source ORDER BY source""")
 }

@@ -69,4 +69,34 @@ object Scale {
       .split("== Initial Plan ==")(0) // AQE toString repeats the pre-AQE plan
       .linesIterator.count(l => l.contains("Exchange") &&
         !l.contains("ReusedExchange") && !l.contains("BroadcastExchange"))
+
+  /** Supplier revenue through an explicitly SALTED join: lineitem's
+    * suppkey gets a random salt, supplier is replicated `salts` ways, and
+    * the join runs on (key, salt) — the manual hot-key treatment for when
+    * one key exceeds an executor even after AQE's skew split. The point
+    * the oracle pins: salting is INVISIBLE in the result — any salt
+    * assignment joins each row to exactly its one replicated partner, so
+    * the aggregate equals the plain join's (the DuckDB oracle IS the
+    * unsalted join). Decimal-exact sums keep it bitwise. */
+  def qSaltedAgg(spark: SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, d)
+      .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+    val sup = graft.Tables.supplier(spark, d)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    saltedJoin(li, sup, "suppkey", salts = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        graft.Num.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_salted_agg" -> (qSaltedAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q92_salted_agg" -> s"""
+      SELECT s_nationkey, COUNT(*) AS n_items,
+             ${graft.Num.sqlDsum("l_extendedprice")} AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey""")
 }

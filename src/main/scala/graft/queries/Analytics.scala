@@ -48,11 +48,49 @@ object Analytics {
       .orderBy("cohort_week", "week_idx")
   }
 
+  /** Length-curriculum buckets: quartile (ntile) of token count within
+    * each language, then per-bucket stats — the "sort by length, feed
+    * short sequences first" curriculum prep, and the NTILE member of the
+    * rank-function family (q58 covers rank/dense_rank/percent_rank/
+    * cume_dist). The window partitions by lang — no global sort; at
+    * 100 TB per-lang ntile is one keyed shuffle (for a GLOBAL curriculum,
+    * use exact-percentile thresholds (ops.Percentiles) instead of a
+    * single-partition window). */
+  def qNtileCurriculum(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    Tables.documents(spark, d)
+      .withColumn("n_tokens", size(graft.text.Text.tokens))
+      .withColumn("bucket", ntile(4).over(w))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("bucket_tokens"))
+      .orderBy("lang", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_funnel"  -> (qFunnel _),
-    "q79_cohorts" -> (qCohorts _))
+    "q79_cohorts" -> (qCohorts _),
+    "q93_ntile_curriculum" -> (qNtileCurriculum _))
 
   val oracles: Map[String, String] = Map(
+    "q93_ntile_curriculum" -> s"""
+      WITH t AS (
+        SELECT lang, doc_id, len(${graft.text.Text.duckTokens}) AS n_tokens
+        FROM documents),
+      b AS (
+        SELECT lang, n_tokens,
+               NTILE(4) OVER (PARTITION BY lang
+                              ORDER BY n_tokens, doc_id) AS bucket
+        FROM t)
+      SELECT lang, CAST(bucket AS INT) AS bucket, COUNT(*) AS n_docs,
+             CAST(MIN(n_tokens) AS INT) AS min_tokens,
+             CAST(MAX(n_tokens) AS INT) AS max_tokens,
+             CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+      FROM b GROUP BY 1, 2 ORDER BY lang, bucket""",
     "q78_funnel" -> """
       WITH v AS (
         SELECT user_id, MIN(ts) AS v_ts FROM events

@@ -27,6 +27,17 @@ object Extra {
   def q40GraphDegrees(spark: SparkSession, d: String): DataFrame =
     Graph.degreesFast(transitionEdges(spark, d)).orderBy("id")
 
+  /** Weighted PageRank (10 fixed-point iterations) over the event-type
+    * transition graph — the iterative-join algorithm family
+    * ([[Graph.pageRankFixedPoint]]); integer micro-unit arithmetic makes
+    * 10 iterations bit-identical to the oracle's unrolled CTE chain. */
+  def q89PageRank(spark: SparkSession, d: String): DataFrame =
+    Graph.pageRankFixedPoint(
+      transitionEdges(spark, d)
+        .groupBy("src", "dst").agg(count(lit(1)).as("wt")),
+      iters = 10)
+      .orderBy("id")
+
   /** A5: the (sum,count) monoid average as a typed Aggregator, registered
     * as a UDAF. Buffer is integer cents — exact, associative, partition-
     * invariant (the property the reference's wrong-mean demo is about). */
@@ -140,9 +151,48 @@ object Extra {
     "q43_asof_join"        -> (q43AsofJoin _),
     "q44_partition_pruning" -> (q44PartitionPruning _),
     "q45_approx_distinct"  -> (q45ApproxDistinct _),
+    "q89_pagerank"         -> (q89PageRank _),
   )
 
+  /** DuckDB twin of the 10-iteration fixed-point PageRank: the recursive
+    * term would need an aggregate (illegal in SQL recursion), so the
+    * builder unrolls the iterations into a chained-CTE pipeline — exact
+    * integer arithmetic end-to-end, same floors as the Spark loop. */
+  private val pageRankOracle: String = {
+    val iters = 10
+    val head = """
+      WITH tr AS (
+        SELECT prev_type AS src, event_type AS dst FROM (
+          SELECT event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events) WHERE prev_type IS NOT NULL),
+      e AS (SELECT src, dst, COUNT(*) AS wt FROM tr GROUP BY 1, 2),
+      w AS (SELECT src, CAST(SUM(wt) AS BIGINT) AS totw FROM e GROUP BY src),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      pr0 AS (SELECT id, CAST(1000000000000 // n AS BIGINT) AS r
+              FROM nodes CROSS JOIN nn)"""
+    val steps = (1 to iters).map { k =>
+      s""",
+      c$k AS (SELECT e.dst AS id,
+                CAST(SUM((p.r * 85 * e.wt) // (100 * w.totw)) AS BIGINT) AS s
+              FROM e JOIN w USING (src) JOIN pr${k - 1} p ON p.id = e.src
+              GROUP BY e.dst),
+      pr$k AS (SELECT nodes.id,
+                CAST((15 * 1000000000000) // (100 * nn.n) AS BIGINT)
+                  + COALESCE(s, 0) AS r
+               FROM nodes CROSS JOIN nn
+               LEFT JOIN c$k ON c$k.id = nodes.id)"""
+    }.mkString
+    head + steps + s"""
+      SELECT id, CAST(r AS BIGINT) AS rank_fp,
+             ROUND(CAST(r AS DOUBLE) / 1000000000000, 6) AS rank
+      FROM pr$iters ORDER BY id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q89_pagerank" -> pageRankOracle,
     "q40_graph_degrees" -> """
       WITH edges AS (
         SELECT prev_type AS src, event_type AS dst FROM (

@@ -249,6 +249,40 @@ object Similarity {
   def qIvfAnn(spark: SparkSession, d: String): DataFrame =
     ivfTopK(Tables.embeddings(spark, d), queryVecId = 0L, k = 10)
 
+  /** KNN join: every query vector gets its k nearest corpus neighbors
+    * (self excluded) — the batch shape of retrieval evaluation and
+    * embedding-dedup candidate generation, vs [[bruteForceTopK]]'s single
+    * query.
+    *
+    * Scale plan: the query side broadcasts (a query batch is small by
+    * definition); the corpus streams through ONE scan; per-query ranking
+    * uses the bounded [[graft.functions.TopKByScore]] aggregate, so the
+    * shuffle after the scan is O(queries × k) rows, not O(corpus ×
+    * queries). A window row_number here would shuffle and sort every
+    * (query, corpus) pair — the exact anti-pattern TopKByScore exists for.
+    * Ranking compares ROUND(cos, 6) with vec_id tiebreak: both engines
+    * rank identical doubles identically, so the oracle is exact. */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val topK = udaf(new graft.functions.TopKByScore(k))
+    corpus.crossJoin(broadcast(queries.select(
+        col("vec_id").as("q_id"), col("embedding").as("q_embedding"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosCol(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+      .groupBy("q_id")
+      .agg(topK(col("cos_sim"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("entry._2").as("vec_id"), col("entry._1").as("cos_sim"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** KNN join of the first 10 vectors against the full corpus, top-5 each. */
+  def qKnnJoin(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    knnJoin(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_cosine_topk"   -> (qCosineTopK _),
     "q35_ann_lsh"       -> (qAnnLsh _),
@@ -256,6 +290,7 @@ object Similarity {
     "q37_embed_neardup" -> (qEmbedNearDup _),
     "q46_ivf_ann"       -> (qIvfAnn _),
     "q60_quantization"  -> (qQuantization _),
+    "q86_knn_join"      -> (qKnnJoin _),
   )
 
   val oracles: Map[String, String] = {
@@ -297,6 +332,20 @@ object Similarity {
                  (sqrt(list_inner_product(emb_d, emb_d)) * sqrt(list_inner_product(deq, deq)))), 6)
                  AS mean_cos_after_int8
         FROM q GROUP BY label ORDER BY label""",
+      "q86_knn_join" -> s"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_embedding
+                   FROM embeddings WHERE vec_id < 10),
+        pairs AS (
+          SELECT q_id, vec_id,
+                 ROUND(${cos("embedding", "q_embedding")}, 6) AS cos_sim
+          FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+        ranked AS (
+          SELECT q_id, vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim DESC, vec_id) AS rk
+          FROM pairs)
+        SELECT q_id, CAST(rk AS INT) AS rk, vec_id, cos_sim
+        FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
       // q35/q37: LSH plane construction is engine-side → rows-only.
     )
   }

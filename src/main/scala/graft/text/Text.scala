@@ -242,7 +242,51 @@ object Text {
       .orderBy("lang", "rk")
   }
 
+  /** PII / denylist redaction patterns — public redaction recipes, written
+    * in the regex subset Java and RE2 (DuckDB) interpret identically: no
+    * lookarounds, no backrefs. Order matters: SSN and IP before PHONE so
+    * the looser phone pattern never eats their digits. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "SSN"   -> """\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b""",
+    "IP"    -> """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b""",
+    "PHONE" -> """\+[0-9][0-9() -]{6,}[0-9]""")
+
+  /** Replace every match of every pattern with its `[TAG]` — a chained
+    * regexp_replace, fully codegen'd (native Catalyst RegExpReplace with a
+    * cached compiled pattern per expression; no UDF). */
+  def redact(c: Column, patterns: Seq[(String, String)] = piiPatterns): Column =
+    patterns.foldLeft(c) { case (acc, (tag, p)) =>
+      regexp_replace(acc, p, s"[$tag]")
+    }
+
+  /** PII scan report: per-source match counts for the PII patterns plus a
+    * denylist term ("customer" here — the corpus carries no real PII, so
+    * the term path is what proves the count/redact machinery end-to-end
+    * with nonzero values; the PII columns prove the patterns agree across
+    * engines). chars_delta audits replace-ALL semantics (DuckDB needs the
+    * 'g' flag to match Spark). Single scan, one aggregation. */
+  def qPiiScan(spark: SparkSession, d: String): DataFrame = {
+    val termP = """\bcustomer\b"""
+    def hits(p: String) = size(regexp_extract_all(col("text"), lit(p), lit(0)))
+    Tables.documents(spark, d)
+      .select(col("source"),
+        hits(piiPatterns.head._2).as("n_email"),
+        hits(piiPatterns(2)._2).as("n_ip"),
+        hits(termP).as("n_term"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), termP, "[TERM]"))).as("delta"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("pii_email"),
+        sum(col("n_ip")).as("pii_ip"),
+        sum(col("n_term")).as("term_hits"),
+        sum(col("delta")).as("chars_delta"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_pii_scan"    -> (qPiiScan _),
     "q66_unigram_lm"  -> (qUnigramLm _),
     "q68_boilerplate" -> (qBoilerplate _),
     "q61_repetition"  -> (qRepetition _),
@@ -261,7 +305,22 @@ object Text {
     val scoreCols = stopwords.map { case (l, ws) =>
       s"${duckScoreSql("toks", ws)} AS score_$l"
     }.mkString(", ")
+    // NB: the s-interpolator processes escapes even in triple-quoted
+    // strings — a literal \b here becomes a backspace byte. Regexes must
+    // arrive via interpolated raw-string vals (termRe below, piiPatterns).
+    val termRe = """\bcustomer\b"""
     Map(
+      "q90_pii_scan" -> s"""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text,
+                 '${piiPatterns.head._2}'))) AS BIGINT) AS pii_email,
+               CAST(SUM(len(regexp_extract_all(text,
+                 '${piiPatterns(2)._2}'))) AS BIGINT) AS pii_ip,
+               CAST(SUM(len(regexp_extract_all(text,
+                 '$termRe'))) AS BIGINT) AS term_hits,
+               CAST(SUM(length(text) - length(regexp_replace(text,
+                 '$termRe', '[TERM]', 'g'))) AS BIGINT) AS chars_delta
+        FROM documents GROUP BY source ORDER BY source""",
       "q61_repetition" -> s"""
         SELECT doc_id, CAST(len(toks) - 2 AS INT) AS n_grams,
                CAST(len(${graft.dedup.Dedup.duckShinglesSql}) AS INT) AS n_distinct_grams,

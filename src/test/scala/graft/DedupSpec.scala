@@ -60,4 +60,19 @@ class DedupSpec extends SparkSpec {
       .agg(countDistinct(md5(col("text"))).as("d")).collect().head.getLong(1)
     assert(n == 5)
   }
+
+  test("dup coverage: exact-copy source fully duplicated, unique source 0") {
+    // srcA: two identical 10-token docs — every 8-gram duplicated.
+    // srcB: one unique doc — zero duplicated grams.
+    val docs = Seq(
+      (1L, "srcA", "one two three four five six seven eight nine ten"),
+      (2L, "srcA", "one two three four five six seven eight nine ten"),
+      (3L, "srcB", "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.dupCoverage(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out("srcA") == ((6L, 6L, 1.0)), s"srcA: ${out("srcA")}") // 3 grams/doc × 2 docs
+    assert(out("srcB") == ((3L, 0L, 0.0)), s"srcB: ${out("srcB")}")
+  }
 }

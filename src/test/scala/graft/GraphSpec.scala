@@ -135,4 +135,30 @@ class GraphSpec extends SparkSpec {
     val connecting = Graph.routesWithFallback(flights, "BBB", "EEE").collect()
     assert(connecting.nonEmpty && connecting.forall(!_.isNullAt(1)))
   }
+
+  test("pageRank: symmetric cycle is uniform; sinks accumulate rank") {
+    import spark.implicits._
+    // 2-cycle with equal weights: ranks must be exactly equal, ≈ 0.5 each
+    val cyc = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "wt")
+    val cr = Graph.pageRankFixedPoint(cyc, iters = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cr("a") == cr("b"), s"symmetric nodes must tie: $cr")
+    assert(math.abs(cr("a") - 500000000000L) < 1000000L, s"≈0.5 each: $cr")
+    // star a→c, b→c: c gets teleport + both contributions, strictly above a,b
+    val star = Seq(("a", "c", 1L), ("b", "c", 1L)).toDF("src", "dst", "wt")
+    val sr = Graph.pageRankFixedPoint(star, iters = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sr("c") > sr("a") && sr("a") == sr("b"), s"star ranks: $sr")
+  }
+
+  test("pageRank fixed-point is partition-invariant (bit-identical)") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 3L), ("b", "c", 1L), ("c", "a", 2L),
+      ("a", "c", 1L), ("c", "b", 5L)).toDF("src", "dst", "wt")
+    val one = Graph.pageRankFixedPoint(edges.repartition(1), 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val many = Graph.pageRankFixedPoint(edges.repartition(7), 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(one.sameElements(many), "integer ranks must not depend on partitioning")
+  }
 }

@@ -157,4 +157,95 @@ class PipelineOpsSpec extends SparkSpec {
         s"$lang: counts must be non-increasing")
     }
   }
+
+  test("mixture sample: per-source overshoot < one doc; budgets ∝ floor(sqrt)") {
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, sf)
+    val kept = Sampling.mixtureSample(docs, size(Text.tokens), 20000L)
+    // greedy exclusive-prefix rule: dropping the largest kept doc of a
+    // source must land strictly under the budget
+    val stats = kept.groupBy("source")
+      .agg(max("budget").as("b"), sum("n_tokens").as("t"),
+           max("n_tokens").as("mx"))
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val (b, t, mx) = (r.getLong(1), r.getLong(2), r.getInt(3).toLong)
+      assert(t - mx < b, s"${r.getString(0)}: tokens=$t budget=$b max_doc=$mx")
+    }
+    // deterministic: same data, same budget → identical selection
+    val again = Sampling.mixtureSample(docs, size(Text.tokens), 20000L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val first = kept.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(first.sameElements(again))
+  }
+
+  test("round-robin shards: per-shard token totals within one max-doc") {
+    val sharded = Packing.shardRoundRobin(Tables.documents(spark, sf),
+      size(Text.tokens), nShards = 4, partitionCol = "lang", orderCol = "doc_id")
+    sharded.groupBy("lang", "shard")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("n"))
+      .collect().groupBy(_.getString(0)).foreach { case (lang, rows) =>
+        val tots = rows.map(_.getLong(2))
+        val maxDoc = sharded.filter(col("lang") === lang)
+          .agg(max("n_tokens")).collect().head.getInt(0).toLong
+        assert(tots.max - tots.min <= maxDoc,
+          s"$lang: shard spread ${tots.max - tots.min} exceeds max doc $maxDoc")
+        val ns = rows.map(_.getLong(3))
+        assert(ns.max - ns.min <= 1, s"$lang: doc counts must differ by ≤1")
+      }
+  }
+
+  test("sliding chunks: closed-form count, full coverage, fixed overlap") {
+    import spark.implicits._
+    // doc lengths straddling every boundary case: sub-window, exact
+    // window, window+1 (first straddle), long, and empty
+    val docs = Seq((1L, 10), (2L, 64), (3L, 65), (4L, 200), (5L, 0))
+      .toDF("doc_id", "n")
+    val out = Packing.chunkSliding(docs, col("n"), window = 64, stride = 48)
+      .select("doc_id", "n", "n_chunks", "chunk_off", "chunk_len").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.view.mapValues(_.head.getInt(2)).toMap ==
+      Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 4, 5L -> 1))
+    byDoc.foreach { case (id, rows) =>
+      val n = rows.head.getInt(1)
+      val sorted = rows.sortBy(_.getInt(3))
+      // offsets advance by exactly the stride
+      assert(sorted.map(_.getInt(3)).sameElements(
+        Array.tabulate(sorted.length)(_ * 48)), s"doc $id offsets")
+      // last chunk ends exactly at n; every earlier chunk is full-width
+      val last = sorted.last
+      assert(last.getInt(3) + last.getInt(4) == n, s"doc $id coverage")
+      assert(sorted.init.forall(_.getInt(4) == 64), s"doc $id non-last widths")
+    }
+  }
+
+  test("ntile curriculum: buckets sized within 1, ranges non-overlapping") {
+    graft.queries.Analytics.qNtileCurriculum(spark, sf).collect()
+      .groupBy(_.getString(0)).foreach { case (lang, rows) =>
+        val sorted = rows.sortBy(_.getInt(1))
+        val ns = sorted.map(_.getLong(2))
+        assert(ns.max - ns.min <= 1, s"$lang: quartile sizes $ns")
+        // contiguous ranges: bucket k's min ≥ bucket k-1's max
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b.getInt(3) >= a.getInt(4),
+              s"$lang: bucket ${b.getInt(1)} overlaps ${a.getInt(1)}")
+          case _ =>
+        }
+      }
+  }
+
+  test("PII redaction replaces every pattern, leaves clean text intact") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail a.user+tag@example.co.uk and b@c.io now",
+      "ssn 123-45-6789 ip 10.0.42.7 phone +1 (555) 123-4567",
+      "clean text with no identifiers at all")
+      .toDF("text")
+      .select(Text.redact(col("text")).as("r")).as[String].collect()
+    assert(rows(0) == "mail [EMAIL] and [EMAIL] now", rows(0))
+    assert(rows(1) == "ssn [SSN] ip [IP] phone [PHONE]", rows(1))
+    assert(rows(2) == "clean text with no identifiers at all")
+  }
 }

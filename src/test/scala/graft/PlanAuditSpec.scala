@@ -247,4 +247,27 @@ class PlanAuditSpec extends SparkSpec {
         s"bucketed join must not shuffle:\n${joined.queryExecution.executedPlan}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("q86 knn join: query side broadcast; top-k is a partial+final " +
+       "ObjectHashAggregate (shuffle is O(queries × k), not the cross " +
+       "product)") {
+    val df = graft.similarity.Similarity.qKnnJoin(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query batch must broadcast:\n${p.take(800)}")
+    assert(p.contains("ObjectHashAggregate"),
+      s"TopKByScore must plan as ObjectHashAggregate:\n${p.take(800)}")
+    // partial (map-side) before the exchange: the string shows two
+    // ObjectHashAggregate nodes around the q_id shuffle
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "bounded top-k must combine map-side before the q_id shuffle")
+  }
+
+  test("q85 mixture sampling: the per-source budget table joins by broadcast") {
+    val docs = Tables.documents(spark, sf)
+    val kept = graft.ops.Sampling.mixtureSample(
+      docs, size(graft.text.Text.tokens), 20000L)
+    assert(plan(kept).contains("BroadcastHashJoin"),
+      "the O(|sources|) budget table must broadcast, never shuffle the corpus")
+  }
 }

@@ -94,4 +94,21 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hyperplanes().flatten.toSeq ==
            Similarity.hyperplanes().flatten.toSeq)
   }
+
+  test("knnJoin matches per-query brute force, excludes self, ranks 1..k") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.knnJoin(emb, emb.filter(col("vec_id") < 3), k = 4)
+      .collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(Array(1, 2, 3, 4)))
+      assert(!rows.map(_.getLong(2)).contains(q), s"self in knn of $q")
+      // per-query result == single-query brute force (minus the self hit)
+      val bf = Similarity.bruteForceTopK(emb, q, 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).filter(_._1 != q).take(4)
+      val got = rows.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3)))
+      assert(got.sameElements(bf), s"q=$q got=${got.toSeq} bf=${bf.toSeq}")
+    }
+  }
 }
