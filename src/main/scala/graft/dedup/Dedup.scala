@@ -107,6 +107,51 @@ object Dedup {
       .join(knownFingerprints, Seq("fp"), "left_anti")
       .drop("fp")
 
+  /** Bloom-prefiltered incremental dedup: classify incoming docs as
+    * new/duplicate vs a historical corpus with a bloom filter doing the
+    * bulk rejection and an exact join only over bloom candidates.
+    *
+    * The exactness argument (why the probabilistic filter yields an
+    * oracle-exact result): a bloom filter has NO false negatives, so
+    * "bloom says absent" is definitely-new with no join at all; the false
+    * positives land in the candidate set and are removed by the exact
+    * anti-join. Result ≡ plain anti-join (DedupSpec pins equality).
+    *
+    * At 100 TB: the corpus fingerprint table never shuffles against the
+    * full batch — only the ~fpp-sized candidate slice joins. The bloom
+    * here is a driver-built `stat.bloomFilter` (one aggregation pass,
+    * O(bits) driver memory); at lake scale you build per-bucket blooms
+    * alongside a bucketed fingerprint table and broadcast per-bucket. */
+  def bloomDedup(incoming: DataFrame, corpusFps: DataFrame,
+                 expectedItems: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    val bf = corpusFps.stat.bloomFilter("fp", expectedItems, fpp)
+    val might = udf((s: String) => bf.mightContain(s))
+    val keyed = incoming.withColumn("fp", md5(col("text")))
+    val definiteNew = keyed.filter(!might(col("fp")))
+    val candidates = keyed.filter(might(col("fp")))
+    definiteNew.withColumn("is_dup", lit(false))
+      .unionByName(candidates
+        .join(corpusFps.select(col("fp"), lit(true).as("is_dup")),
+          Seq("fp"), "left")
+        .withColumn("is_dup", coalesce(col("is_dup"), lit(false))))
+  }
+
+  /** Bloom-dedup classification report: src0 as the incoming batch vs the
+    * rest of the corpus, new/dup counts per lang — oracle = the plain
+    * exact join (bloom false positives are verified away, see
+    * [[bloomDedup]]). */
+  def qBloomDedup(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val corpus = docs.filter(col("source") =!= "src0")
+      .select(md5(col("text")).as("fp")).distinct()
+    bloomDedup(docs.filter(col("source") === "src0"), corpus)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_new"))
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Exact dedup (hash-groupBy): distinct-text counts per lang.
@@ -345,6 +390,7 @@ object Dedup {
     "q33_simhash"       -> (qSimhash _),
     "q73_dedup_clusters" -> (qDedupClusters _),
     "q81_edit_distance"  -> (qEditDistance _),
+    "q94_bloom_dedup"    -> (qBloomDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -382,6 +428,18 @@ object Dedup {
                    / COUNT(*), 6) AS dup_frac
       FROM grams JOIN df USING (g)
       GROUP BY source ORDER BY source""",
+    "q94_bloom_dedup" -> """
+      WITH corpus AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents WHERE source <> 'src0'),
+      incoming AS (
+        SELECT lang, md5(text) AS fp FROM documents WHERE source = 'src0'),
+      c AS (
+        SELECT lang, (corpus.fp IS NOT NULL) AS is_dup
+        FROM incoming LEFT JOIN corpus ON incoming.fp = corpus.fp)
+      SELECT lang, COUNT(*) AS n_incoming,
+             CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             CAST(SUM(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+      FROM c GROUP BY lang ORDER BY lang""",
     "q54_dedup_canonical" -> """
       SELECT md5(text) AS fp, MIN(doc_id) AS keeper_doc, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY fp""",

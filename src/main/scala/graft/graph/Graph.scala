@@ -245,4 +245,55 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_fp"),
       round(col("r").cast("double") / Scale, 6).as("rank"))
   }
+
+  /** Convergence-stopped PageRank: same exact fixed-point iteration as
+    * [[pageRankFixedPoint]], but each round joins the new vector against
+    * the previous one and stops when `max |Δrank| ≤ tolFp` micro-units —
+    * the production stop rule (a fixed count either wastes rounds or stops
+    * short; the convergence probe is one MAX aggregate over the O(V) rank
+    * vector, the only driver-side scalar per round).
+    *
+    * Each round's vector is `localCheckpoint`ed: an unbounded while-loop
+    * MUST truncate lineage, not just cache — `persist` keeps the logical
+    * plan growing (round k's plan nests all k predecessors; ~50 rounds
+    * OOMs the driver in plan/codegen strings — measured here), while a
+    * checkpoint makes every round's plan O(1). On a cluster use
+    * `checkpoint` (HDFS) for fault tolerance; localCheckpoint is the
+    * single-node twin. Default tolFp = 1e9 (1e-3 of total rank): the
+    * damping factor contracts error by ≥ 0.85/round, so 1e-3 needs ~30
+    * rounds from a cold start; drive tolFp down if you need tighter
+    * ranks, maxIters guards either way. Returns (ranks, roundsRun). */
+  def pageRankConverged(edges: DataFrame, tolFp: Long = 1000000000L,
+                        maxIters: Int = 50): (DataFrame, Int) = {
+    val Scale = 1000000000000L
+    val nodes = vertices(edges).persist()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val base = (15L * Scale) / (100L * n)
+    val outw = edges.groupBy("src").agg(sum(col("wt")).as("totw"))
+    var ranks = nodes.withColumn("r", lit(Scale / n)).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val next = nodes.join(
+          edges.join(outw, "src")
+            .join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(col("dst").as("id"),
+              expr("(r * 85 * wt) div (100 * totw)").as("c"))
+            .groupBy("id").agg(sum(col("c")).as("s")),
+          Seq("id"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+        .localCheckpoint()
+      val delta = next
+        .join(ranks.withColumnRenamed("r", "r_prev"), "id")
+        .agg(max(abs(col("r") - col("r_prev"))).as("d"))
+        .collect().head.getLong(0)
+      ranks = next
+      iter += 1
+      converged = delta <= tolFp
+    }
+    nodes.unpersist()
+    (ranks.select(col("id"), col("r").as("rank_fp"),
+      round(col("r").cast("double") / Scale, 6).as("rank")), iter)
+  }
 }

@@ -4,6 +4,12 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Row types for the typed grouped-map twin ([[Analytics.groupZscoreTyped]]);
+  * top-level so implicit product Encoders resolve. */
+case class LangTokens(lang: String, n_tokens: Int)
+case class LangStats(lang: String, n_docs: Long, mean_tokens: Double,
+                     std_tokens: Double, n_outliers: Long)
+
 /** Product-analytics shapes over the events table: strict sequential
   * funnels and cohort retention — the aggregation patterns every event
   * warehouse runs daily, expressed as the minimal number of shuffles.
@@ -71,10 +77,64 @@ object Analytics {
       .orderBy("lang", "bucket")
   }
 
+  /** Per-language token-length standardization report: mean, population
+    * std, and |z| > 2 outlier counts. Every double derives from EXACT
+    * integer window sums (Σx, Σx², n) through expressions written
+    * identically in the oracle — bitwise cross-engine, no rounding, so
+    * even the outlier threshold comparisons agree exactly. One shuffle
+    * (the lang window), reused by the final aggregation. */
+  def qGroupZscore(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+    Tables.documents(spark, d)
+      .withColumn("x", size(graft.text.Text.tokens))
+      .withColumn("n",  count(lit(1)).over(w))
+      .withColumn("s",  sum(col("x")).over(w))
+      .withColumn("ss", sum(col("x") * col("x")).over(w))
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("std",
+        sqrt(col("ss").cast("double") / col("n") - col("mean") * col("mean")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("mean")).as("mean_tokens"),
+        max(col("std")).as("std_tokens"),
+        sum(when(abs(col("x") - col("mean")) > lit(2) * col("std"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("lang")
+  }
+
+  /** Typed-API twin of [[qGroupZscore]]: `Dataset[LangTokens].groupByKey.
+    * flatMapGroups` — the KeyValueGroupedDataset grouped-map shape (what
+    * `applyInPandas` is in PySpark). Same integer-sum arithmetic, so
+    * AnalyticsSpec pins bitwise equality with the window formulation.
+    * Scale note: flatMapGroups materializes one group per call — fine for
+    * bounded groups (per-lang stats at |langs| cardinality would NOT be;
+    * the registered query is the window form for exactly that reason —
+    * this twin exists to cover the typed grouped-map API). */
+  def groupZscoreTyped(spark: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[LangStats] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("lang"), size(graft.text.Text.tokens).as("n_tokens"))
+      .as[LangTokens]
+      .groupByKey(_.lang)
+      .flatMapGroups { (lang: String, it: Iterator[LangTokens]) =>
+        val xs = it.map(_.n_tokens.toLong).toArray
+        val n = xs.length
+        val s = xs.sum
+        val ss = xs.map(x => x * x).sum
+        val mean = s.toDouble / n
+        val std = math.sqrt(ss.toDouble / n - mean * mean)
+        val outliers = xs.count(x => math.abs(x - mean) > 2 * std).toLong
+        Iterator(LangStats(lang, n.toLong, mean, std, outliers))
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_funnel"  -> (qFunnel _),
     "q79_cohorts" -> (qCohorts _),
-    "q93_ntile_curriculum" -> (qNtileCurriculum _))
+    "q93_ntile_curriculum" -> (qNtileCurriculum _),
+    "q95_group_zscore" -> (qGroupZscore _))
 
   val oracles: Map[String, String] = Map(
     "q93_ntile_curriculum" -> s"""
@@ -91,6 +151,26 @@ object Analytics {
              CAST(MAX(n_tokens) AS INT) AS max_tokens,
              CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
       FROM b GROUP BY 1, 2 ORDER BY lang, bucket""",
+    "q95_group_zscore" -> s"""
+      WITH t AS (
+        SELECT lang, len(${graft.text.Text.duckTokens}) AS x FROM documents),
+      w AS (
+        SELECT lang, x,
+               COUNT(*)  OVER (PARTITION BY lang) AS n,
+               CAST(SUM(x) OVER (PARTITION BY lang) AS BIGINT) AS s,
+               CAST(SUM(x * x) OVER (PARTITION BY lang) AS BIGINT) AS ss
+        FROM t),
+      z AS (
+        SELECT lang, x, n,
+               CAST(s AS DOUBLE) / n AS mean,
+               SQRT(CAST(ss AS DOUBLE) / n
+                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS std
+        FROM w)
+      SELECT lang, COUNT(*) AS n_docs,
+             MAX(mean) AS mean_tokens, MAX(std) AS std_tokens,
+             CAST(SUM(CASE WHEN ABS(x - mean) > 2 * std THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers
+      FROM z GROUP BY lang ORDER BY lang""",
     "q78_funnel" -> """
       WITH v AS (
         SELECT user_id, MIN(ts) AS v_ts FROM events

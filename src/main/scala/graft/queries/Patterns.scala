@@ -165,12 +165,18 @@ object Patterns {
       // integer-ratio doubles on both engines — no rounding needed
       .withColumn("pct_rank", percent_rank().over(byPrice))
       .withColumn("cume", cume_dist().over(byPrice))
+      // first_value/nth_value use the default ORDER BY frame (unbounded
+      // preceding → current row): nth_value(2) is NULL at rn=1 — the
+      // standard frame-respecting semantics, identical in DuckDB
+      .withColumn("top_price", first(col("o_totalprice")).over(byPrice))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(byPrice))
       .filter(col("rn") <= 5)
       .select(col("c_mktsegment"), col("rn").cast("int").as("rn"),
         col("bucket_rank").cast("int").as("bucket_rank"),
         col("quartile").cast("int").as("quartile"),
         col("o_totalprice"), col("next_price"),
-        col("pct_rank"), col("cume"))
+        col("pct_rank"), col("cume"),
+        col("top_price"), col("second_price"))
       .orderBy("c_mktsegment", "rn")
   }
 
@@ -264,7 +270,7 @@ object Patterns {
       SELECT c_mktsegment, CAST(rn AS INT) AS rn,
              CAST(bucket_rank AS INT) AS bucket_rank,
              CAST(quartile AS INT) AS quartile, o_totalprice, next_price,
-             pct_rank, cume
+             pct_rank, cume, top_price, second_price
       FROM (
         SELECT c_mktsegment, o_totalprice,
           ROW_NUMBER() OVER w AS rn,
@@ -273,7 +279,9 @@ object Patterns {
           NTILE(4) OVER w AS quartile,
           LEAD(o_totalprice, 1) OVER w AS next_price,
           PERCENT_RANK() OVER w AS pct_rank,
-          CUME_DIST() OVER w AS cume
+          CUME_DIST() OVER w AS cume,
+          FIRST_VALUE(o_totalprice) OVER w AS top_price,
+          NTH_VALUE(o_totalprice, 2) OVER w AS second_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         WINDOW w AS (PARTITION BY c_mktsegment
                      ORDER BY o_totalprice DESC, o_orderkey))

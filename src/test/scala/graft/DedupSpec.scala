@@ -61,6 +61,17 @@ class DedupSpec extends SparkSpec {
     assert(n == 5)
   }
 
+  test("bloom dedup == plain anti/semi join classification (no FP survives)") {
+    val corpus = planted.filter(col("doc_id") < 100)
+      .select(md5(col("text")).as("fp")).distinct()
+    val incoming = planted.filter(col("doc_id") >= 100) // 101 near, 102 exact, 103 new
+    // tiny filter + high fpp to force false positives through the verify path
+    val out = Dedup.bloomDedup(incoming, corpus, expectedItems = 4, fpp = 0.5)
+      .select("doc_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(101L -> false, 102L -> true, 103L -> false), s"$out")
+  }
+
   test("dup coverage: exact-copy source fully duplicated, unique source 0") {
     // srcA: two identical 10-token docs — every 8-gram duplicated.
     // srcB: one unique doc — zero duplicated grams.

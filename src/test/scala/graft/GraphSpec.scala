@@ -151,6 +151,25 @@ class GraphSpec extends SparkSpec {
     assert(sr("c") > sr("a") && sr("a") == sr("b"), s"star ranks: $sr")
   }
 
+  test("converged pageRank: stops before the cap, same ranking as fixed run") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 3L), ("b", "c", 1L), ("c", "a", 2L),
+      ("a", "c", 1L), ("c", "b", 5L)).toDF("src", "dst", "wt")
+    val (ranks, rounds) = Graph.pageRankConverged(edges)
+    assert(rounds > 1 && rounds < 50, s"expected early convergence, ran $rounds")
+    val conv = ranks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fixed = Graph.pageRankFixedPoint(edges, iters = 30).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stop rule: within the contraction bound tol/(1-0.85) of the deep run
+    conv.foreach { case (id, r) =>
+      assert(math.abs(r - fixed(id)) <= 1000000000L * 7,
+        s"$id: converged=$r fixed30=${fixed(id)}")
+    }
+    // and the induced ranking order agrees
+    assert(conv.toSeq.sortBy(-_._2).map(_._1) ==
+           fixed.toSeq.sortBy(-_._2).map(_._1))
+  }
+
   test("pageRank fixed-point is partition-invariant (bit-identical)") {
     import spark.implicits._
     val edges = Seq(("a", "b", 3L), ("b", "c", 1L), ("c", "a", 2L),

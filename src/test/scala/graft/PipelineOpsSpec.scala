@@ -236,6 +236,17 @@ class PipelineOpsSpec extends SparkSpec {
       }
   }
 
+  test("typed flatMapGroups z-score twin == window formulation, bitwise") {
+    val q = graft.queries.Analytics.qGroupZscore(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+                 r.getDouble(3), r.getLong(4))).sortBy(_._1)
+    val t = graft.queries.Analytics.groupZscoreTyped(spark, sf).collect()
+      .map(s => (s.lang, s.n_docs, s.mean_tokens, s.std_tokens, s.n_outliers))
+      .sortBy(_._1)
+    assert(q.sameElements(t),
+      s"typed and window stats must match bitwise:\n${q.toSeq}\n${t.toSeq}")
+  }
+
   test("PII redaction replaces every pattern, leaves clean text intact") {
     import spark.implicits._
     val rows = Seq(
