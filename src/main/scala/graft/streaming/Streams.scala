@@ -118,6 +118,23 @@ object Streams {
         col("p_user").as("user_id"), col("purchase_ts"), col("click_ts"))
   }
 
+  /** Stream-static dedup: incoming streamed documents anti-joined against
+    * a STATIC historical fingerprint table — the ingest-vs-lake shape of a
+    * continuous training-data pipeline (the streaming twin of
+    * [[graft.dedup.Dedup.dedupAgainst]]). A stream-static left_anti join
+    * is stateless on the stream side: each micro-batch probes the static
+    * side and emits, nothing accumulates — so this composes freely with
+    * the stateful in-stream dedup ([[streamingDedupWithinWatermark]]
+    * upstream for intra-stream copies, this join for against-history
+    * copies). At 100 TB the static side is a bucketed fingerprint table
+    * (or [[graft.dedup.Dedup.bloomDedup]]'s bloom prefilter) rather than
+    * a broadcast. */
+  def streamStaticDedup(docs: DataFrame, corpusFps: DataFrame,
+                        textCol: String = "text"): DataFrame =
+    docs.withColumn("fp", md5(col(textCol)))
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .drop("fp")
+
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state: running per-user totals via mapGroupsWithState —

@@ -172,6 +172,30 @@ class IOSpec extends SparkSpec {
     assert(after.filter(col("name") === "bruno").head.getAs[Int]("salary") == 82000)
   }
 
+  test("malformed JSON: PERMISSIVE captures corrupt rows, DROPMALFORMED skips") {
+    // Real feeds carry broken lines; a scan must not abort the batch.
+    val dir = new java.io.File(s"$tmp/badjson"); dir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/badjson/data.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2 "v": "missing comma"}
+        |{"id": 3, "v": "fine"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$tmp/badjson")
+    assert(permissive.count() == 3)
+    val bad = permissive.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getString(2).contains("missing comma"))
+    val dropped = spark.read
+      .schema(StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+      .option("mode", "DROPMALFORMED").json(s"$tmp/badjson")
+    assert(dropped.collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 3L)))
+  }
+
   test("ETL pipeline shape: extract → transform → load → verify (§3.2)") {
     val extracted = IO.json(spark, res("census.json"))
     val transformed = extracted.filter(col("age") > 54)

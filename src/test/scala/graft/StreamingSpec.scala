@@ -175,6 +175,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static dedup: streamed docs anti-join the historical corpus") {
+    import org.apache.spark.sql.types._
+    val dir = "target/tmp/stream_static_dedup"
+    if (new java.io.File(dir).exists) rmRf(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    // historical corpus knows "alpha beta"; batches carry one known dup
+    // each plus new docs — the anti join must drop exactly the known ones
+    val corpus = Seq("alpha beta").toDF("text")
+      .select(md5(col("text")).as("fp"))
+    Seq((1L, "alpha beta"), (2L, "fresh one")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Seq((3L, "another new"), (4L, "alpha beta")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    Seq("b1", "b2").foreach { sub =>
+      new java.io.File(s"$dir/$sub").listFiles.filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$dir/$sub-$i.parquet")) }
+      rmRf(new java.io.File(s"$dir/$sub"))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.runToMemory(Streams.streamStaticDedup(stream, corpus),
+      "stream_static_dedup", org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val kept = spark.table("stream_static_dedup").collect()
+        .map(_.getLong(0)).sorted
+      assert(kept.sameElements(Array(2L, 3L)),
+        s"known docs 1,4 must be dropped, got: ${kept.mkString(",")}")
+      // and the same transform in batch agrees (differential contract)
+      val batch = Streams.streamStaticDedup(
+        Seq((1L, "alpha beta"), (2L, "fresh one"), (3L, "another new"),
+          (4L, "alpha beta")).toDF("doc_id", "text"), corpus)
+        .collect().map(_.getLong(0)).sorted
+      assert(batch.sameElements(kept))
+    } finally q.stop()
+  }
+
   test("dedup-within-watermark: nearby dupes dropped, state evicted after horizon") {
     import org.apache.spark.sql.types._
     val dir = "target/tmp/stream_dedup_wm"
