@@ -60,8 +60,28 @@ object RangeJoin {
       .orderBy("o_orderkey")
   }
 
+  /** The q72 workload through the NATIVE operator
+    * ([[graft.plans.IntervalJoinExec]] via the injected planner strategy):
+    * same `lo <= p < hi` semantics, broadcast + binary-search instead of
+    * bin replication — the custom-SparkPlan escalation demonstrated on a
+    * real query with the same DuckDB oracle shape as q72. */
+  def qIntervalNative(spark: SparkSession, d: String): DataFrame = {
+    val top = Tables.orders(spark, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+      .select(col("o_orderkey"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("lo"),
+        (unix_date(to_date(col("o_orderdate"))) + 7).cast("long").as("hi"))
+    val li = Tables.lineitem(spark, d)
+      .select(unix_date(to_date(col("l_shipdate"))).cast("long").as("p"), col("l_quantity"))
+    graft.plans.IntervalJoin.pointInInterval(li, top, "p", "lo", "hi")
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_shipped"), Num.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q72_range_join" -> (qRangeJoin _))
+    "q72_range_join" -> (qRangeJoin _),
+    "q97_interval_native" -> (qIntervalNative _))
 
   val oracles: Map[String, String] = Map(
     "q72_range_join" -> s"""
@@ -73,5 +93,18 @@ object RangeJoin {
              ${Num.sqlDsum("l_quantity")} AS sum_qty
       FROM top JOIN lineitem
         ON l_shipdate >= o_orderdate AND l_shipdate < window_end
+      GROUP BY o_orderkey ORDER BY o_orderkey""",
+    // identical inequality-join semantics, epoch-day arithmetic
+    "q97_interval_native" -> s"""
+      WITH top AS (
+        SELECT o_orderkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 7 AS hi
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20),
+      pts AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS p, l_quantity
+        FROM lineitem)
+      SELECT o_orderkey, COUNT(*) AS n_shipped,
+             ${Num.sqlDsum("l_quantity")} AS sum_qty
+      FROM top JOIN pts ON p >= lo AND p < hi
       GROUP BY o_orderkey ORDER BY o_orderkey""")
 }

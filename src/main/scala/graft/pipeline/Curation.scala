@@ -65,8 +65,39 @@ object Curation {
   def qCuration(spark: SparkSession, d: String): DataFrame =
     curate(Tables.documents(spark, d))
 
+  /** The whole dataset-build discipline in ONE Catalyst plan:
+    *
+    *   quality filter → canonical dedup → balanced shards → sliding
+    *   chunks → per-(lang, shard) loader manifest
+    *
+    * composed entirely from the independently-tested stages ([[scored]]/
+    * [[qualityFiltered]]/[[dedupCanonical]], `Packing.shardRoundRobin`,
+    * `Packing.chunkSliding`). Plan shape: one corpus scan, the
+    * fingerprint shuffle (dedup), one per-lang window shuffle (shards),
+    * a shuffle-free chunk explode, and the final keyed aggregation —
+    * four stages total at any corpus size, nothing materialized between
+    * them. The manifest (docs/chunks/tokens per shard) is exactly what a
+    * data-loader fleet reads to pull balanced work. */
+  def qDatasetBuild(spark: SparkSession, d: String): DataFrame = {
+    val kept = dedupCanonical(qualityFiltered(scored(
+        Tables.documents(spark, d))))
+      .select("doc_id", "lang", "n_tokens")
+    val sharded = graft.ops.Packing.shardRoundRobin(
+      kept, col("n_tokens"), nShards = 4,
+      partitionCol = "lang", orderCol = "doc_id")
+    graft.ops.Packing.chunkSliding(
+        sharded.select("doc_id", "lang", "shard", "n_tokens"),
+        col("n_tokens"), window = 64, stride = 48)
+      .groupBy("lang", "shard")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("chunk_tokens"))
+      .orderBy("lang", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q56_curation" -> (qCuration _))
+    "q56_curation" -> (qCuration _),
+    "q96_dataset_build" -> (qDatasetBuild _))
 
   val oracles: Map[String, String] = Map(
     "q56_curation" -> s"""
@@ -84,5 +115,37 @@ object Curation {
       SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
              CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS corpus_stop_ratio
       FROM kept JOIN keepers USING (doc_id)
-      GROUP BY lang ORDER BY lang""")
+      GROUP BY lang ORDER BY lang""",
+    "q96_dataset_build" -> s"""
+      WITH scored AS (
+        SELECT doc_id, text, lang, len(toks) AS n_tokens,
+               CAST(${Text.duckScoreSql("toks", Text.stopwords.head._2)} AS DOUBLE)
+                 / len(toks) AS stopword_ratio
+        FROM (SELECT doc_id, text, lang, ${Text.duckTokens} AS toks FROM documents)),
+      kept AS (
+        SELECT * FROM scored
+        WHERE n_tokens >= 30 AND stopword_ratio >= 0.01),
+      keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+      dedup AS (
+        SELECT kept.lang, kept.doc_id, kept.n_tokens
+        FROM kept JOIN keepers USING (doc_id)),
+      sharded AS (
+        SELECT lang, doc_id, n_tokens,
+               CAST((ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY n_tokens DESC, doc_id) - 1) % 4 AS INT) AS shard
+        FROM dedup),
+      c AS (
+        SELECT lang, shard, doc_id, n_tokens,
+               CASE WHEN n_tokens <= 64 THEN 1
+                    ELSE (n_tokens - 64 + 47) // 48 + 1 END AS n_chunks
+        FROM sharded),
+      e AS (
+        SELECT lang, shard, doc_id, n_tokens,
+               unnest(range(0, n_chunks)) * 48 AS chunk_off
+        FROM c)
+      SELECT lang, shard, COUNT(DISTINCT doc_id) AS n_docs,
+             COUNT(*) AS n_chunks,
+             CAST(SUM(LEAST(64, n_tokens - chunk_off)) AS BIGINT) AS chunk_tokens
+      FROM e GROUP BY 1, 2 ORDER BY lang, shard""")
 }
