@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspector: `runMain graft.Explain <sfDir> <query>[,<query>…]` —
+  * prints each query's formatted physical plan (the PushedFilters /
+  * ReadSchema / codegen-span view PlanAuditSpec asserts on). Builder-side
+  * tooling for "is this still the plan I designed?" without writing a
+  * spec first. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = args.lift(1).map(_.split(",").toSeq)
+      .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      println(s"\n===== $name =====")
+      SparkEntry.queries.get(name) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None     => println(s"unknown query (have: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+      }
+    }
+    spark.stop()
+  }
+}

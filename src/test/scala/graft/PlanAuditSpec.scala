@@ -263,6 +263,15 @@ class PlanAuditSpec extends SparkSpec {
       "bounded top-k must combine map-side before the q_id shuffle")
   }
 
+  test("q96 dataset build: whole pipeline ≤ 4 shuffles (fp, lang window, " +
+       "agg, output order)") {
+    val df = graft.pipeline.Curation.qDatasetBuild(spark, sf)
+    df.collect()
+    val n = Scale.countExchanges(df)
+    assert(n <= 4, s"filter→dedup→shard→chunk→manifest must stay ≤4 shuffles, got $n:\n" +
+      df.queryExecution.executedPlan.toString.take(800))
+  }
+
   test("q85 mixture sampling: the per-source budget table joins by broadcast") {
     val docs = Tables.documents(spark, sf)
     val kept = graft.ops.Sampling.mixtureSample(

@@ -2,6 +2,11 @@ package graft
 
 import graft.rdd.RddOps
 
+/** Top-level so implicit product Encoders resolve (local case classes
+  * inside a test body don't get encoders). */
+case class Emp(name: String, dept: String)
+case class Dept(dept: String, floor: Int)
+
 class RddOpsSpec extends SparkSpec {
   import spark.implicits._
   private def res(name: String) = getClass.getResource(s"/fixtures/$name").getPath
@@ -85,5 +90,17 @@ class RddOpsSpec extends SparkSpec {
     val got = df.groupBy("k").agg(avgCents($"v").as("m")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got("a") == 2.0 && got("b") == 10.10)
+  }
+
+  test("typed joinWith keeps both sides as case classes; == untyped join") {
+    val emps = Seq(Emp("ann", "eng"), Emp("bo", "ops"), Emp("cy", "eng")).toDS()
+    val depts = Seq(Dept("eng", 3), Dept("ops", 1)).toDS()
+    val typed = emps.joinWith(depts, emps("dept") === depts("dept"))
+      .collect().map { case (e, d) => (e.name, d.floor) }.sorted
+    val untyped = emps.toDF().join(depts.toDF(), "dept")
+      .select("name", "floor").collect()
+      .map(r => (r.getString(0), r.getInt(1))).sorted
+    assert(typed.sameElements(untyped))
+    assert(typed.toSeq == Seq(("ann", 3), ("bo", 1), ("cy", 3)))
   }
 }
