@@ -130,13 +130,64 @@ object Analytics {
       }
   }
 
+  /** GLOBAL length curriculum — the 100 TB path q93's per-lang window
+    * can't take (a global ntile is a single-partition sort): exact global
+    * quartile thresholds from the fully-parallel bucket-selection
+    * percentile ([[graft.ops.Percentiles.viaBucketSelection]] — histogram
+    * rows only, no raw-row sort), broadcast back, then one map-side
+    * bucket classification + one aggregation. Threshold interpolation is
+    * bit-identical to DuckDB's quantile_cont (the q52 contract), so the
+    * int-vs-double boundary comparisons agree exactly. */
+  def qGlobalCurriculum(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .withColumn("n_tokens", size(graft.text.Text.tokens))
+    val th = graft.ops.Percentiles.viaBucketSelection(
+        docs.withColumn("g", lit(1)), "g", "n_tokens",
+        Seq(0.25, 0.5, 0.75), bucketWidth = 16.0)
+      .groupBy("g")
+      .agg(min(when(col("qi") === 1, col("quantile"))).as("q1"),
+        min(when(col("qi") === 2, col("quantile"))).as("q2"),
+        min(when(col("qi") === 3, col("quantile"))).as("q3"))
+      .drop("g")
+    docs.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("n_tokens") <= col("q1"), 1)
+          .when(col("n_tokens") <= col("q2"), 2)
+          .when(col("n_tokens") <= col("q3"), 3)
+          .otherwise(4))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("bucket_tokens"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_funnel"  -> (qFunnel _),
     "q79_cohorts" -> (qCohorts _),
     "q93_ntile_curriculum" -> (qNtileCurriculum _),
-    "q95_group_zscore" -> (qGroupZscore _))
+    "q95_group_zscore" -> (qGroupZscore _),
+    "q98_global_curriculum" -> (qGlobalCurriculum _))
 
   val oracles: Map[String, String] = Map(
+    "q98_global_curriculum" -> s"""
+      WITH t AS (
+        SELECT len(${graft.text.Text.duckTokens}) AS n_tokens FROM documents),
+      q AS (
+        SELECT quantile_cont(n_tokens, 0.25) AS q1,
+               quantile_cont(n_tokens, 0.5)  AS q2,
+               quantile_cont(n_tokens, 0.75) AS q3
+        FROM t)
+      SELECT CASE WHEN n_tokens <= q1 THEN 1
+                  WHEN n_tokens <= q2 THEN 2
+                  WHEN n_tokens <= q3 THEN 3 ELSE 4 END AS bucket,
+             COUNT(*) AS n_docs,
+             CAST(MIN(n_tokens) AS INT) AS min_tokens,
+             CAST(MAX(n_tokens) AS INT) AS max_tokens,
+             CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+      FROM t CROSS JOIN q
+      GROUP BY 1 ORDER BY bucket""",
     "q93_ntile_curriculum" -> s"""
       WITH t AS (
         SELECT lang, doc_id, len(${graft.text.Text.duckTokens}) AS n_tokens

@@ -243,6 +243,24 @@ object Core {
               col("gid").cast("int").as("gid"), col("n"), col("sum_qty"))
       .orderBy("gid", "returnflag", "linestatus")
 
+  /** Explicit GROUPING SETS — the custom lattice rollup and cube are
+    * special cases of: exactly ((returnflag, linestatus), (returnflag),
+    * ()) here, skipping the (linestatus)-only slice a cube would compute
+    * and charge for. Through the SQL surface since the DataFrame API has
+    * no groupingSets; grouping_id disambiguates subtotal slots from real
+    * NULLs exactly as in q80. */
+  def q100GroupingSets(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d).createOrReplaceTempView("lineitem_gs")
+    spark.sql(s"""
+      SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             COALESCE(l_linestatus, 'ALL') AS linestatus,
+             CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+             COUNT(*) AS n, ${Num.sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem_gs
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, returnflag, linestatus""")
+  }
+
   /** TPC-H Q5-shape flagship: revenue per nation for local-supplier
     * orders in one region and one order year — a 6-table join whose
     * physical shape is entirely Catalyst's to choose (the three dimension
@@ -290,6 +308,27 @@ object Core {
                           WHERE l2.l_partkey = l1.l_partkey)
       GROUP BY l_partkey
       ORDER BY l_partkey""")
+  }
+
+  /** NOT IN subquery through the SQL surface: customers with no orders
+    * above a price floor. NOT IN is NOT the same operator as NOT EXISTS /
+    * left_anti — its three-valued NULL semantics (one NULL in the
+    * subquery result empties the output) force Catalyst to plan a
+    * null-AWARE anti join, a distinct physical feature from the
+    * left_anti of q09. Both engines implement ANSI semantics, so the
+    * oracle is the same SQL. The subquery column here is non-null
+    * (orderkeys), which keeps the result non-degenerate while still
+    * exercising the null-aware plan. */
+  def q99NotIn(spark: SparkSession, d: String): DataFrame = {
+    Tables.customer(spark, d).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, d).createOrReplaceTempView("orders_v")
+    spark.sql("""
+      SELECT c_mktsegment, COUNT(*) AS n_customers
+      FROM customer_v
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_v
+                              WHERE o_totalprice > 350000)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")
   }
 
   /** Pivot (stretch): event_type → columns, one row per day. The oracle
@@ -367,6 +406,8 @@ object Core {
     "q80_cube"              -> (q80Cube _),
     "q82_regional_revenue"  -> (q82RegionalRevenue _),
     "q83_correlated"        -> (q83Correlated _),
+    "q99_notin_nullaware"   -> (q99NotIn _),
+    "q100_grouping_sets"    -> (q100GroupingSets _),
     "q20_pivot"             -> (q20Pivot _),
     "q21_json_extract"      -> (q21JsonExtract _),
     "q22_mappartitions_stats" -> (q22MapPartitionsStats _),
@@ -520,6 +561,21 @@ object Core {
         AND o_orderdate >= TIMESTAMP '1996-01-01'
         AND o_orderdate <  TIMESTAMP '1997-01-01'
       GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q100_grouping_sets" -> s"""
+      SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             COALESCE(l_linestatus, 'ALL') AS linestatus,
+             CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+             COUNT(*) AS n, ${Num.sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, returnflag, linestatus""",
+    "q99_notin_nullaware" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_customers
+      FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_totalprice > 350000)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
     "q83_correlated" -> s"""
       SELECT l_partkey, COUNT(*) AS n_small,
              ${Num.sqlDsum("l_extendedprice")} AS small_revenue
