@@ -29,6 +29,7 @@ object SparkEntry {
       graft.ops.Diff.queries ++
       graft.ops.Incremental.queries ++
       graft.pipeline.Curation.queries ++
+      graft.sources.Fasta.queries ++
       graft.text.Text.queries ++
       graft.dedup.Dedup.queries ++
       graft.similarity.Similarity.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       graft.ops.Diff.oracles ++
       graft.ops.Incremental.oracles ++
       graft.pipeline.Curation.oracles ++
+      graft.sources.Fasta.oracles ++
       graft.text.Text.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.similarity.Similarity.oracles ++

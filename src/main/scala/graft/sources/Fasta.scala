@@ -1,0 +1,71 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FASTA writer + the oracle-checked round-trip query for the V2 source
+  * ([[graft.sources.v2.FastaSource]]). The reference consumes FASTA with a
+  * driver-side line parser (chapter_10/examples/DNA-FASTA-V1/dna_fasta_v1
+  * .py, sample.fasta); here the format is a first-class splittable source.
+  */
+object Fasta {
+
+  /** Render (id, desc, seq) columns as FASTA records — one row per record
+    * with embedded newlines, sequence wrapped at 60 chars (the
+    * conventional FASTA line width), written via the text sink. Writers
+    * parallelize per partition; `files` controls output fan-out. */
+  def write(df: DataFrame, idCol: String, descCol: String, seqCol: String,
+            path: String, files: Int = 4): Unit =
+    df.select(concat(
+        lit(">"), col(idCol), lit(" "), col(descCol), lit("\n"),
+        regexp_replace(col(seqCol), "(.{60})", "$1\n")).as("value"))
+      .repartition(files)
+      .write.mode("overwrite").text(path)
+
+  /** Read through the V2 source. `splitSizeBytes` is deliberately small in
+    * tests/queries so multiple byte-range readers cover each file — the
+    * shape a 1000-executor scan takes on real genome-scale files. */
+  def read(spark: SparkSession, path: String, splitSizeBytes: Long): DataFrame =
+    spark.read.format("fasta")
+      .option("splitSizeBytes", splitSizeBytes.toString)
+      .load(path)
+
+  /** S-tier round trip: documents → FASTA text (letters-only sequences,
+    * lang carried in the description) → byte-range-split V2 read → per-
+    * lang aggregate. The oracle computes the same aggregate from the
+    * source table directly, so every parsing path (header split, 60-char
+    * re-wrapping, split-boundary handoff) must reassemble exactly.
+    * Distinct-sequence counting goes through md5 fingerprints so the
+    * distinct shuffle carries 16-byte keys, not document bodies. */
+  def qFastaRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") + "/graft_fasta_demo"
+    val docs = Tables.documents(spark, d)
+      .withColumn("seq", regexp_replace(lower(col("text")), "[^a-z]", ""))
+    write(docs, "doc_id", "lang", "seq", root)
+    read(spark, root, splitSizeBytes = 4096)
+      .groupBy(col("desc").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("seq_id")).as("n_distinct_ids"),
+        countDistinct(md5(col("sequence"))).as("n_distinct_seqs"),
+        sum(col("length")).as("total_len"),
+        max(col("length")).as("max_len"))
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_fasta_roundtrip" -> (qFastaRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "q101_fasta_roundtrip" -> """
+      WITH s AS (
+        SELECT lang, doc_id,
+               regexp_replace(lower(text), '[^a-z]', '', 'g') AS seq
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_docs,
+             COUNT(DISTINCT doc_id) AS n_distinct_ids,
+             COUNT(DISTINCT md5(seq)) AS n_distinct_seqs,
+             CAST(SUM(length(seq)) AS BIGINT) AS total_len,
+             CAST(MAX(length(seq)) AS INT) AS max_len
+      FROM s GROUP BY lang ORDER BY lang""")
+}

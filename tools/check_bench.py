@@ -34,6 +34,8 @@ BUDGETS = {
     "q87_dup_coverage": 2.5,      # gram explode + df join (q62's class)
     "q89_pagerank": 3.0,          # 10 chained iterations: stage-latency
                                   # bound (~0.14 s/round), not data bound
+    "q101_fasta_roundtrip": 4.0,  # write-bound like q44: renders + writes
+                                  # the corpus as FASTA text, then re-reads
 }
 DEFAULT_BUDGET = 1.5   # every other query is sub-0.7s typical
 TOTAL_HARD = 55.0      # suite total: fail — a real regression
