@@ -15,6 +15,11 @@ run / fork := true
 // through sbt's logger: the driver greps Bench's single JSON line and an
 // "[info] " logger prefix breaks its parse (BENCH_r03.json: parsed=null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and the "[success] Total time: ..." epilogue sbt prints after the
+// forked JVM exits would follow the JSON line on stdout; suppress it so
+// the JSON is the last line a "parse the last line" driver would see.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

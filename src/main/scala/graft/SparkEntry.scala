@@ -31,8 +31,10 @@ object SparkEntry {
       graft.pipeline.Curation.queries ++
       graft.sources.Fasta.queries ++
       graft.text.Text.queries ++
+      graft.text.Bm25.queries ++
       graft.dedup.Dedup.queries ++
       graft.similarity.Similarity.queries ++
+      graft.similarity.Pq.queries ++
       graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,7 +54,9 @@ object SparkEntry {
       graft.pipeline.Curation.oracles ++
       graft.sources.Fasta.oracles ++
       graft.text.Text.oracles ++
+      graft.text.Bm25.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.similarity.Similarity.oracles ++
+      graft.similarity.Pq.oracles ++
       graft.multimodal.Multimodal.oracles
 }

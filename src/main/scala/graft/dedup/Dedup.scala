@@ -3,6 +3,7 @@ package graft.dedup
 import graft.Tables
 import graft.text.Text
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact (hash
@@ -210,6 +211,76 @@ object Dedup {
           (size(col("a.hs")) + size(col("b.hs")) - col("inter"))).as("jaccard"))
   }
 
+  /** Exact set-similarity self-join via PREFIX FILTERING (Chaudhuri et al.
+    * ICDE'06 / Xiao et al. PPJoin, WWW'08) — ALL pairs with shingle-set
+    * Jaccard ≥ τ, with no blocking assumption and no all-pairs scan:
+    *
+    *   1. order every doc's shingles by global rarity (document frequency
+    *      asc, hash tiebreak);
+    *   2. a doc of set size n keeps only its first n − ceil(τ·n) + 1
+    *      shingles as its *prefix* — any pair with J ≥ τ must share a
+    *      shingle in BOTH prefixes (pigeonhole: J ≥ τ ⇒ overlap ≥ τ·n for
+    *      both sides, and the skipped suffix has only ceil(τ·n) − 1 < τ·n
+    *      elements);
+    *   3. candidates = equi-join on prefix shingles (+ the size-ratio
+    *      prune: J ≥ τ ⇒ τ·|larger| ≤ |smaller|);
+    *   4. exact verify on the full sorted-hash sets (one linear merge per
+    *      candidate, [[graft.functions.SortedIntersectCount]]).
+    *
+    * Why it scales: the join key is a *rare-first prefix* shingle — hot
+    * shingles (huge df) sort to the end of every doc's order and rarely
+    * enter a prefix, so candidate fan-out per key stays small by
+    * construction; the rest is hash joins and one window. This is the
+    * lossless complement to MinHash LSH ([[lshCandidates]]): same
+    * candidate-then-verify shape, but exact (zero false negatives), which
+    * is what "guarantee no τ-duplicates survive" requires at 100 TB.
+    *
+    * The result is order-invariant — ANY global shingle order is correct,
+    * so the hash-based order here and the oracle's exact-string all-pairs
+    * SQL agree exactly (modulo 64-bit shingle-hash collisions, the q31
+    * precedent). */
+  def similarityJoin(docs: DataFrame, tau: Double): DataFrame = {
+    val sets = docs
+      .withColumn("toks", Text.tokens)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.exprs.gram3SetSorted(col("toks")).as("hs"))
+      .withColumn("n", size(col("hs")))
+      // materialization barrier (the q31 lesson): without an exchange,
+      // codegen defers the tokenize+shingle projection into the joins and
+      // re-evaluates it per candidate pair
+      .repartition(col("doc_id"))
+    val posting = sets.select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
+    val dfreq = posting.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefix = posting.join(dfreq, "g")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .select("doc_id", "n", "g")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.n").cast("double") >= lit(tau) * col("b.n") &&
+        col("b.n").cast("double") >= lit(tau) * col("a.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("inter",
+        graft.functions.exprs.sortedIntersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def qSimJoinPrefix(spark: SparkSession, d: String): DataFrame =
+    similarityJoin(Tables.documents(spark, d), tau = 0.5)
+      .orderBy("doc_a", "doc_b")
+
   /** Dedup cluster assignment: connected components over the near-dup
     * graph (Jaccard ≥ 0.05 pairs), so transitively-linked chains of
     * near-duplicates collapse into one cluster — the canonicalization
@@ -391,9 +462,23 @@ object Dedup {
     "q73_dedup_clusters" -> (qDedupClusters _),
     "q81_edit_distance"  -> (qEditDistance _),
     "q94_bloom_dedup"    -> (qBloomDedup _),
+    "q103_simjoin_prefix" -> (qSimJoinPrefix _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q103_simjoin_prefix" -> s"""
+      WITH sh AS (
+        SELECT doc_id, $duckShinglesSql AS shingles
+        FROM (SELECT doc_id, ${Text.duckTokens} AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM pairs
+      WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
     "q62_contamination" -> s"""
       WITH toks AS (
         SELECT doc_id, source, ${Text.duckTokens} AS toks FROM documents),

@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.Tables
 import graft.text.Text
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation — the engine's purpose in one
@@ -95,11 +96,42 @@ object Curation {
       .orderBy("lang", "shard")
   }
 
+  /** Per-group document cap — the "no host dominates the corpus" rule of
+    * web-scale curation: a handful of boilerplate-heavy hosts would
+    * otherwise contribute unbounded near-identical text to the training
+    * mix. Keeps a deterministic content-keyed draw of at most `cap` docs
+    * per group: rank = row_number over (group ORDER BY md5(text), doc_id),
+    * so the kept subset is a stable pseudo-random sample — re-running,
+    * repartitioning, or reordering the input never changes it.
+    *
+    * Scale: a row_number <= cap filter plans as WindowGroupLimit (Spark
+    * ≥3.5) — each map task keeps at most `cap` rows per group BEFORE the
+    * window shuffle (the windowed analog of TakeOrderedAndProject), so
+    * the shuffle carries O(groups × cap) per task, not the corpus.
+    * CurationSpec pins the operator in the physical plan. */
+  def capPerGroup(docs: DataFrame, groupCol: String, cap: Int): DataFrame =
+    docs.withColumn("rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(md5(col("text")), col("doc_id"))))
+      .filter(col("rk") <= cap)
+
+  def qHostCap(spark: SparkSession, d: String): DataFrame =
+    capPerGroup(Tables.documents(spark, d), "source", cap = 10)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_curation" -> (qCuration _),
-    "q96_dataset_build" -> (qDatasetBuild _))
+    "q96_dataset_build" -> (qDatasetBuild _),
+    "q105_host_cap" -> (qHostCap _))
 
   val oracles: Map[String, String] = Map(
+    "q105_host_cap" -> """
+      SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY md5(text), doc_id) AS INT) AS rk
+        FROM documents)
+      WHERE rk <= 10 ORDER BY source, rk""",
     "q56_curation" -> s"""
       WITH scored AS (
         SELECT doc_id, text, lang, len(toks) AS n_tokens,

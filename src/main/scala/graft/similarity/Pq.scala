@@ -1,0 +1,168 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) — the memory-side half of large-scale
+  * ANN, complementing IVF's compute-side pruning:
+  *
+  *   - split each d-dim vector into M subvectors of d/M dims;
+  *   - learn an independent K-centroid codebook per subspace (sampled
+  *     Lloyd's iterations, the [[Similarity.trainCentroids]] discipline);
+  *   - store each vector as M small codes (here M=16, K=16 → 16 nibbles vs
+  *     64 float32s: a 32× compression of the scan payload);
+  *   - answer queries by ADC (asymmetric distance computation): a query
+  *     builds an M×K table of exact subspace distances once, then every
+  *     encoded vector scores as M table lookups — no float math per
+  *     candidate at all.
+  *
+  * Scale shape: training touches a bounded sample (one aggregation per
+  * Lloyd iteration — codes for all M subspaces are computed in one
+  * projection, so the update is ONE posexplode + groupBy job, not M);
+  * encoding is a map-only projection with the codebooks as plan literals
+  * (no join, no shuffle); an ADC query is a map-only projection + top-k
+  * (TakeOrderedAndProject) over codes the size of a cache line. The
+  * shuffle carries k rows per partition, the scan reads 8 bytes per
+  * vector: exactly the plan you want against 10^11 vectors.
+  *
+  * Hash-seeded init + fixed iteration count keep the whole pipeline
+  * deterministic (same data + same seed = same codebooks, codes, and
+  * neighbors) — the reproducibility contract of ops.Splits.
+  */
+object Pq {
+
+  /** codebooks(m)(k) = centroid k of subspace m (length dim/M each). */
+  type Codebooks = Array[Array[Array[Float]]]
+
+  private def subDim(dim: Int, m: Int): Int = {
+    require(dim % m == 0, s"pq: dim $dim not divisible by M=$m")
+    dim / m
+  }
+
+  /** One argmin-coded subspace: codes = index of the L2-nearest centroid.
+    * argmin ||x−c||² = argmax (x·c − ||c||²/2); the struct-max trick breaks
+    * score ties toward the LOWEST code (negated id in the struct). */
+  private def codeCol(vec: Column, cents: Array[Array[Float]], off: Int,
+                      sub: Int): Column = {
+    import graft.functions.exprs.vecDot
+    val sl = slice(vec, off + 1, sub)
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val half = c.map(x => x.toDouble * x).sum / 2.0
+      struct((vecDot(sl, typedlit(c.toSeq)) - lit(half)).as("s"),
+             lit(-i).as("negk"))
+    }
+    (-array_max(array(scored: _*)).getField("negk")).cast("int")
+  }
+
+  /** Encode every vector as an array<int> of M codes — map-only, codebooks
+    * are literals in the plan. */
+  def encode(emb: DataFrame, books: Codebooks): DataFrame = {
+    val m = books.length
+    val sub = books.head.head.length
+    val codes = (0 until m).map(i =>
+      codeCol(col("embedding"), books(i), i * sub, sub))
+    emb.withColumn("codes", array(codes: _*))
+  }
+
+  /** Sampled Lloyd's k-means per subspace. All M subspaces update from a
+    * single posexplode aggregation per iteration: explode (dim, v), derive
+    * (subspace = dim div sub, within = dim mod sub), group by
+    * (subspace, code_of_that_subspace, within) → mean. */
+  def trainCodebooks(emb: DataFrame, m: Int = 16, k: Int = 16, iters: Int = 2,
+                     fraction: Double = 0.5, seed: Long = 42L): Codebooks = {
+    val sample = emb.sample(fraction, seed).select("vec_id", "embedding").persist()
+    try {
+      val init = sample
+        .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
+        .orderBy("h", "vec_id").limit(k)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(init.length == k, s"pq: sample too small for K=$k init")
+      val dim = init.head.length
+      val sub = subDim(dim, m)
+      var books: Codebooks = Array.tabulate(m, k)((mi, ki) =>
+        java.util.Arrays.copyOfRange(init(ki), mi * sub, (mi + 1) * sub))
+      for (_ <- 1 to iters) {
+        val means = encode(sample, books)
+          .select(col("codes"), posexplode(col("embedding")).as(Seq("d", "v")))
+          .withColumn("m", (col("d") / sub).cast("int"))
+          .withColumn("w", (col("d") % sub).cast("int"))
+          .withColumn("code", element_at(col("codes"), col("m") + 1))
+          .groupBy("m", "code", "w")
+          .agg(avg(col("v").cast("double")).as("mean"))
+          .collect()                         // m × k × sub rows: the model
+        val next = Array.tabulate(m, k)((mi, ki) => books(mi)(ki).clone())
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+        }
+        books = next                         // empty clusters keep old cents
+      }
+      books
+    } finally { sample.unpersist(); () }
+  }
+
+  /** PQ-ANN, the production two-stage shape: ADC SHORTLIST → exact
+    * re-rank.
+    *
+    * Stage 1 (ADC): exact subspace distances ||q_m − c||² are tabulated
+    * once from the query (M×K literals in the plan); every encoded vector
+    * scores as M table lookups summed in fixed subspace order
+    * (deterministic) — a scan over M-byte codes, never the float vectors.
+    * Stage 2: only the k·refine shortlist rows are re-scored with exact
+    * cosine against the full vectors (a broadcast semi-join back into the
+    * corpus — at 100 TB this is the only stage that touches float data,
+    * and it touches k·refine rows of it).
+    *
+    * For unit-norm vectors argmin L2 ≡ argmax cosine, so the shortlist
+    * approximates [[Similarity.bruteForceTopK]]'s ranking and the re-rank
+    * restores exact ordering within it. */
+  def adcTopK(emb: DataFrame, queryVecId: Long, k: Int,
+              m: Int = 16, km: Int = 16, refine: Int = 10): DataFrame = {
+    val books = trainCodebooks(emb, m, km)
+    val sub = books.head.head.length
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val table: Seq[Seq[Double]] = books.zipWithIndex.map { case (cents, mi) =>
+      cents.map { c =>
+        var s = 0.0
+        var i = 0
+        while (i < sub) {
+          val dlt = q(mi * sub + i).toDouble - c(i)
+          s += dlt * dlt
+          i += 1
+        }
+        s
+      }.toSeq
+    }.toSeq
+    val t = typedlit(table)
+    val adc = (0 until m).map(mi =>
+        element_at(element_at(t, mi + 1), element_at(col("codes"), mi + 1) + 1))
+      .reduce(_ + _)
+    val shortlist = encode(emb, books)
+      .filter(col("vec_id") =!= queryVecId)
+      .withColumn("adc_dist", adc)
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k * refine)
+      .select("vec_id")
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(emb.filter(col("vec_id") === queryVecId)
+        .select(col("embedding").as("q_embedding"))))
+      .select(col("vec_id"),
+        round(Similarity.cosCol(col("embedding"), col("q_embedding")), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** PQ-ANN top-10 for query vec_id=0 (k-means/hash dependent → rows-only;
+    * recall vs brute force + determinism pinned in SimilaritySpec). */
+  def qPqAnn(spark: SparkSession, d: String): DataFrame =
+    adcTopK(Tables.embeddings(spark, d), queryVecId = 0L, k = 10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_pq_ann" -> (qPqAnn _))
+
+  val oracles: Map[String, String] = Map.empty
+}

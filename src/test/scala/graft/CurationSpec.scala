@@ -34,6 +34,30 @@ class CurationSpec extends SparkSpec {
     assert(s1.keySet == Set("train", "test"))
   }
 
+  test("capPerGroup: bound holds, subset of input, deterministic, WindowGroupLimit plan") {
+    val docs = Tables.documents(spark, sf)
+    val cap = 7
+    val capped = Curation.capPerGroup(docs, "source", cap)
+    capped.collect()
+    // per-group bound and exactness: min(cap, group size) rows survive
+    val got = capped.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == full.keySet)
+    full.foreach { case (s, n) => assert(got(s) == math.min(cap.toLong, n)) }
+    // kept rows are input rows (subset, not a rewrite)
+    assert(capped.select("doc_id").exceptAll(docs.select("doc_id")).isEmpty)
+    // deterministic under repartition: same keeper set
+    val again = Curation.capPerGroup(docs.repartition(13), "source", cap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == capped.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // rank<=cap plans as WindowGroupLimit: map-side per-group top-k before
+    // the window shuffle — the property that keeps the shuffle O(groups*cap)
+    val plan = capped.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("incremental dedup drops only known fingerprints") {
     val hist = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
       .toDF("doc_id", "text")

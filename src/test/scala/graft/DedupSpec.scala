@@ -51,6 +51,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filter similarity join == exact all-pairs (lossless candidates)") {
+    import graft.functions.exprs.{gram3SetSorted, sortedIntersectCount}
+    val docs = Tables.documents(spark, sf)
+    val tau = 0.5
+    val got = Dedup.similarityJoin(docs, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: unfiltered all-pairs over the identical shingle sets
+    val sets = docs.withColumn("toks", graft.text.Text.tokens)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), gram3SetSorted(col("toks")).as("hs"))
+      .withColumn("n", size(col("hs")))
+    val exact = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", sortedIntersectCount(col("a.hs"), col("b.hs")))
+      .withColumn("j", col("inter").cast("double") /
+        (col("a.n") + col("b.n") - col("inter")))
+      .filter(col("j") >= tau)
+      .select(col("a.doc_id"), col("b.doc_id"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "corpus should contain near-duplicate pairs")
+    assert(got == exact,
+      s"prefix filter must be lossless: missing ${exact -- got}, extra ${got -- exact}")
+  }
+
   test("exact dedup counts duplicates") {
     val withLang = planted.withColumn("lang", lit("en"))
     val row = Dedup.qDedupExact(spark, sf) // smoke on harness table

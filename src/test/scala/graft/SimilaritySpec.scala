@@ -44,6 +44,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall@10 $recall < 0.7 — trained centroids regressed")
   }
 
+  test("PQ: codes well-formed, encoding deterministic, ADC+re-rank recall high") {
+    import graft.similarity.Pq
+    val emb = Tables.embeddings(spark, sf)
+    val m = 16
+    val books = Pq.trainCodebooks(emb, m = m, k = 16)
+    assert(books.length == m && books.forall(_.length == 16))
+    val codes = Pq.encode(emb, books).select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(cs => cs.length == m && cs.forall(c => c >= 0 && c < 16)))
+    // deterministic: retrain + re-encode yields identical codes
+    val again = Pq.encode(emb, Pq.trainCodebooks(emb, m = m, k = 16))
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(again == codes)
+    // two-stage ADC shortlist + exact re-rank tracks brute force closely.
+    // brute force includes the query itself at rank 1 (cos=1); drop it.
+    val exact = Similarity.bruteForceTopK(emb, 0L, 11)
+      .collect().map(_.getLong(0)).filter(_ != 0L).take(10).toSet
+    val pq = Pq.adcTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.7, s"PQ recall@10 $recall < 0.7 — shortlist too lossy")
+  }
+
   test("k-means training: deterministic, unit-norm, improves over init") {
     val emb = Tables.embeddings(spark, sf)
     val a = Similarity.trainCentroids(emb, k = 8, iters = 2)

@@ -16,8 +16,6 @@ import sys
 # Per-query hard budgets (seconds) where the typical time exceeds the
 # default. Keep in sync with the BENCHMARKS.md budget table.
 BUDGETS = {
-    "q07_selfjoin_2hop": 4.0,
-    "q44_partition_pruning": 4.0,
     "q52_percentiles": 2.5,
     "q29_tf_idf": 2.5,
     "q62_contamination": 2.5,
@@ -36,13 +34,25 @@ BUDGETS = {
                                   # bound (~0.14 s/round), not data bound
     "q101_fasta_roundtrip": 4.0,  # write-bound like q44: renders + writes
                                   # the corpus as FASTA text, then re-reads
+    "q102_bm25": 2.5,             # explode + two aggs + broadcast joins
+    "q103_simjoin_prefix": 5.0,   # df window + prefix join + verify join
+    "q104_pq_ann": 6.0,           # k-means training jobs + 256-kernel
+                                  # encode projections (codegen compile
+                                  # dominates at these SFs)
+    "q07_selfjoin_2hop": 6.0,     # slowest core query; see BENCHMARKS.md
+    "q44_partition_pruning": 5.0, # write-bound by design
+    "q98_global_curriculum": 3.0, # two window families over lineitem
 }
-DEFAULT_BUDGET = 1.5   # every other query is sub-0.7s typical
-TOTAL_HARD = 55.0      # suite total: fail — a real regression
-TOTAL_SOFT = 48.0      # suite total: warn — above the observed same-code
-                       # band (~38–46 s at the current 93 queries; 33–41.8
-                       # at r3's 79; the r2-era 63-query band was
-                       # 27.4–36.5) — investigate
+DEFAULT_BUDGET = 2.0   # every other query is sub-1s typical
+TOTAL_HARD = 110.0     # suite total: fail — a real regression
+TOTAL_SOFT = 95.0      # suite total: warn — above the observed same-code
+                       # band. NB round-4's box runs this suite ~1.8x
+                       # slower than round-3's (identical code+SF: 76-88 s
+                       # for the r3-era 100 queries vs the 38-48 s band
+                       # measured in r3; per-query times scale uniformly).
+                       # Budgets are calibrated to the CURRENT box; the
+                       # r3-era bands were: 38-46 s at 93 queries, 33-41.8
+                       # at 79, 27.4-36.5 at the r2-era 63.
 
 
 def main() -> int:
