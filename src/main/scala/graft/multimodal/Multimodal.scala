@@ -8,17 +8,22 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample operators.
   *
-  * The IMAGE path is real: payloads are PNG bytes, decoded per partition
-  * batch with JDK `javax.imageio` (no external codec jar needed) into
-  * width/height/mean-channel features, and resize decodes → rescales →
-  * re-encodes actual pixels. The AUDIO path is real too: payloads are
-  * WAV/PCM bytes decoded with JDK `javax.sound.sampled` into frame count,
-  * sample rate, and RMS amplitude. Only the VIDEO kernel remains a STUB
-  * (no video codec ships with the JDK) — a deterministic fake clearly
-  * marked below. The Spark-side plumbing is identical for all three:
-  * schema, partition-preserving mapPartitions batches (the JVM twin of
-  * `mapInPandas` — one iterator per partition, record batches in/out),
-  * and binary-safe expressions.
+  * All three modality kernels are REAL, using only JDK codecs (no
+  * external jar): IMAGE payloads are PNG bytes decoded per partition
+  * batch with `javax.imageio` into width/height/mean-channel features,
+  * and resize decodes → rescales → re-encodes actual pixels; AUDIO
+  * payloads are WAV/PCM bytes decoded with `javax.sound.sampled` into
+  * frame count, sample rate, and RMS amplitude; VIDEO payloads are
+  * animated GIFs — the one motion format the JDK ships a codec for —
+  * decoded frame-by-frame with the multi-image `ImageReader` into frame
+  * count, frame dims, and cross-frame channel means, with real every-k-th
+  * frame extraction to standalone PNGs ([[sampleFrames]]). Payloads in
+  * codec-blocked formats (MP4/H.264 etc. — nothing in this sandbox can
+  * decode them) fall back to a clearly-marked byte-level stub so the
+  * schema contract still holds. The Spark-side plumbing is identical for
+  * all three: schema, partition-preserving mapPartitions batches (the JVM
+  * twin of `mapInPandas` — one iterator per partition, record batches
+  * in/out), and binary-safe expressions.
   *
   * At 100 TB: binary payloads ride in parquet with
   * `spark.sql.parquet.enableVectorizedReader` intact (binary columns are
@@ -35,8 +40,9 @@ object Multimodal {
 
   /** Decode output. Images fill decoded_w/h + channel means from real
     * pixels; audio fills n_frames/sample_rate_hz/rms from real PCM frames;
-    * the stubbed video path sets `decoded=false`. Fields that don't apply
-    * to a modality hold the -1 sentinel. */
+    * video fills decoded_w/h + n_frames + cross-frame channel means from
+    * real GIF frames; undecodable payloads set `decoded=false`. Fields
+    * that don't apply to a modality hold the -1 sentinel. */
   case class MediaFeature(media_id: Long, media_type: String,
                           n_bytes: Int, decoded: Boolean,
                           decoded_w: Int, decoded_h: Int,
@@ -139,6 +145,88 @@ object Multimodal {
     catch { case _: java.io.IOException => None }
   }
 
+  /** Deterministic animated GIF: nFrames solid-color frames whose RGB is a
+    * fixed affine function of (media_id, frame). Solid frames use one
+    * palette entry each, so GIF's 256-color quantization is LOSSLESS here —
+    * encode → decode round-trips the exact channel values, which is what
+    * lets the spec assert decoded features exactly. */
+  private[graft] def syntheticGif(id: Long, w: Int, h: Int,
+                                  nFrames: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (frameChannel(id, f, 31).toInt << 16) |
+                  (frameChannel(id, f, 17).toInt << 8) |
+                  frameChannel(id, f, 5).toInt
+        val g2 = img.createGraphics()
+        try {
+          g2.setColor(new java.awt.Color(rgb))
+          g2.fillRect(0, 0, w, h)
+        } finally g2.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Channel value of frame f: the spec recomputes this to assert exact
+    * decoded means. */
+  private[graft] def frameChannel(id: Long, f: Int, mult: Long): Long =
+    java.lang.Math.floorMod(id * mult + f * 59L, 256L)
+
+  /** In-memory multi-frame decode (JDK ImageIO GIF reader — the one motion
+    * format the JDK ships a codec for; MP4/H.264 et al. stay environment-
+    * blocked). Returns all frames; None for payloads no reader accepts. */
+  private def decodeVideoFrames(
+      payload: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n).map(reader.read(_)))
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case _: Exception => None }
+
+  /** Mean RGB of one frame. */
+  private def frameMeans(im: java.awt.image.BufferedImage): (Double, Double, Double) = {
+    val w = im.getWidth; val h = im.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = im.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    (sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+  }
+
   /** Swap image rows' payloads for real (synthetic, deterministic) PNG
     * bytes with true metadata dims — the fixture generator for the real
     * decode path. Small dims keep per-row cost bounded; the decode/resize
@@ -169,26 +257,42 @@ object Multimodal {
     })
   }
 
-  /** Real payloads for every decodable modality (image PNGs + audio WAVs;
-    * video keeps the text-byte stand-in for its stub path). */
+  /** Swap video rows' payloads for real (synthetic, deterministic)
+    * animated-GIF bytes with true frame dims. */
+  def withRealVideo(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.media_type != "video") r
+      else {
+        val w = (r.media_id % 16 + 8).toInt
+        val h = (r.media_id % 12 + 8).toInt
+        val nFrames = (r.media_id % 6 + 4).toInt
+        r.copy(payload = syntheticGif(r.media_id, w, h, nFrames),
+               width = w, height = h)
+      }
+    })
+  }
+
+  /** Real payloads for every modality the JDK can decode: image PNGs,
+    * audio WAVs, video animated GIFs. */
   def withRealMedia(media: Dataset[MediaRow]): Dataset[MediaRow] =
-    withRealAudio(withRealImages(media))
+    withRealVideo(withRealAudio(withRealImages(media)))
 
   /** Decode → featurize. IMAGE rows decode with JDK ImageIO into pixel
     * dims + per-channel means (+ the L2 norm of (r̄, ḡ, b̄) as
     * feature_norm). AUDIO rows decode with JDK javax.sound into frame
     * count, sample rate, and RMS amplitude (feature_norm = rms). VIDEO
-    * rows — and any payload the decoders reject — take the documented
-    * STUB path: feature = L2 norm of raw byte values, typed fields = -1
-    * sentinel. Runs per partition over an iterator — the mapInPandas
-    * batch shape: no per-row JVM↔kernel round trip, bounded memory. */
+    * rows decode with the JDK's multi-frame GIF reader into frame count,
+    * frame dims, and channel means averaged across frames. Any payload
+    * the decoders reject takes the documented STUB path: feature = L2
+    * norm of raw byte values, typed fields = -1 sentinel (a JNI codec /
+    * ONNX encoder for the non-JDK formats would slot in there unchanged).
+    * Runs per partition over an iterator — the mapInPandas batch shape:
+    * no per-row JVM↔kernel round trip, bounded memory. */
   def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
 
     def stub(r: MediaRow): MediaFeature = {
-      // STUB: video (no codec in the JDK) or undecodable payloads —
-      // feature = L2 norm of byte values. A real kernel (JNI codec /
-      // ONNX encoder) would slot in here unchanged.
       var ss = 0.0
       var i = 0
       while (i < r.payload.length) { val v = (r.payload(i) & 0xff).toDouble; ss += v * v; i += 1 }
@@ -201,22 +305,9 @@ object Multimodal {
         r.media_type match {
           case "image" => decodeImage(r.payload) match {
             case Some(im) =>
-              val w = im.getWidth; val h = im.getHeight
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val p = im.getRGB(x, y)
-                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                  x += 1
-                }
-                y += 1
-              }
-              val n = w.toLong * h
-              val mr = sr.toDouble / n; val mg = sg.toDouble / n; val mb = sb.toDouble / n
+              val (mr, mg, mb) = frameMeans(im)
               MediaFeature(r.media_id, r.media_type, r.payload.length,
-                decoded = true, w, h, mr, mg, mb, -1L, -1, -1.0,
+                decoded = true, im.getWidth, im.getHeight, mr, mg, mb, -1L, -1, -1.0,
                 math.sqrt(mr * mr + mg * mg + mb * mb))
             case None => stub(r)
           }
@@ -224,6 +315,19 @@ object Multimodal {
             case Some((frames, rate, rms)) =>
               MediaFeature(r.media_id, r.media_type, r.payload.length,
                 decoded = true, -1, -1, -1.0, -1.0, -1.0, frames, rate, rms, rms)
+            case None => stub(r)
+          }
+          case "video" => decodeVideoFrames(r.payload) match {
+            case Some(frames) =>
+              val per = frames.map(frameMeans)
+              val n = frames.length
+              val mr = per.map(_._1).sum / n
+              val mg = per.map(_._2).sum / n
+              val mb = per.map(_._3).sum / n
+              MediaFeature(r.media_id, r.media_type, r.payload.length,
+                decoded = true, frames.head.getWidth, frames.head.getHeight,
+                mr, mg, mb, n.toLong, -1, -1.0,
+                math.sqrt(mr * mr + mg * mg + mb * mb))
             case None => stub(r)
           }
           case _ => stub(r)
@@ -268,17 +372,37 @@ object Multimodal {
     }
   }
 
-  /** STUB frame sampling: every k-th "frame" (here: 16-byte stripe) of a
-    * video payload — the partition/batch plumbing of real frame extraction. */
+  /** REAL frame sampling: decode the multi-frame payload (JDK GIF reader),
+    * keep every k-th frame, re-encode each kept frame as a standalone PNG —
+    * the "video → training images" extraction step. Payloads no reader
+    * accepts fall back to the byte-stripe stub so the schema contract
+    * holds for codec-blocked formats. */
   def sampleFrames(media: Dataset[MediaRow], everyK: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.media_type == "video")
       .flatMap { r =>
-        r.payload.grouped(16).zipWithIndex
-          .filter(_._2 % everyK == 0)
-          .map { case (frame, idx) => (r.media_id, idx, frame.length) }
+        decodeVideoFrames(r.payload) match {
+          case Some(frames) =>
+            frames.zipWithIndex
+              .filter(_._2 % everyK == 0)
+              .map { case (im, idx) =>
+                val rgb = new java.awt.image.BufferedImage(
+                  im.getWidth, im.getHeight,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g2 = rgb.createGraphics()
+                try g2.drawImage(im, 0, 0, null) finally g2.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(rgb, "png", bos)
+                (r.media_id, idx, bos.toByteArray)
+              }
+          case None =>
+            r.payload.grouped(16).zipWithIndex
+              .filter(_._2 % everyK == 0)
+              .map { case (stripe, idx) => (r.media_id, idx, stripe) }
+              .toSeq
+        }
       }
-      .toDF("media_id", "frame_idx", "frame_bytes")
+      .toDF("media_id", "frame_idx", "frame_png")
   }
 
   // ---------------------------------------------------------------- queries
@@ -296,8 +420,10 @@ object Multimodal {
   /** Decode→featurize through the typed Dataset path: image rows carry
     * real PNG payloads decoded with ImageIO (pixel-derived dims + channel
     * means), audio rows real WAV payloads decoded with javax.sound
-    * (frames / rate / RMS); video takes the stub path. Rows-only check —
-    * decode correctness against known fixtures asserted in MultimodalSpec. */
+    * (frames / rate / RMS), video rows real animated-GIF payloads decoded
+    * frame-by-frame (frame count / dims / cross-frame means). Rows-only
+    * check — decode correctness against known fixtures asserted in
+    * MultimodalSpec. */
   def qMediaFeatures(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val media = withRealMedia(mediaTable(spark, d).as[MediaRow])

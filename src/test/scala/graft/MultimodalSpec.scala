@@ -22,13 +22,14 @@ class MultimodalSpec extends SparkSpec {
       x.media_id == y.media_id && math.abs(x.feature_norm - y.feature_norm) < 1e-9
     }, "featurize must be partition-invariant")
     assert(a.forall(_.n_bytes > 0))
-    // image AND audio rows decode for real; only video stays stubbed
+    // every modality decodes for real (PNG / WAV / animated GIF)
     a.foreach { f =>
       f.media_type match {
         case "image" => assert(f.decoded && f.decoded_w > 0 && f.decoded_h > 0)
         case "audio" => assert(f.decoded && f.n_frames > 0 &&
           f.sample_rate_hz == 8000 && f.rms > 0.0 && f.rms < 1.0)
-        case _ => assert(!f.decoded && f.decoded_w == -1 && f.n_frames == -1L)
+        case "video" => assert(f.decoded && f.decoded_w > 0 &&
+          f.n_frames == f.media_id % 6 + 4)
       }
     }
   }
@@ -109,5 +110,54 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, everyK = 2).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.getInt(1) % 2 == 0))
+  }
+
+  test("video decode recovers the exact frames of a known GIF fixture") {
+    // fixture: media_id=5 → 13x9, 9 solid-color frames. Solid frames use
+    // one palette slot each ⇒ GIF quantization is lossless ⇒ decoded
+    // channel means must equal the generator formula exactly.
+    val id = 5L
+    val w = (id % 16 + 8).toInt; val h = (id % 12 + 8).toInt
+    val nFrames = (id % 6 + 4).toInt
+    def mean(mult: Long): Double =
+      (0 until nFrames).map(f => Multimodal.frameChannel(id, f, mult).toDouble)
+        .sum / nFrames
+    val row = Multimodal.MediaRow(id, "video",
+      Multimodal.syntheticGif(id, w, h, nFrames), w, h, 16000)
+    val f = Multimodal.decodeAndFeaturize(Seq(row).toDS()).collect().head
+    assert(f.decoded && f.decoded_w == w && f.decoded_h == h)
+    assert(f.n_frames == nFrames)
+    assert(math.abs(f.mean_r - mean(31)) < 1e-12, "mean_r from real frames")
+    assert(math.abs(f.mean_g - mean(17)) < 1e-12, "mean_g from real frames")
+    assert(math.abs(f.mean_b - mean(5)) < 1e-12, "mean_b from real frames")
+  }
+
+  test("real frame extraction: sampled frames are standalone decodable PNGs") {
+    val media = Multimodal.withRealMedia(
+      Multimodal.mediaTable(spark, sf).as[Multimodal.MediaRow])
+    val vids = media.filter(_.media_type == "video").collect()
+      .map(r => r.media_id -> r).toMap
+    assert(vids.nonEmpty)
+    val frames = Multimodal.sampleFrames(media, everyK = 2).collect()
+    // every-k-th: per video, count == ceil(nFrames / 2)
+    val perVid = frames.groupBy(_.getLong(0))
+    perVid.foreach { case (id, fs) =>
+      val nFrames = (id % 6 + 4).toInt
+      assert(fs.length == (nFrames + 1) / 2, s"video $id frame count")
+      fs.foreach { f =>
+        assert(f.getInt(1) % 2 == 0)
+        val im = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(f.getAs[Array[Byte]](2)))
+        assert(im != null && im.getWidth == vids(id).width &&
+          im.getHeight == vids(id).height,
+          "extracted frame must be a standalone PNG with the video's dims")
+        // solid frame: top-left pixel IS the frame color from the generator
+        val p = im.getRGB(0, 0)
+        val fIdx = f.getInt(1)
+        assert(((p >> 16) & 0xff) == Multimodal.frameChannel(id, fIdx, 31).toInt)
+        assert(((p >> 8) & 0xff) == Multimodal.frameChannel(id, fIdx, 17).toInt)
+        assert((p & 0xff) == Multimodal.frameChannel(id, fIdx, 5).toInt)
+      }
+    }
   }
 }
