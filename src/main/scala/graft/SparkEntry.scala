@@ -32,6 +32,7 @@ object SparkEntry {
       graft.sources.Fasta.queries ++
       graft.text.Text.queries ++
       graft.text.Bm25.queries ++
+      graft.text.BpeTrain.queries ++
       graft.dedup.Dedup.queries ++
       graft.similarity.Similarity.queries ++
       graft.similarity.Pq.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       graft.sources.Fasta.oracles ++
       graft.text.Text.oracles ++
       graft.text.Bm25.oracles ++
+      graft.text.BpeTrain.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.similarity.Similarity.oracles ++
       graft.similarity.Pq.oracles ++

@@ -90,13 +90,62 @@ object Scale {
       .orderBy("s_nationkey")
   }
 
+  /** Null-skew-safe left outer join. SQL semantics say a NULL join key
+    * never matches — but a shuffle join still SHUFFLES every null-keyed
+    * row, and they all hash to the SAME partition (hash(null) is a
+    * constant): on a 100 TB fact table where an optional foreign key is
+    * 90% null, that is one straggler task holding 90% of the table while
+    * 999 executors idle. The rewrite routes null-keyed rows around the
+    * join entirely — they exit as scan → filter → union, touching no
+    * exchange on the join key — and only the matchable minority joins.
+    * Result-identical to the plain left join by construction (the oracle
+    * IS the plain join). */
+  def leftJoinNullSkewSafe(left: DataFrame, right: DataFrame,
+                           key: String): DataFrame = {
+    val matched = left.filter(col(key).isNotNull).join(right, Seq(key), "left")
+    val rightOnly = right.columns.filterNot(_ == key)
+    val nullSide = rightOnly.foldLeft(left.filter(col(key).isNull)) {
+      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    matched.unionByName(nullSide.select(matched.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** q106: orders carry a 90%-null optional key (every 10th customer);
+    * the mktsegment rollup must be identical to the plain left join while
+    * the null majority never enters the join exchange (PlanAuditSpec pins
+    * both). */
+  def qNullSkewJoin(spark: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(spark, d)
+      .withColumn("big_cust",
+        when(col("o_custkey") % 10 === 0, col("o_custkey")))
+      .select(col("big_cust"), col("o_totalprice"))
+    val c = graft.Tables.customer(spark, d)
+      .select(col("c_custkey").as("big_cust"), col("c_mktsegment"))
+    leftJoinNullSkewSafe(o, c, "big_cust")
+      .groupBy(coalesce(col("c_mktsegment"), lit("unmatched")).as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Num.dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q92_salted_agg" -> (qSaltedAgg _))
+    "q92_salted_agg" -> (qSaltedAgg _),
+    "q106_nullskew_join" -> (qNullSkewJoin _))
 
   val oracles: Map[String, String] = Map(
     "q92_salted_agg" -> s"""
       SELECT s_nationkey, COUNT(*) AS n_items,
              ${graft.Num.sqlDsum("l_extendedprice")} AS revenue
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      GROUP BY s_nationkey ORDER BY s_nationkey""")
+      GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q106_nullskew_join" -> s"""
+      WITH o AS (
+        SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey END AS big_cust,
+               o_totalprice
+        FROM orders)
+      SELECT COALESCE(c_mktsegment, 'unmatched') AS segment,
+             COUNT(*) AS n_orders,
+             ${graft.Num.sqlDsum("o_totalprice")} AS total_price
+      FROM o LEFT JOIN customer ON big_cust = c_custkey
+      GROUP BY 1 ORDER BY segment""")
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Row types for the typed grouped-map twin ([[Analytics.groupZscoreTyped]]);
@@ -163,14 +164,86 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** Winsorized robust statistics per group — the outlier-clipping step of
+    * feature normalization, with EVERY output value exact (no rounding
+    * anywhere):
+    *
+    *   - thresholds are NEAREST-RANK percentiles (the value at rank
+    *     ceil(p·n), an actual order statistic) — a 2-decimal data value,
+    *     not an interpolated real, so it is bit-identical on any engine;
+    *     the rank itself is pure integer math ((p·n + 99) div 100 — never
+    *     ceil(0.05 * n), whose binary-inexact 0.05 rounds up at exact
+    *     multiples);
+    *   - the winsorized mean is assembled from exact pieces in fixed
+    *     order: decimal-exact sum of in-range values + n_below·lo +
+    *     n_above·hi, divided by n.
+    *
+    * Plan: one window exchange for the ranks (row_number ties are
+    * harmless — the VALUE at rank r is invariant under tie order), a
+    * broadcast of the per-group thresholds, one aggregation. The window's
+    * per-group single-task sort is the q52 parallelism note; the
+    * bucket-selection formulation swaps in unchanged when one group is
+    * huge. */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+                      pLo: Int = 5, pHi: Int = 95): DataFrame = {
+    val li = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val rLo = s"($pLo * n + 99) div 100"
+    val rHi = s"($pHi * n + 99) div 100"
+    val ranked = li.withColumn("rn", row_number().over(
+      Window.partitionBy(col("g")).orderBy(col("v"))))
+    val th = ranked
+      .join(broadcast(li.groupBy("g").agg(count(lit(1)).as("n"))), "g")
+      .filter(col("rn") === expr(rLo) || col("rn") === expr(rHi))
+      .groupBy("g", "n")
+      .agg(min(when(col("rn") === expr(rLo), col("v"))).as("lo"),
+           max(when(col("rn") === expr(rHi), col("v"))).as("hi"))
+    li.join(broadcast(th), "g")
+      .groupBy(col("g").as(groupCol), col("n"), col("lo"), col("hi"))
+      .agg(
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_above"),
+        graft.Num.dsum(when(col("v") >= col("lo") && col("v") <= col("hi"),
+          col("v"))).as("s_inside"))
+      .withColumn("win_mean",
+        (col("s_inside") + (col("n_below") * col("lo") + col("n_above") * col("hi")))
+          / col("n"))
+      .select(groupCol, "n", "lo", "hi", "n_below", "n_above", "win_mean")
+  }
+
+  def qWinsorized(spark: SparkSession, d: String): DataFrame =
+    winsorizedStats(Tables.lineitem(spark, d), "l_returnflag", "l_extendedprice")
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_funnel"  -> (qFunnel _),
     "q79_cohorts" -> (qCohorts _),
     "q93_ntile_curriculum" -> (qNtileCurriculum _),
     "q95_group_zscore" -> (qGroupZscore _),
-    "q98_global_curriculum" -> (qGlobalCurriculum _))
+    "q98_global_curriculum" -> (qGlobalCurriculum _),
+    "q107_winsorized" -> (qWinsorized _))
 
   val oracles: Map[String, String] = Map(
+    "q107_winsorized" -> """
+      WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem),
+      r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM li),
+      n AS (SELECT g, COUNT(*) AS n FROM li GROUP BY g),
+      th AS (
+        SELECT r.g, n.n,
+               MIN(CASE WHEN rn = (5 * n + 99) // 100 THEN v END) AS lo,
+               MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS hi
+        FROM r JOIN n USING (g)
+        WHERE rn = (5 * n + 99) // 100 OR rn = (95 * n + 99) // 100
+        GROUP BY r.g, n.n),
+      a AS (
+        SELECT li.g, th.n, th.lo, th.hi,
+               CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+               CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+               CAST(SUM(CASE WHEN v >= lo AND v <= hi
+                    THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE) AS s_inside
+        FROM li JOIN th USING (g) GROUP BY 1, 2, 3, 4)
+      SELECT g AS l_returnflag, n, lo, hi, n_below, n_above,
+             (s_inside + (n_below * lo + n_above * hi)) / n AS win_mean
+      FROM a ORDER BY l_returnflag""",
     "q98_global_curriculum" -> s"""
       WITH t AS (
         SELECT len(${graft.text.Text.duckTokens}) AS n_tokens FROM documents),

@@ -220,6 +220,48 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Interpolated bigram language-model scoring (Jelinek–Mercer smoothing,
+    * λ = 0.75): per-doc mean of ln(λ·c(ab)/c(a) + (1−λ)·c(b)/N) over the
+    * doc's adjacent token pairs — the next-quality-signal step up from
+    * [[qUnigramLm]] (word order now matters: scrambled text scores worse
+    * than fluent text with the same unigram profile).
+    *
+    * Plan: ONE corpus tokenization feeds the per-doc bigram table; corpus
+    * bigram counts are a reaggregation of it (no second scan); unigram
+    * counts join twice (left context, right word). All counts are exact
+    * integers; the only real-valued step is ln, fixed-pointed with
+    * `floor(lp·1e9)` (the q66 portability rule — round(_, 9) is NOT
+    * cross-engine stable, multiply+floor is), so per-doc sums are exact
+    * integer sums: associative, partition-invariant, oracle-exact. */
+  def qBigramLm(spark: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(spark, d)
+      .withColumn("toks", tokens)
+    val bi = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+             i -> struct(toks[i] AS a, toks[i + 1] AS b))""")).as("p"))
+      .groupBy(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("tf"))
+    val big = bi.groupBy("a", "b").agg(sum(col("tf")).as("cab"))
+    val uni = t.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val total = broadcast(uni.agg(sum(col("c")).cast("double").as("n_total")))
+    bi.join(big, Seq("a", "b"))
+      .join(uni.select(col("term").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("term").as("b"), col("c").as("cb")), "b")
+      .crossJoin(total)
+      .withColumn("lps", floor(log(
+        (lit(0.75) * (col("cab").cast("double") / col("ca"))) +
+        (lit(0.25) * (col("cb").cast("double") / col("n_total")))) * lit(1e9))
+        .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+           round(sum(col("tf") * col("lps")).cast("double")
+                   / (sum(col("tf")).cast("double") * lit(1e9)), 6)
+             .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Boilerplate detection: the top-5 most frequent token 3-grams per
     * language — recurring templates/navigation chrome surface at the top.
     * Gram expansion is linear in tokens; the per-lang top-k is a
@@ -289,6 +331,7 @@ object Text {
     "q90_pii_scan"    -> (qPiiScan _),
     "q66_unigram_lm"  -> (qUnigramLm _),
     "q68_boilerplate" -> (qBoilerplate _),
+    "q109_bigram_lm" -> (qBigramLm _),
     "q61_repetition"  -> (qRepetition _),
     "q47_bpe_tokens"  -> (qBpeTokens _),
     "q23_wordcount"   -> (qWordcount _),
@@ -371,6 +414,31 @@ object Text {
                      c -> c >= 'a' AND c <= 'z')) AS c
               FROM documents)
         GROUP BY c ORDER BY c""",
+      "q109_bigram_lm" -> s"""
+        WITH t AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+        pairs AS (
+          -- range(a, b) is exclusive of b: i spans 1..len-1, pairing
+          -- toks[i] with toks[i+1] over all len-1 adjacencies
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS a,
+                 unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS b
+          FROM t WHERE len(toks) >= 2),
+        bi AS (SELECT doc_id, a, b, COUNT(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+        big AS (SELECT a, b, CAST(SUM(tf) AS BIGINT) AS cab FROM bi GROUP BY 1, 2),
+        uni AS (SELECT term, COUNT(*) AS c
+                FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM uni)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+               ROUND(CAST(SUM(tf * CAST(FLOOR(ln(
+                       (0.75 * (CAST(cab AS DOUBLE) / ca.c)) +
+                       (0.25 * (CAST(cb.c AS DOUBLE) / n_total))) * 1e9)
+                     AS BIGINT)) AS DOUBLE)
+                     / (CAST(SUM(tf) AS DOUBLE) * 1e9), 6) AS avg_logprob
+        FROM bi JOIN big USING (a, b)
+        JOIN uni ca ON bi.a = ca.term
+        JOIN uni cb ON bi.b = cb.term
+        CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id""",
       "q66_unigram_lm" -> s"""
         WITH tok AS (
           SELECT doc_id, unnest($duckTokens) AS term FROM documents),

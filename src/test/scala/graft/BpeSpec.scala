@@ -1,0 +1,49 @@
+package graft
+
+import graft.text.BpeTrain
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BPE training reproduces the classic hand-computed merge sequence") {
+    // the canonical BPE teaching corpus: hug x10, pug x5, pun x12, bun x4,
+    // hugs x5. Pair counts by hand:
+    //   round 1: ug = 10+5+5 = 20 wins (hu 15, pu 17, un 16, bu 4, gs 5)
+    //   round 2: un = 12+4 = 16 wins (h-ug 15, pu now 12)
+    //   round 3: h-ug = 15 wins (p-un 12)
+    val docs = Seq(
+      ("hug " * 10) + ("pug " * 5) + ("pun " * 12) + ("bun " * 4) + ("hugs " * 5)
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (merges, ws) = BpeTrain.train(docs, nMerges = 3)
+    ws.unpersist()
+    val got = merges.map(m => (m.rank, m.left, m.right, m.weighted_count))
+    assert(got == Seq((1, "u", "g", 20L), (2, "u", "n", 16L), (3, "h", "ug", 15L)),
+      s"unexpected merge sequence: $got")
+  }
+
+  test("BPE training is deterministic and stops when no pairs remain") {
+    val docs = Seq((1L, "ab ab ab cd")).toDF("doc_id", "text")
+    val (m1, w1) = BpeTrain.train(docs, nMerges = 10)
+    w1.unpersist()
+    val (m2, w2) = BpeTrain.train(docs.repartition(5), nMerges = 10)
+    w2.unpersist()
+    assert(m1 == m2, "merge table must be partition-invariant")
+    // "ab" and "cd" are 2-char words: after merging each, nothing remains
+    assert(m1.length == 2)
+    assert(m1.map(_.merged).toSet == Set("ab", "cd"))
+  }
+
+  test("encode round trip: learned merges tokenize seen and unseen words") {
+    val docs = Seq(
+      ("hug " * 10) + ("pug " * 5) + ("pun " * 12) + ("bun " * 4) + ("hugs " * 5)
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (merges, ws) = BpeTrain.train(docs, nMerges = 3)
+    ws.unpersist()
+    // seen word fully merged by rank-3 table
+    assert(BpeTrain.encode("hug", merges) == Seq("hug"))
+    // unseen word reuses learned subwords: b + ug
+    assert(BpeTrain.encode("bug", merges) == Seq("b", "ug"))
+    // unseen characters stay atomic
+    assert(BpeTrain.encode("zq", merges) == Seq("z", "q"))
+  }
+}

@@ -247,6 +247,32 @@ class PipelineOpsSpec extends SparkSpec {
       s"typed and window stats must match bitwise:\n${q.toSeq}\n${t.toSeq}")
   }
 
+  test("winsorized stats: nearest-rank thresholds and clipped mean, by hand") {
+    import graft.queries.Analytics
+    // group "a": values 1..100 → rank ceil(5*100/100)=5 → lo=5; rank 95 → hi=95
+    // below: 1..4 (4 rows), above: 96..100 (5 rows)
+    // win_mean = (sum(5..95) + 4*5 + 5*95) / 100 = (4550 + 20 + 475) / 100
+    val a = (1 to 100).map(v => ("a", v.toDouble))
+    // group "b": 3 values → rLo = ceil(15/100)=1, rHi = ceil(285/100)=3 →
+    // nothing clipped, win_mean = plain mean
+    val b = Seq(("b", 10.0), ("b", 20.0), ("b", 30.0))
+    val df = spark.createDataFrame(a ++ b).toDF("g", "v")
+    val out = Analytics.winsorizedStats(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ra = out("a")
+    assert(ra.getAs[Double]("lo") == 5.0 && ra.getAs[Double]("hi") == 95.0)
+    assert(ra.getAs[Long]("n_below") == 4L && ra.getAs[Long]("n_above") == 5L)
+    assert(ra.getAs[Double]("win_mean") == (4550.0 + 20.0 + 475.0) / 100)
+    val rb = out("b")
+    assert(rb.getAs[Double]("lo") == 10.0 && rb.getAs[Double]("hi") == 30.0)
+    assert(rb.getAs[Long]("n_below") == 0L && rb.getAs[Long]("n_above") == 0L)
+    assert(rb.getAs[Double]("win_mean") == 20.0)
+    // partition-invariant (exact decimal pieces → bitwise equal)
+    val again = Analytics.winsorizedStats(df.repartition(7), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("win_mean")).toMap
+    assert(again("a") == ra.getAs[Double]("win_mean"))
+  }
+
   test("PII redaction replaces every pattern, leaves clean text intact") {
     import spark.implicits._
     val rows = Seq(

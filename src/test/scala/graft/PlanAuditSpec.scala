@@ -89,6 +89,34 @@ class PlanAuditSpec extends SparkSpec {
       == Map("hot" -> 1000L, "a" -> 1L, "b" -> 1L))
   }
 
+  test("null-skew join: == plain left join; null majority bypasses the join") {
+    import spark.implicits._
+    val left = ((1L to 40L).map(i => (Option.empty[Long], i)) ++
+        Seq((Some(1L), 100L), (Some(2L), 200L), (Some(9L), 300L)))
+      .toDF("k", "lv")
+    val right = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "rv")
+    val rewritten = Scale.leftJoinNullSkewSafe(left, right, "k")
+    val plain = left.join(right, Seq("k"), "left")
+    // identical multiset of rows (null keys unmatched, matched keys joined)
+    assert(rewritten.exceptAll(plain).isEmpty && plain.exceptAll(rewritten).isEmpty)
+    // the join operator itself only ever sees non-null keys: its left
+    // input carries an isnotnull filter, and the null rows reach the
+    // output through the union branch (scan -> filter -> project), never
+    // through a join exchange — the property that deletes the hash(null)
+    // straggler partition at scale. Asserted on the parquet-backed q106
+    // (local relations constant-fold the filter away at optimization time).
+    assert(plan(rewritten).contains("Union"))
+    val q = Scale.qNullSkewJoin(spark, sf)
+    val p = plan(q).toLowerCase
+    assert(p.contains("union"), p)
+    // Catalyst pushes the isnotnull(big_cust) THROUGH the CASE projection
+    // into the scan's data filters (isnotnull(o_custkey) under the CASE
+    // branch), and the bypass branch carries the complementary isnull —
+    // both branches filter at the scan, the join sees only matchable rows
+    assert(p.contains("isnotnull(o_custkey"), p)
+    assert(p.contains("isnull(o_custkey"), p)
+  }
+
   test("join-free co-occurrence pairs == distinct self-join formulation") {
     val viaArrays = Scale.coOccurrencePairs(
         Tables.lineitem(spark, sf), "l_orderkey", "l_partkey")

@@ -27,12 +27,12 @@ BUDGETS = {
     "q46_ivf_ann": 2.0,
     "q66_unigram_lm": 2.0,
     "q68_boilerplate": 2.0,
-    "q69_approx_quantiles": 2.5,  # runs sketch AND exact percentile side by side
+    "q69_approx_quantiles": 3.0,  # runs sketch AND exact percentile side by side
     "q73_dedup_clusters": 4.0,    # q31's pair join + iterative CC rounds
     "q87_dup_coverage": 2.5,      # gram explode + df join (q62's class)
     "q89_pagerank": 3.0,          # 10 chained iterations: stage-latency
                                   # bound (~0.14 s/round), not data bound
-    "q101_fasta_roundtrip": 4.0,  # write-bound like q44: renders + writes
+    "q101_fasta_roundtrip": 5.0,  # write-bound like q44: renders + writes
                                   # the corpus as FASTA text, then re-reads
     "q102_bm25": 2.5,             # explode + two aggs + broadcast joins
     "q103_simjoin_prefix": 5.0,   # df window + prefix join + verify join
@@ -42,6 +42,12 @@ BUDGETS = {
     "q07_selfjoin_2hop": 6.0,     # slowest core query; see BENCHMARKS.md
     "q44_partition_pruning": 5.0, # write-bound by design
     "q98_global_curriculum": 3.0, # two window families over lineitem
+    "q93_ntile_curriculum": 3.0,  # per-lang quartile windows + stats
+    "q39_media_features": 3.5,    # real PNG+WAV+GIF decode of every payload
+    "q108_bpe_train": 5.0,        # 12 driver-coordinated merge rounds:
+                                  # stage-latency bound (vocab table is
+                                  # tiny), not data bound
+    "q109_bigram_lm": 3.0,        # bigram explode + 3 count joins
 }
 DEFAULT_BUDGET = 2.0   # every other query is sub-1s typical
 TOTAL_HARD = 110.0     # suite total: fail — a real regression
