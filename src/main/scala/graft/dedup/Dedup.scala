@@ -71,6 +71,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-doc LSH band keys COMBINED into single longs (band index folded
+    * into the bucket hash), as an array column over a `sig` column — the
+    * row-level form that needs no explode/shuffle, so it composes with
+    * Structured Streaming's stateless map-only constraint
+    * ([[graft.streaming.Streams.streamStaticNearDup]]) and with bloom
+    * prefilters ([[bloomDedup]]'s discipline applied to near-dup). */
+  val bandKeysCol: org.apache.spark.sql.Column = expr(
+    s"transform(sequence(0, ${NumBands - 1}), b -> xxhash64(b, ${
+      (0 until BandRows).map(r => s"sig[b * $BandRows + $r]").mkString(", ")}))")
+
+  /** Map-only band-key derivation over raw documents: adds `band_keys`
+    * (array<long>) and `has_sig` (false for docs too short to shingle).
+    * No explode, no shuffle — one projection. */
+  def withBandKeys(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", Text.tokens)
+      .withColumn("sig", graft.functions.exprs.minhash3gram(col("toks"), NumHashes))
+      .withColumn("has_sig", size(col("toks")) >= 3)
+      .withColumn("band_keys", bandKeysCol)
+      .drop("toks", "sig")
+
+  /** Distinct combined band keys of a static corpus — the index the
+    * streaming near-dup filter blooms over. */
+  def corpusBandKeys(docs: DataFrame): DataFrame =
+    withBandKeys(docs).filter(col("has_sig"))
+      .select(explode(col("band_keys")).as("band_key"))
+      .distinct()
+
   /** 64-bit SimHash per doc, term-frequency-weighted (the token array IS
     * the term stream — repeats accumulate). One projection via the
     * codegen'd [[graft.functions.SimHash64]] kernel: no groupBy, no

@@ -128,9 +128,71 @@ object Scale {
       .orderBy("segment")
   }
 
+  /** Join-key skew diagnostics — the DIAGNOSIS step in front of this
+    * module's mitigation toolkit (is the key null-heavy → [[leftJoinNullSkewSafe]];
+    * is one key hot → [[saltedJoin]] / AQE skew split; is the dimension
+    * small → broadcast). One pass builds per-key group sizes; every
+    * metric after that runs over the |keys| group-size table, not the
+    * corpus (the global rank window is O(keys) — at 100 TB the key table
+    * of a join is millions of rows, not trillions; if even that is too
+    * hot, swap the window for Percentiles.viaBucketSelection unchanged).
+    *
+    * Group-size percentiles use nearest-rank integer math (the q107
+    * discipline: rank (p·n + 99) div 100 — an actual order statistic,
+    * bit-exact on any engine), so the whole report is oracle-exact. */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sizes = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+      .filter(col("k").isNotNull)
+    val nulls = df.filter(col(keyCol).isNull)
+      .agg(count(lit(1)).as("null_rows"))
+    val ranked = sizes.withColumn("rn",
+      row_number().over(Window.orderBy(col("c"), col("k"))))
+    val agg = sizes.agg(
+        sum(col("c")).as("nonnull_rows"),
+        count(lit(1)).as("keys_total"),
+        max(col("c")).as("max_group"))
+      .crossJoin(broadcast(nulls))
+    val withPct = agg
+      .join(ranked.select(col("rn").as("rn50"), col("c").as("p50_group")),
+        expr("rn50 = (50 * keys_total + 99) div 100"))
+      .join(ranked.select(col("rn").as("rn99"), col("c").as("p99_group")),
+        expr("rn99 = (99 * keys_total + 99) div 100"))
+    withPct.select(
+        (col("nonnull_rows") + col("null_rows")).as("rows_total"),
+        col("null_rows"), col("keys_total"), col("max_group"),
+        col("p50_group"), col("p99_group"))
+      .withColumn("null_fraction",
+        col("null_rows").cast("double") / col("rows_total"))
+      .withColumn("skew_ratio",
+        col("max_group").cast("double") / col("p50_group"))
+      .select(
+        expr("stack(8, 'rows_total', CAST(rows_total AS DOUBLE), " +
+          "'null_rows', CAST(null_rows AS DOUBLE), " +
+          "'null_fraction', null_fraction, " +
+          "'keys_total', CAST(keys_total AS DOUBLE), " +
+          "'max_group', CAST(max_group AS DOUBLE), " +
+          "'p50_group', CAST(p50_group AS DOUBLE), " +
+          "'p99_group', CAST(p99_group AS DOUBLE), " +
+          "'skew_ratio', skew_ratio) AS (metric, value)"))
+      .orderBy("metric")
+  }
+
+  /** q110: skew report over the q106 derived key (90% null, uniform
+    * non-null tail) — the report that would have told you to reach for
+    * the null-bypass rewrite. */
+  def qSkewReport(spark: SparkSession, d: String): DataFrame =
+    keySkewReport(
+      graft.Tables.orders(spark, d).withColumn("big_cust",
+        when(col("o_custkey") % 10 === 0, col("o_custkey"))),
+      "big_cust")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_salted_agg" -> (qSaltedAgg _),
-    "q106_nullskew_join" -> (qNullSkewJoin _))
+    "q106_nullskew_join" -> (qNullSkewJoin _),
+    "q110_skew_report" -> (qSkewReport _))
 
   val oracles: Map[String, String] = Map(
     "q92_salted_agg" -> s"""
@@ -147,5 +209,37 @@ object Scale {
              COUNT(*) AS n_orders,
              ${graft.Num.sqlDsum("o_totalprice")} AS total_price
       FROM o LEFT JOIN customer ON big_cust = c_custkey
-      GROUP BY 1 ORDER BY segment""")
+      GROUP BY 1 ORDER BY segment""",
+    "q110_skew_report" -> """
+      WITH d AS (
+        SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey END AS k
+        FROM orders),
+      s AS (SELECT k, COUNT(*) AS c FROM d WHERE k IS NOT NULL GROUP BY k),
+      r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS rn FROM s),
+      a AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS nonnull_rows,
+               COUNT(*) AS keys_total,
+               CAST(MAX(c) AS BIGINT) AS max_group,
+               (SELECT COUNT(*) FROM d WHERE k IS NULL) AS null_rows
+        FROM s),
+      p AS (
+        SELECT a.*,
+          (SELECT CAST(c AS BIGINT) FROM r
+            WHERE rn = (50 * a.keys_total + 99) // 100) AS p50_group,
+          (SELECT CAST(c AS BIGINT) FROM r
+            WHERE rn = (99 * a.keys_total + 99) // 100) AS p99_group
+        FROM a)
+      SELECT metric, value FROM (
+        SELECT 'rows_total' AS metric,
+               CAST(nonnull_rows + null_rows AS DOUBLE) AS value FROM p
+        UNION ALL SELECT 'null_rows', CAST(null_rows AS DOUBLE) FROM p
+        UNION ALL SELECT 'null_fraction',
+          CAST(null_rows AS DOUBLE) / (nonnull_rows + null_rows) FROM p
+        UNION ALL SELECT 'keys_total', CAST(keys_total AS DOUBLE) FROM p
+        UNION ALL SELECT 'max_group', CAST(max_group AS DOUBLE) FROM p
+        UNION ALL SELECT 'p50_group', CAST(p50_group AS DOUBLE) FROM p
+        UNION ALL SELECT 'p99_group', CAST(p99_group AS DOUBLE) FROM p
+        UNION ALL SELECT 'skew_ratio',
+          CAST(max_group AS DOUBLE) / p50_group FROM p)
+      ORDER BY metric""")
 }

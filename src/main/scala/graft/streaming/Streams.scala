@@ -135,6 +135,35 @@ object Streams {
       .join(corpusFps, Seq("fp"), "left_anti")
       .drop("fp")
 
+  /** Stream-static NEAR-dup candidate filter: incoming streamed documents
+    * flagged when any MinHash LSH band key might collide with the static
+    * corpus index — the approximate twin of [[streamStaticDedup]] (which
+    * only catches byte-exact copies).
+    *
+    * Streaming shape: everything on the stream side is map-only (tokenize
+    * → minhash signature → band keys as an ARRAY column → bloom probe per
+    * element), so it is stateless and legal in any output mode — no
+    * explode-then-regroup, which would need stateful aggregation. The
+    * static side is collapsed to a bloom filter over its band keys before
+    * the stream starts (the [[graft.dedup.Dedup.bloomDedup]] discipline):
+    * blooms have NO false negatives, so every true LSH candidate is
+    * flagged — false positives only send extra docs to the downstream
+    * exact verify, never drop clean ones silently. At 100 TB the bloom is
+    * a few GB broadcast once per index refresh, and the stream never
+    * shuffles. */
+  def streamStaticNearDup(docs: DataFrame, corpusDocs: DataFrame,
+                          expectedItems: Long = 100000L,
+                          fpp: Double = 0.01): DataFrame = {
+    import graft.dedup.Dedup
+    val bf = Dedup.corpusBandKeys(corpusDocs)
+      .stat.bloomFilter("band_key", expectedItems, fpp)
+    val might = udf((k: Long) => bf.mightContain(k))
+    Dedup.withBandKeys(docs)
+      .withColumn("near_dup_candidate",
+        col("has_sig") && exists(col("band_keys"), k => might(k)))
+      .drop("band_keys", "has_sig")
+  }
+
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state: running per-user totals via mapGroupsWithState —

@@ -117,6 +117,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("isnull(o_custkey"), p)
   }
 
+  test("skew report: exact metrics on a planted key distribution") {
+    import spark.implicits._
+    // a×10, b×2, c×1, null×7 → sizes (1,2,10): p50 = rank ceil(0.5·3)=2 → 2,
+    // p99 = rank 3 → 10, skew = 10/2, null_fraction = 7/20
+    val df = (Seq.fill(10)(Some("a")) ++ Seq.fill(2)(Some("b")) ++
+      Seq(Some("c")) ++ Seq.fill(7)(Option.empty[String])).toDF("k")
+    val m = Scale.keySkewReport(df, "k").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("rows_total") == 20.0 && m("null_rows") == 7.0)
+    assert(m("null_fraction") == 0.35)
+    assert(m("keys_total") == 3.0 && m("max_group") == 10.0)
+    assert(m("p50_group") == 2.0 && m("p99_group") == 10.0)
+    assert(m("skew_ratio") == 5.0)
+  }
+
   test("join-free co-occurrence pairs == distinct self-join formulation") {
     val viaArrays = Scale.coOccurrencePairs(
         Tables.lineitem(spark, sf), "l_orderkey", "l_partkey")

@@ -215,6 +215,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static NEAR-dup: LSH bloom flags shared-shingle docs, map-only") {
+    import org.apache.spark.sql.types._
+    val dir = "target/tmp/stream_neardup"
+    if (new java.io.File(dir).exists) rmRf(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    val known = "the quick brown fox jumps over the lazy dog and runs away fast"
+    val corpus = Seq((100L, known)).toDF("doc_id", "text")
+    // b1: near-identical doc (one word changed → most shingles shared);
+    // b2: unrelated doc + too-short doc (must be has_sig=false → clean)
+    val nearDup = "the quick brown fox jumps over the lazy cat and runs away fast"
+    val unrelated = "completely different content with no overlap whatsoever here today"
+    Seq((1L, nearDup)).toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/b1")
+    Seq((2L, unrelated), (3L, "hi")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    Seq("b1", "b2").foreach { sub =>
+      new java.io.File(s"$dir/$sub").listFiles.filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$dir/$sub-$i.parquet")) }
+      rmRf(new java.io.File(s"$dir/$sub"))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.runToMemory(Streams.streamStaticNearDup(stream, corpus),
+      "stream_neardup", org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val flags = spark.table("stream_neardup").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("near_dup_candidate"))
+        .toMap
+      assert(flags(1L), "near-identical doc must be flagged (LSH at s≈0.9 recalls)")
+      assert(!flags(2L), "zero-overlap doc shares no shingle → no band collision")
+      assert(!flags(3L), "too-short doc has no signature → never flagged")
+      // differential: the identical transform in batch agrees exactly
+      val batch = Streams.streamStaticNearDup(
+        Seq((1L, nearDup), (2L, unrelated), (3L, "hi")).toDF("doc_id", "text"),
+        corpus).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("near_dup_candidate"))
+        .toMap
+      assert(batch == flags)
+    } finally q.stop()
+  }
+
   test("dedup-within-watermark: nearby dupes dropped, state evicted after horizon") {
     import org.apache.spark.sql.types._
     val dir = "target/tmp/stream_dedup_wm"
