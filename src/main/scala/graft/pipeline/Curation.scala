@@ -119,12 +119,74 @@ object Curation {
       .select(col("doc_id"), col("source"), col("rk"))
       .orderBy(col("source"), col("rk"))
 
+  /** Explainable quality gate — per-language counts of WHY documents were
+    * dropped, not just how many survived. Every production curation run
+    * ships this audit (reviewers ask "what did the filter actually
+    * remove?"); flags deliberately overlap (a doc can be both short and
+    * stopword-poor), and `kept` = no flag fired.
+    *
+    *   - too_short:    < 30 tokens (the q56 gate);
+    *   - low_stopword: stopword ratio < 1% (non-linguistic content);
+    *   - dominated:    one token > 15% of the doc (repetition/spam proxy —
+    *     the single-token-dominance check; n-gram diversity is q61's).
+    *
+    * Plan: one corpus scan + one (doc, token) aggregation for the
+    * dominance numerator; every flag is integer-ratio arithmetic
+    * (exact-int divisions vs literals — bit-deterministic, oracle-exact). */
+  def qQualityGate(spark: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(spark, d)
+      .withColumn("toks", Text.tokens)
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_stop", expr(Text.scoreSql("toks", Text.stopwords.head._2)))
+    val mx = t.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("mx"))
+    t.join(mx, Seq("doc_id"), "left")
+      .withColumn("too_short", col("n") < 30)
+      .withColumn("low_stopword",
+        col("n_stop").cast("double") / col("n") < 0.01)
+      .withColumn("dominated",
+        coalesce(col("mx"), lit(0L)).cast("double") / col("n") > 0.15)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("too_short"), 1L).otherwise(0L)).as("n_too_short"),
+        sum(when(col("low_stopword"), 1L).otherwise(0L)).as("n_low_stopword"),
+        sum(when(col("dominated"), 1L).otherwise(0L)).as("n_dominated"),
+        sum(when(!col("too_short") && !col("low_stopword") && !col("dominated"),
+          1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_curation" -> (qCuration _),
     "q96_dataset_build" -> (qDatasetBuild _),
-    "q105_host_cap" -> (qHostCap _))
+    "q105_host_cap" -> (qHostCap _),
+    "q111_quality_gate" -> (qQualityGate _))
 
   val oracles: Map[String, String] = Map(
+    "q111_quality_gate" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang, toks, len(toks) AS n,
+               ${Text.duckScoreSql("toks", Text.stopwords.head._2)} AS n_stop
+        FROM (SELECT doc_id, lang, ${Text.duckTokens} AS toks FROM documents)),
+      mx AS (
+        SELECT doc_id, MAX(c) AS mx FROM (
+          SELECT doc_id, w, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2)
+        GROUP BY doc_id),
+      f AS (
+        SELECT lang,
+               n < 30 AS too_short,
+               CAST(n_stop AS DOUBLE) / n < 0.01 AS low_stopword,
+               CAST(COALESCE(mx, 0) AS DOUBLE) / n > 0.15 AS dominated
+        FROM t LEFT JOIN mx USING (doc_id))
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+             CAST(SUM(CASE WHEN low_stopword THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stopword,
+             CAST(SUM(CASE WHEN dominated THEN 1 ELSE 0 END) AS BIGINT) AS n_dominated,
+             CAST(SUM(CASE WHEN NOT too_short AND NOT low_stopword AND NOT dominated
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM f GROUP BY lang ORDER BY lang""",
     "q105_host_cap" -> """
       SELECT doc_id, source, rk FROM (
         SELECT doc_id, source,

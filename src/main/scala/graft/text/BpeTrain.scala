@@ -69,7 +69,7 @@ object BpeTrain {
 
   /** Replace every non-overlapping (left, right) adjacency with the merged
     * symbol — greedy left-to-right, the standard BPE apply step. */
-  private[text] def mergeOnce(syms: Seq[String], l: String, r: String): Seq[String] = {
+  private[graft] def mergeOnce(syms: Seq[String], l: String, r: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < syms.length) {

@@ -247,6 +247,27 @@ class PipelineOpsSpec extends SparkSpec {
       s"typed and window stats must match bitwise:\n${q.toSeq}\n${t.toSeq}")
   }
 
+  test("observe counters: metrics match a separate aggregation, zero extra pass") {
+    import graft.ops.Observed
+    val docs = Tables.documents(spark, sf)
+    val observed = Observed.withIngestAudit(docs, "ingest")
+    // the main job is something else entirely — a filter; the counters
+    // ride along in the same pass. NB the action must execute THIS
+    // frame's own QueryExecution (collect/write — `count()` plans a
+    // separate QE and the metrics land there instead; see Observed docs)
+    val job = observed.filter(length(col("text")) > 50)
+    assert(job.collect().nonEmpty)
+    val m = Observed.metrics(job, "ingest").get
+    val expect = docs.agg(
+      count(lit(1)), sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)), sum(length(col("text")).cast("long"))).head()
+    assert(m.getLong(0) == expect.getLong(0), "rows")
+    assert(m.getLong(1) == expect.getLong(1), "empty_texts")
+    assert(m.getLong(2) == expect.getLong(2), "text_bytes")
+    // and the observation did not perturb the data
+    assert(observed.collect().length == docs.count())
+  }
+
   test("winsorized stats: nearest-rank thresholds and clipped mean, by hand") {
     import graft.queries.Analytics
     // group "a": values 1..100 → rank ceil(5*100/100)=5 → lo=5; rank 95 → hi=95

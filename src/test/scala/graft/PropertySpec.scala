@@ -105,6 +105,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE mergeOnce: concatenation preserved, only (l,r) adjacencies fused") {
+    val syms: Gen[List[String]] =
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "ab", "bc"))
+    samples(syms, 60).foreach { s =>
+      val merged = graft.text.BpeTrain.mergeOnce(s, "a", "b")
+      // the token stream's character content is invariant under merging
+      assert(merged.mkString == s.mkString, s"content changed for $s")
+      // no (a, b) adjacency survives
+      assert(!merged.zip(merged.drop(1)).contains(("a", "b")),
+        s"unmerged adjacency left in $merged")
+    }
+  }
+
+  test("winsorized stats: mean within thresholds, clip counts bounded (random)") {
+    val data: Gen[List[Double]] =
+      Gen.listOfN(40, Gen.chooseNum(1, 99999).map(_ / 100.0))
+    samples(data, 8).filter(_.nonEmpty).foreach { vs =>
+      val df = vs.map(v => ("g", v)).toDF("g", "v")
+      val r = graft.queries.Analytics.winsorizedStats(df, "g", "v").collect().head
+      val (lo, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      val mean = r.getAs[Double]("win_mean")
+      assert(lo <= hi && mean >= lo - 1e-9 && mean <= hi + 1e-9,
+        s"win_mean $mean outside [$lo, $hi]")
+      assert(r.getAs[Long]("n_below") + r.getAs[Long]("n_above") <= vs.length)
+      // thresholds are actual order statistics — members of the data
+      assert(vs.contains(lo) && vs.contains(hi))
+    }
+  }
+
   test("round-trip: parquet write/read preserves any (string,double) rows") {
     val rows = Gen.nonEmptyListOf(
       Gen.zip(Gen.alphaNumStr.map(_.take(12)), Gen.chooseNum(-1000000, 1000000).map(_ / 7.0)))

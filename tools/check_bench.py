@@ -43,7 +43,8 @@ BUDGETS = {
     "q44_partition_pruning": 5.0, # write-bound by design
     "q98_global_curriculum": 3.0, # two window families over lineitem
     "q93_ntile_curriculum": 3.0,  # per-lang quartile windows + stats
-    "q39_media_features": 3.5,    # real PNG+WAV+GIF decode of every payload
+    "q39_media_features": 5.0,    # real PNG+WAV+GIF decode of every payload
+                                  # (heavy-tailed: occasional GC spikes)
     "q108_bpe_train": 5.0,        # 12 driver-coordinated merge rounds:
                                   # stage-latency bound (vocab table is
                                   # tiny), not data bound
