@@ -128,8 +128,47 @@ object BpeTrain {
       .orderBy("rank")
   }
 
+  /** Corpus-scale ENCODE with a learned merge table — the apply half of
+    * the train→apply loop. The merge table is tiny (it's the model);
+    * it rides into every task as a closure (at a real vocab size,
+    * `sparkContext.broadcast` — same shape), and encoding is a map-only
+    * pass: no shuffle until the output aggregation. */
+  def encodeCorpus(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table = merges.sortBy(_.rank).map(m => (m.left, m.right)).toIndexedSeq
+    docs.select(col("doc_id"), col("source"), explode(Text.tokens).as("word"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, src, w) =>
+          val subs = table.foldLeft(w.map(_.toString): Seq[String]) {
+            (syms, m) => mergeOnce(syms, m._1, m._2)
+          }
+          (id, src, subs.length)
+        }
+      }
+      .toDF("doc_id", "source", "n_subwords")
+  }
+
+  /** q112: train 12 merges, re-encode the corpus with them, report
+    * per-source compression (subwords per character — trained merges
+    * must beat the char-level baseline of 1.0). Deterministic integer
+    * statistics; rows-only like q108 (the merge table is the output of
+    * the non-SQL-expressible trainer). */
+  def qBpeEncode(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val (merges, ws) = train(docs, nMerges = 12)
+    ws.unpersist()
+    encodeCorpus(docs, merges)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_subwords").cast("long")).as("n_subwords"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q108_bpe_train" -> (qBpeTrain _))
+    "q108_bpe_train" -> (qBpeTrain _),
+    "q112_bpe_encode" -> (qBpeEncode _))
 
   val oracles: Map[String, String] = Map.empty
 }

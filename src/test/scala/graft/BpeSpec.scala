@@ -33,6 +33,26 @@ class BpeSpec extends SparkSpec {
     assert(m1.map(_.merged).toSet == Set("ab", "cd"))
   }
 
+  test("corpus encode: distributed apply == driver encode, compresses vs chars") {
+    val docs = Seq(
+      ("hug " * 10) + ("pug " * 5) + ("pun " * 12) + ("bun " * 4) + ("hugs " * 5)
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t, "s0") }
+      .toDF("doc_id", "text", "source")
+    val (merges, ws) = BpeTrain.train(docs.select("doc_id", "text"), nMerges = 3)
+    ws.unpersist()
+    val enc = BpeTrain.encodeCorpus(docs, merges).collect()
+    // every word encodes to the same length the driver-side encoder gives
+    val words = Map("hug" -> 1, "pug" -> 2, "pun" -> 2, "bun" -> 2, "hugs" -> 2)
+    words.foreach { case (w, n) =>
+      assert(BpeTrain.encode(w, merges).length == n, s"driver encode of $w")
+    }
+    // 10*1 + 5*2 + 12*2 + 4*2 + 5*2 = 62 subwords over 36 words
+    assert(enc.length == 36)
+    assert(enc.map(_.getInt(2)).sum == 62)
+    // strictly better than the char-level baseline (119 chars)
+    assert(enc.map(_.getInt(2)).sum < docs.head().getString(1).count(_.isLetter))
+  }
+
   test("encode round trip: learned merges tokenize seen and unseen words") {
     val docs = Seq(
       ("hug " * 10) + ("pug " * 5) + ("pun " * 12) + ("bun " * 4) + ("hugs " * 5)

@@ -49,6 +49,8 @@ BUDGETS = {
                                   # stage-latency bound (vocab table is
                                   # tiny), not data bound
     "q109_bigram_lm": 3.0,        # bigram explode + 3 count joins
+    "q112_bpe_encode": 6.0,       # trains (12 rounds) then re-encodes the
+                                  # corpus -- q108's latency plus a map pass
 }
 DEFAULT_BUDGET = 2.0   # every other query is sub-1s typical
 TOTAL_HARD = 110.0     # suite total: fail — a real regression
