@@ -93,9 +93,41 @@ object Sketches {
         round(col("col.exact"), 6).as("exact_value"))
       .orderBy("l_returnflag", "q")
 
+  /** Exported mergeable HLL sketches (Spark 4's Apache DataSketches
+    * surface): per-day distinct-user sketches materialized as BINARY
+    * columns, then unioned into a running total — the incremental
+    * warehouse pattern where yesterday's sketches are STORED (parquet
+    * binary) and today's job merges without rescanning history. Distinct
+    * counting is the one aggregate that can't be incrementally maintained
+    * exactly from partial counts (q76's sums/counts can); sketches trade
+    * ≤ ~2% error for mergeability.
+    *
+    * Determinism: an HLL sketch of a value set is deterministic and its
+    * union is associative/commutative, so merged-estimate ==
+    * direct-estimate EXACTLY (SketchesSpec pins the bitwise equality and
+    * bounds the error vs exact countDistinct). Sketch bytes are
+    * engine-specific → rows-only. */
+  def qHllDaily(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("day")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sketch"),
+        count_distinct(col("user_id")).as("exact_daily"))
+    daily
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sketch, true))")
+          .as("est_total_users"),
+        sum(col("exact_daily")).as("sum_daily_exact"))
+      .crossJoin(broadcast(
+        ev.agg(count_distinct(col("user_id")).as("exact_total_users"))))
+      .select(col("est_total_users"), col("exact_total_users"),
+        col("sum_daily_exact"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_heavy_hitters"   -> (qHeavyHitters _),
-    "q69_approx_quantiles" -> (qApproxQuantiles _))
+    "q69_approx_quantiles" -> (qApproxQuantiles _),
+    "q113_hll_daily"      -> (qHllDaily _))
 
   val oracles: Map[String, String] = Map(
     "q71_heavy_hitters" -> s"""

@@ -66,6 +66,29 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketches: parquet round-trip, merge == direct, error bounded") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf).select(col("user_id"))
+    val exact = ev.agg(count_distinct(col("user_id"))).head().getLong(0)
+    // direct one-shot sketch estimate
+    val direct = ev.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))"))
+      .head().getLong(0)
+    // arbitrary 3-way slice → per-slice sketches → STORE as parquet
+    // binary → re-read → union. The mergeable-summary contract: identical
+    // estimate to the one-shot sketch, under any slicing.
+    val dir = "target/tmp/hll_sketches"
+    ev.withColumn("slice", pmod(col("user_id"), lit(3)))
+      .groupBy("slice").agg(expr("hll_sketch_agg(user_id, 12)").as("sketch"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch, true))"))
+      .head().getLong(0)
+    assert(merged == direct,
+      s"union of stored sketches ($merged) must equal the direct sketch ($direct)")
+    assert(math.abs(direct - exact).toDouble / exact < 0.05,
+      s"estimate $direct vs exact $exact exceeds 5%")
+  }
+
   test("weighted sample: deterministic, sized, zero-weight excluded, planted weight wins") {
     val a = Sampling.qWeightedSample(spark, sf).collect().map(_.getLong(0)).toSeq
     val b = Sampling.qWeightedSample(spark, sf).collect().map(_.getLong(0)).toSeq
