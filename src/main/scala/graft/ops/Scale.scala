@@ -142,8 +142,6 @@ object Scale {
     * bit-exact on any engine), so the whole report is oracle-exact. */
   def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
-    import spark.implicits._
     val sizes = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
       .filter(col("k").isNotNull)
     val nulls = df.filter(col(keyCol).isNull)
