@@ -161,4 +161,20 @@ object IO {
     df.repartition(cols.map(col): _*)
       .write.mode(SaveMode.Overwrite).option("header", "true")
       .partitionBy(cols: _*).csv(path)
+
+  /** Globally-sorted parquet layout: `repartitionByRange` (sampled range
+    * boundaries → files cover DISJOINT key ranges) + `sortWithinPartitions`
+    * (rows ordered inside each file) — the clustered-table layout that
+    * makes parquet min/max row-group stats selective for range predicates
+    * and feeds merge joins pre-sorted runs. A plain `orderBy.write` would
+    * produce the same layout but via a single global sort whose partition
+    * count AQE may coalesce; the explicit two-step keeps `nFiles` under
+    * the writer's control (one sorted file per range bucket).
+    * IOSpec asserts the contract: per-file key ranges are disjoint and
+    * every file is internally sorted. */
+  def writeSortedBy(df: DataFrame, path: String, sortCol: String,
+                    nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

@@ -196,6 +196,35 @@ class IOSpec extends SparkSpec {
     assert(dropped.collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 3L)))
   }
 
+  test("sorted layout: per-file key ranges disjoint, files internally sorted") {
+    val out = s"$tmp/sorted_layout"
+    IO.writeSortedBy(Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice"), out, "l_orderkey", nFiles = 4)
+    // per-file (min, max, sorted?) straight from the written files
+    val stats = spark.read.parquet(out)
+      .select(col("l_orderkey"),
+        input_file_name().as("f"))
+      .groupBy("f").agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+    assert(stats.length > 1, "range partitioning must produce multiple files")
+    assert(stats.map(_._3).sum == Tables.lineitem(spark, sf).count())
+    // disjoint, ordered ranges across files — the property row-group
+    // min/max skipping needs
+    stats.sliding(2).foreach { case Array((_, hiA, _), (loB, _, _)) =>
+      assert(hiA <= loB, s"file ranges overlap: hi=$hiA vs next lo=$loB")
+    }
+    // internally sorted: every file's rows are non-decreasing
+    val perFile = spark.read.parquet(out)
+      .select(col("l_orderkey"), input_file_name().as("f")).collect()
+      .groupBy(_.getString(1))
+    perFile.values.foreach { rows =>
+      val ks = rows.map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), "file not internally sorted")
+    }
+  }
+
   test("ETL pipeline shape: extract → transform → load → verify (§3.2)") {
     val extracted = IO.json(spark, res("census.json"))
     val transformed = extracted.filter(col("age") > 54)
