@@ -73,33 +73,93 @@ object Bm25 {
   def qBm25(spark: SparkSession, d: String): DataFrame =
     topK(Tables.documents(spark, d), QueryTerms, k = 20)
 
+  /** Two-stage retrieve → rerank (the RAG-retrieval shape): a cheap BM25
+    * stage shortlists k·refine candidates, an expensive quality signal —
+    * here the q66 unigram-LM fluency score — reorders only the shortlist.
+    * At 100 TB the first stage touches the postings index and the second
+    * touches k·refine documents, never the corpus; the join of the two
+    * signals is broadcast-sized by construction.
+    *
+    * Determinism: both stages end in total orders with doc_id tiebreaks,
+    * so the shortlist CUT and the final ranking are reproducible and
+    * oracle-exact (LM per-term log-probs use the q66 fixed-point
+    * discipline). */
+  def qBm25Rerank(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val shortlist = topK(docs, QueryTerms, k = 50)
+    // q66's unigram-LM fluency score, computed only to join the shortlist
+    // (Catalyst pushes the broadcast-join's pruning into this subplan)
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokens).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val termCounts = tf.groupBy("term").agg(sum(col("tf")).as("c"))
+    val total = broadcast(termCounts.agg(
+      sum(col("c")).cast("double").as("n_total")))
+    val lm = tf.join(termCounts, "term").crossJoin(total)
+      .withColumn("lps",
+        floor(log(col("c").cast("double") / col("n_total")) * lit(1e9)).cast("long"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("tf") * col("lps")).cast("double")
+        / (sum(col("tf")).cast("double") * lit(1e9)), 6).as("fluency"))
+    shortlist.join(lm, "doc_id")
+      .select("doc_id", "score", "fluency")
+      .orderBy(col("fluency").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q102_bm25" -> (qBm25 _))
+    "q102_bm25" -> (qBm25 _),
+    "q114_bm25_rerank" -> (qBm25Rerank _))
 
   val oracles: Map[String, String] = {
     val terms = QueryTerms.distinct.sorted
     val inList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
     val scoreSum = terms.map(t =>
       s"COALESCE(SUM(CASE WHEN term = '$t' THEN c END), 0.0)").mkString(" + ")
-    Map("q102_bm25" -> s"""
-      WITH d AS (
+    val bm25Core = s"""
+      d AS (
         SELECT doc_id, toks, len(toks) AS dl
         FROM (SELECT doc_id, ${Text.duckTokens} AS toks FROM documents)),
       stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d),
-      tf AS (
+      qtf AS (
         SELECT doc_id, dl, term, COUNT(*) AS tf
         FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
         WHERE term IN $inList
         GROUP BY doc_id, dl, term),
-      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      qdf AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
       c AS (
         SELECT doc_id, term,
                (ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
                  * (tf * ${K1 + 1})) /
                (tf + $K1 * (${1 - B} + $B * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS c
-        FROM tf JOIN df USING (term) CROSS JOIN stats)
-      SELECT doc_id, ROUND($scoreSum, 6) AS score
-      FROM c GROUP BY doc_id
-      ORDER BY score DESC, doc_id LIMIT 20""")
+        FROM qtf JOIN qdf USING (term) CROSS JOIN stats),
+      bm25 AS (
+        SELECT doc_id, ROUND($scoreSum, 6) AS score
+        FROM c GROUP BY doc_id)"""
+    Map(
+      "q102_bm25" -> s"""
+        WITH $bm25Core
+        SELECT doc_id, score FROM bm25
+        ORDER BY score DESC, doc_id LIMIT 20""",
+      "q114_bm25_rerank" -> s"""
+        WITH $bm25Core,
+        shortlist AS (
+          SELECT doc_id, score FROM bm25
+          ORDER BY score DESC, doc_id LIMIT 50),
+        tok AS (
+          SELECT doc_id, unnest(${Text.duckTokens}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        cnt AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tc FROM tf GROUP BY term),
+        tot AS (SELECT CAST(SUM(tc) AS DOUBLE) AS n_total FROM cnt),
+        lm AS (
+          SELECT doc_id,
+                 ROUND(CAST(SUM(tf * CAST(FLOOR(ln(CAST(tc AS DOUBLE) / n_total) * 1e9)
+                                          AS BIGINT)) AS DOUBLE)
+                       / (CAST(SUM(tf) AS DOUBLE) * 1e9), 6) AS fluency
+          FROM tf JOIN cnt USING (term) CROSS JOIN tot
+          GROUP BY doc_id)
+        SELECT doc_id, score, fluency
+        FROM shortlist JOIN lm USING (doc_id)
+        ORDER BY fluency DESC, doc_id LIMIT 10""")
   }
 }

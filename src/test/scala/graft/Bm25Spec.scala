@@ -42,6 +42,18 @@ class Bm25Spec extends SparkSpec {
     assert(both(1L) > both(2L) && both(1L) > both(3L))
   }
 
+  test("rerank: output ⊆ BM25 shortlist, ordered by the second signal") {
+    val top10 = Bm25.qBm25Rerank(spark, sf).collect()
+    assert(top10.length == 10)
+    val shortlist = Bm25.topK(Tables.documents(spark, sf), Bm25.QueryTerms, 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(top10.map(_.getLong(0)).forall(shortlist.contains),
+      "rerank must only reorder stage-1 candidates, never introduce new docs")
+    val fl = top10.map(_.getAs[Double]("fluency"))
+    assert(fl.sameElements(fl.sorted(Ordering[Double].reverse)),
+      "final order is the rerank signal, not BM25")
+  }
+
   test("bm25 plan: broadcast stats, TakeOrderedAndProject top-k") {
     val df = Bm25.qBm25(spark, sf)
     df.collect()

@@ -51,6 +51,7 @@ BUDGETS = {
     "q109_bigram_lm": 3.0,        # bigram explode + 3 count joins
     "q112_bpe_encode": 6.0,       # trains (12 rounds) then re-encodes the
                                   # corpus -- q108's latency plus a map pass
+    "q114_bm25_rerank": 4.0,      # BM25 shortlist + LM join (two tf aggs)
 }
 DEFAULT_BUDGET = 2.0   # every other query is sub-1s typical
 TOTAL_HARD = 110.0     # suite total: fail — a real regression
