@@ -56,13 +56,30 @@ object Dedup {
 
   /** LSH candidate pairs: explode signature into bands, hash each band,
     * group by (band, bucket); docs sharing any band-bucket are candidates.
-    * Shuffle volume: NumBands rows per doc, fixed fan-out. */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
+    * Shuffle volume: NumBands rows per doc, fixed fan-out.
+    *
+    * `maxBucket` is the hot-bucket guard (the Graph.trianglesCapped /
+    * q105 host-cap discipline): within-bucket pairing is quadratic, so a
+    * degenerate corpus — n copies of the same boilerplate land n docs in
+    * the SAME bucket of every band — would otherwise emit n² candidate
+    * pairs. Buckets over the cap keep only their first `maxBucket` docs
+    * by doc_id (a deterministic sample), bounding per-bucket work at
+    * maxBucket² while still surfacing the hot cluster; mass-exact-dup
+    * corpora should hit [[qDedupCanonical]]-style exact dedup FIRST, which
+    * removes byte-identical copies losslessly. The cap window partitions
+    * by (band, bucket) — the same key the self-join shuffles on, so it
+    * adds no exchange. DedupSpec pins the O(cap²) bound on a planted
+    * 500-copy document. */
+  def lshCandidates(sigs: DataFrame, maxBucket: Int = 64): DataFrame = {
     val bands = sigs.select(col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, ${NumBands - 1}), b -> xxhash64(${
           (0 until BandRows).map(r => s"sig[b * $BandRows + $r]").mkString(", ")}))"))
         .as(Seq("band", "bucket")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= maxBucket)
+      .drop("rn")
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
@@ -266,8 +283,20 @@ object Dedup {
     * The result is order-invariant — ANY global shingle order is correct,
     * so the hash-based order here and the oracle's exact-string all-pairs
     * SQL agree exactly (modulo 64-bit shingle-hash collisions, the q31
-    * precedent). */
-  def similarityJoin(docs: DataFrame, tau: Double): DataFrame = {
+    * precedent).
+    *
+    * τ arrives as a RATIONAL tauNum/tauDen and every threshold comparison
+    * runs in integer math (the q107 winsorized-stats discipline):
+    * `ceil(τ·n)` as `(num·n + den − 1) div den`, the size-ratio prune as
+    * `den·|a| ≥ num·|b|`, the final verify as `den·inter ≥ num·(union)`.
+    * Double arithmetic here is a CORRECTNESS hazard, not a style point:
+    * for τ not representable in binary (0.05, 0.1, …), `ceil(τ·n)` in
+    * doubles rounds UP at exact multiples of 1/τ, silently shortening the
+    * prefix and dropping true pairs — violating the lossless contract
+    * (DedupSpec pins τ = 1/20 against exact all-pairs). */
+  def similarityJoin(docs: DataFrame, tauNum: Long, tauDen: Long): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum,
+      s"similarityJoin: tau must be in (0, 1], got $tauNum/$tauDen")
     val sets = docs
       .withColumn("toks", Text.tokens)
       .filter(size(col("toks")) >= 3)
@@ -283,13 +312,14 @@ object Dedup {
     val prefix = posting.join(dfreq, "g")
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
-      .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .filter(col("pos") <=
+        col("n") - expr(s"($tauNum * n + $tauDen - 1) div $tauDen") + 1)
       .select("doc_id", "n", "g")
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") &&
         col("a.doc_id") < col("b.doc_id") &&
-        col("a.n").cast("double") >= lit(tau) * col("b.n") &&
-        col("b.n").cast("double") >= lit(tau) * col("a.n"))
+        col("a.n") * lit(tauDen) >= col("b.n") * lit(tauNum) &&
+        col("b.n") * lit(tauDen) >= col("a.n") * lit(tauNum))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
@@ -299,14 +329,15 @@ object Dedup {
         col("n").as("n_b")), "doc_b")
       .withColumn("inter",
         graft.functions.exprs.sortedIntersectCount(col("hs_a"), col("hs_b")))
+      .filter(col("inter") * lit(tauDen) >=
+        (col("n_a") + col("n_b") - col("inter")) * lit(tauNum))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "jaccard")
   }
 
   def qSimJoinPrefix(spark: SparkSession, d: String): DataFrame =
-    similarityJoin(Tables.documents(spark, d), tau = 0.5)
+    similarityJoin(Tables.documents(spark, d), tauNum = 1, tauDen = 2)
       .orderBy("doc_a", "doc_b")
 
   /** Dedup cluster assignment: connected components over the near-dup

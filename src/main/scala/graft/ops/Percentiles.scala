@@ -63,6 +63,76 @@ object Percentiles {
         col("n"))
   }
 
+  /** Nearest-rank order statistics via the [[viaBucketSelection]] two-level
+    * histogram: the EXACT value at 1-based rank `(p·n + 99) div 100` per
+    * group for each integer percent p — the q107 winsorized-stats integer
+    * rank discipline, bit-exact on any engine. No raw-row sort and no
+    * unpartitioned window anywhere: every window runs over histogram rows
+    * bounded by the VALUE DOMAIN (`domain / bucketWidth` coarse rows;
+    * ≤ distinct-values-per-bucket exact rows), never the data size — the
+    * formulation [[graft.ops.Scale.keySkewReport]] needs, where the input
+    * is a per-key group-size table with potentially billions of keys.
+    * Output: (groupCol, pct, value, n). */
+  def nearestRankViaBuckets(df: DataFrame, groupCol: String, valueCol: String,
+                            percents: Seq[Int], bucketWidth: Double): DataFrame = {
+    val li = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val bucket = floor(col("v") / bucketWidth).cast("long")
+
+    // Pass 1: coarse histogram + running rank ranges per bucket, as a
+    // two-level distributed prefix sum. A per-group running sum would be a
+    // single-task window whenever one group dominates (the keySkewReport
+    // case IS one group); instead the running sum partitions by
+    // (group, super-bucket) — never more than `SuperSpan` histogram rows
+    // per task — and the cross-super-bucket carry comes from a broadcast
+    // non-equi join over super-bucket TOTALS (≤ domain/(width·span) rows).
+    val SuperSpan = 256
+    val hist = li.groupBy(col("g"), bucket.as("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("sb", floor(col("b") / SuperSpan).cast("long"))
+    val local = hist.withColumn("local_hi", sum(col("cnt")).over(
+      Window.partitionBy(col("g"), col("sb")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sbTot = hist.groupBy(col("g").as("tg"), col("sb").as("tsb"))
+      .agg(sum(col("cnt")).as("sb_cnt"))
+    val sbPrev = sbTot.join(
+        broadcast(sbTot.select(col("tg").as("pg"), col("tsb").as("psb"),
+          col("sb_cnt").as("p_cnt"))),
+        col("tg") === col("pg") && col("psb") < col("tsb"), "left")
+      .groupBy(col("tg"), col("tsb"))
+      .agg(coalesce(sum(col("p_cnt")), lit(0L)).as("prev_cnt"))
+    val cum = local.join(sbPrev,
+        col("g") === col("tg") && col("sb") === col("tsb"))
+      .withColumn("hi_rank", col("local_hi") + col("prev_cnt"))
+      .withColumn("lo_rank", col("hi_rank") - col("cnt") + 1)
+      .select(col("g"), col("b"), col("cnt"), col("hi_rank"), col("lo_rank"))
+
+    // Integer target ranks (n per group reuses hist's exchange).
+    val targets = hist.groupBy(col("g").as("sg")).agg(sum(col("cnt")).as("n"))
+      .select(col("sg"), col("n"), explode(typedlit(percents)).as("pct"))
+      .withColumn("t", expr("(pct * n + 99) div 100"))
+
+    // Which coarse bucket holds each target rank, and the rank within it.
+    val located = targets.join(cum,
+        col("sg") === col("g") && col("t").between(col("lo_rank"), col("hi_rank")))
+      .select(col("sg"), col("pct"), col("n"), col("t"),
+        col("b").as("tb"), (col("t") - col("lo_rank") + 1).as("k"))
+
+    // Pass 2: exact-value histogram restricted to candidate buckets.
+    val candBuckets = located.select(col("sg").as("cg"), col("tb").as("cb")).distinct()
+    val vhist = li.join(broadcast(candBuckets),
+        col("g") === col("cg") && bucket === col("cb"))
+      .groupBy(col("g"), col("cb").as("vb"), col("v"))
+      .agg(count(lit(1)).as("vcnt"))
+    val vcum = vhist.withColumn("v_hi_rank", sum(col("vcnt")).over(
+        Window.partitionBy(col("g"), col("vb")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("v_lo_rank", col("v_hi_rank") - col("vcnt") + 1)
+
+    located.join(vcum,
+        col("sg") === vcum("g") && col("tb") === col("vb") &&
+          col("k").between(col("v_lo_rank"), col("v_hi_rank")))
+      .select(col("sg").as(groupCol), col("pct"), col("v").as("value"), col("n"))
+  }
+
   /** Two-level bucket-selection formulation: no raw-row sort anywhere,
     * full parallelism at any scale. `bucketWidth` sets the coarse bucket
     * size in value units; candidate buckets then hold at most

@@ -133,33 +133,40 @@ object Scale {
     * is one key hot → [[saltedJoin]] / AQE skew split; is the dimension
     * small → broadcast). One pass builds per-key group sizes; every
     * metric after that runs over the |keys| group-size table, not the
-    * corpus (the global rank window is O(keys) — at 100 TB the key table
-    * of a join is millions of rows, not trillions; if even that is too
-    * hot, swap the window for Percentiles.viaBucketSelection unchanged).
+    * corpus — and the group-size percentiles are selected via
+    * [[Percentiles.nearestRankViaBuckets]] (two-level histogram), so even
+    * the key table never passes through a single-task global sort: at
+    * 100 TB a join's key table is billions of rows, and an unpartitioned
+    * rank window over it would be the one-straggler shape this very
+    * report exists to diagnose (PlanAuditSpec pins its absence).
     *
     * Group-size percentiles use nearest-rank integer math (the q107
     * discipline: rank (p·n + 99) div 100 — an actual order statistic,
-    * bit-exact on any engine), so the whole report is oracle-exact. */
+    * bit-exact on any engine), so the whole report is oracle-exact.
+    * Degenerate corpora degrade gracefully: a 100%-null key (exactly the
+    * pathology this diagnostic targets) reports null_fraction = 1.0 with
+    * null group metrics instead of an empty result. */
   def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sizes = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
       .filter(col("k").isNotNull)
     val nulls = df.filter(col(keyCol).isNull)
       .agg(count(lit(1)).as("null_rows"))
-    val ranked = sizes.withColumn("rn",
-      row_number().over(Window.orderBy(col("c"), col("k"))))
     val agg = sizes.agg(
         sum(col("c")).as("nonnull_rows"),
         count(lit(1)).as("keys_total"),
         max(col("c")).as("max_group"))
       .crossJoin(broadcast(nulls))
-    val withPct = agg
-      .join(ranked.select(col("rn").as("rn50"), col("c").as("p50_group")),
-        expr("rn50 = (50 * keys_total + 99) div 100"))
-      .join(ranked.select(col("rn").as("rn99"), col("c").as("p99_group")),
-        expr("rn99 = (99 * keys_total + 99) div 100"))
-    withPct.select(
-        (col("nonnull_rows") + col("null_rows")).as("rows_total"),
+    val pcts = Percentiles.nearestRankViaBuckets(
+      sizes.select(lit(1).as("g"), col("c")), "g", "c",
+      percents = Seq(50, 99), bucketWidth = 1024.0)
+    // One-row pivot of the (pct, value) rows. A global agg over an EMPTY
+    // pcts (all-null key) still yields one row — of nulls — so the cross
+    // join preserves the report instead of eliminating it.
+    val pctRow = broadcast(pcts.agg(
+      min(when(col("pct") === 50, col("value"))).as("p50_group"),
+      min(when(col("pct") === 99, col("value"))).as("p99_group")))
+    agg.crossJoin(pctRow).select(
+        (coalesce(col("nonnull_rows"), lit(0L)) + col("null_rows")).as("rows_total"),
         col("null_rows"), col("keys_total"), col("max_group"),
         col("p50_group"), col("p99_group"))
       .withColumn("null_fraction",

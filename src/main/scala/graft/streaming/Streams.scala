@@ -150,13 +150,22 @@ object Streams {
     * flagged — false positives only send extra docs to the downstream
     * exact verify, never drop clean ones silently. At 100 TB the bloom is
     * a few GB broadcast once per index refresh, and the stream never
-    * shuffles. */
+    * shuffles.
+    *
+    * The bloom is sized from the MEASURED distinct band-key count (one
+    * extra pass over the already-computed key set), not a guessed
+    * constant: an undersized filter drives the false-positive rate toward
+    * 1 and silently flags nearly every streamed doc — safe but useless.
+    * Pass `expectedItems > 0` to skip the measuring pass when the caller
+    * already knows the cardinality (e.g. from the index build). */
   def streamStaticNearDup(docs: DataFrame, corpusDocs: DataFrame,
-                          expectedItems: Long = 100000L,
+                          expectedItems: Long = 0L,
                           fpp: Double = 0.01): DataFrame = {
     import graft.dedup.Dedup
-    val bf = Dedup.corpusBandKeys(corpusDocs)
-      .stat.bloomFilter("band_key", expectedItems, fpp)
+    val keys = Dedup.corpusBandKeys(corpusDocs).persist()
+    val n = if (expectedItems > 0) expectedItems else math.max(keys.count(), 1L)
+    val bf = keys.stat.bloomFilter("band_key", n, fpp)
+    keys.unpersist()
     val might = udf((k: Long) => bf.mightContain(k))
     Dedup.withBandKeys(docs)
       .withColumn("near_dup_candidate",

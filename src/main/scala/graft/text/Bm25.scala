@@ -73,12 +73,39 @@ object Bm25 {
   def qBm25(spark: SparkSession, d: String): DataFrame =
     topK(Tables.documents(spark, d), QueryTerms, k = 20)
 
+  /** Per-doc unigram-LM fluency (the q66 signal) restricted to `docIds`:
+    * the (doc, term) tf table is semi-joined against the BROADCAST id set
+    * BEFORE the per-doc aggregation, so the expensive stage aggregates
+    * O(|docIds| × terms-per-doc) rows, never the corpus. The global term
+    * statistics (`termCounts`, `total`) stay corpus-wide — that is the
+    * language model itself and is |vocab| rows, not |corpus × terms|.
+    * Catalyst cannot derive this pruning on its own (a semi-join does not
+    * push through a groupBy), which is why the join sits explicitly below
+    * the aggregate. PlanAuditSpec pins both properties (broadcast join
+    * under the fluency aggregate; output rows == |docIds|). */
+  def fluencyFor(docs: DataFrame, docIds: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokens).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val termCounts = tf.groupBy("term").agg(sum(col("tf")).as("c"))
+    val total = broadcast(termCounts.agg(
+      sum(col("c")).cast("double").as("n_total")))
+    tf.join(broadcast(docIds.select("doc_id").distinct()), "doc_id")
+      .join(termCounts, "term").crossJoin(total)
+      .withColumn("lps",
+        floor(log(col("c").cast("double") / col("n_total")) * lit(1e9)).cast("long"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("tf") * col("lps")).cast("double")
+        / (sum(col("tf")).cast("double") * lit(1e9)), 6).as("fluency"))
+  }
+
   /** Two-stage retrieve → rerank (the RAG-retrieval shape): a cheap BM25
     * stage shortlists k·refine candidates, an expensive quality signal —
     * here the q66 unigram-LM fluency score — reorders only the shortlist.
     * At 100 TB the first stage touches the postings index and the second
-    * touches k·refine documents, never the corpus; the join of the two
-    * signals is broadcast-sized by construction.
+    * ([[fluencyFor]]) aggregates only the broadcast-pruned shortlist's
+    * (doc, term) rows — never the corpus; the join of the two signals is
+    * broadcast-sized by construction.
     *
     * Determinism: both stages end in total orders with doc_id tiebreaks,
     * so the shortlist CUT and the final ranking are reproducible and
@@ -87,20 +114,7 @@ object Bm25 {
   def qBm25Rerank(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     val shortlist = topK(docs, QueryTerms, k = 50)
-    // q66's unigram-LM fluency score, computed only to join the shortlist
-    // (Catalyst pushes the broadcast-join's pruning into this subplan)
-    val tf = docs
-      .select(col("doc_id"), explode(Text.tokens).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val termCounts = tf.groupBy("term").agg(sum(col("tf")).as("c"))
-    val total = broadcast(termCounts.agg(
-      sum(col("c")).cast("double").as("n_total")))
-    val lm = tf.join(termCounts, "term").crossJoin(total)
-      .withColumn("lps",
-        floor(log(col("c").cast("double") / col("n_total")) * lit(1e9)).cast("long"))
-      .groupBy("doc_id")
-      .agg(round(sum(col("tf") * col("lps")).cast("double")
-        / (sum(col("tf")).cast("double") * lit(1e9)), 6).as("fluency"))
+    val lm = fluencyFor(docs, shortlist)
     shortlist.join(lm, "doc_id")
       .select("doc_id", "score", "fluency")
       .orderBy(col("fluency").desc, col("doc_id"))

@@ -94,8 +94,16 @@ object BpeTrain {
         case Some((l, r, c)) =>
           merges += Merge(rank, l, r, l + r, c)
           val prev = ws
-          ws = prev.map(w => w.copy(syms = mergeOnce(w.syms, l, r))).persist()
-          if (rank % 4 == 0) ws = ws.localCheckpoint()   // truncate lineage
+          val mapped = prev.map(w => w.copy(syms = mergeOnce(w.syms, l, r))).persist()
+          // localCheckpoint (eager) materializes its own blocks; release
+          // the pre-checkpoint cache afterwards or it leaks for the rest
+          // of the job (rank % 4 bounds lineage depth — the PageRank
+          // lesson, NOTES.md)
+          ws = if (rank % 4 == 0) {
+            val cp = mapped.localCheckpoint()
+            mapped.unpersist()
+            cp
+          } else mapped
           ws.count()
           prev.unpersist()
           rank += 1

@@ -25,6 +25,26 @@ class DedupSpec extends SparkSpec {
     assert(!cands.contains((3L, 103L)), s"false positive on unrelated pair")
   }
 
+  test("LSH hot-bucket cap: a planted 500-copy doc yields O(cap²), not " +
+       "O(n²), candidates") {
+    // 500 byte-identical boilerplate docs: every copy lands in the SAME
+    // bucket of every band — uncapped within-bucket pairing would emit
+    // 500·499/2 ≈ 125k pairs; the cap bounds it at cap·(cap−1)/2.
+    val boiler = spark.range(1000, 1500).toDF("doc_id")
+      .withColumn("text",
+        lit("repeated boilerplate navigation chrome footer text appears on every page verbatim"))
+    val cap = 16
+    val n = Dedup.lshCandidates(
+      Dedup.minhashSignatures(boiler), maxBucket = cap).count()
+    assert(n == cap.toLong * (cap - 1) / 2,
+      s"expected ${cap * (cap - 1) / 2} capped pairs, got $n")
+    // the cap keeps a deterministic sample — recall on DISTINCT near-dups
+    // (the planted corpus) is unaffected because their buckets are small
+    val cands = Dedup.lshCandidates(Dedup.minhashSignatures(planted))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 101L)) && cands.contains((2L, 102L)))
+  }
+
   test("minhash signatures are deterministic across runs") {
     val a = Dedup.minhashSignatures(planted).collect().map(_.toString).sorted
     val b = Dedup.minhashSignatures(planted).collect().map(_.toString).sorted
@@ -54,24 +74,31 @@ class DedupSpec extends SparkSpec {
   test("prefix-filter similarity join == exact all-pairs (lossless candidates)") {
     import graft.functions.exprs.{gram3SetSorted, sortedIntersectCount}
     val docs = Tables.documents(spark, sf)
-    val tau = 0.5
-    val got = Dedup.similarityJoin(docs, tau).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    // ground truth: unfiltered all-pairs over the identical shingle sets
     val sets = docs.withColumn("toks", graft.text.Text.tokens)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), gram3SetSorted(col("toks")).as("hs"))
       .withColumn("n", size(col("hs")))
-    val exact = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .withColumn("inter", sortedIntersectCount(col("a.hs"), col("b.hs")))
-      .withColumn("j", col("inter").cast("double") /
-        (col("a.n") + col("b.n") - col("inter")))
-      .filter(col("j") >= tau)
-      .select(col("a.doc_id"), col("b.doc_id"), col("j")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(exact.nonEmpty, "corpus should contain near-duplicate pairs")
-    assert(got == exact,
-      s"prefix filter must be lossless: missing ${exact -- got}, extra ${got -- exact}")
+    // τ = 1/2 (binary-exact) AND τ = 1/20 (0.05 is NOT binary-exact — the
+    // double-ceil prefix-length hazard: ceil(0.05·n) rounds up at exact
+    // multiples of 20, shortening prefixes and dropping true pairs; the
+    // integer rank math must not)
+    for ((num, den) <- Seq((1L, 2L), (1L, 20L))) {
+      val got = Dedup.similarityJoin(docs, num, den).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // ground truth: unfiltered all-pairs over the identical shingle
+      // sets, thresholded in the same integer math
+      val exact = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("inter", sortedIntersectCount(col("a.hs"), col("b.hs")))
+        .filter(col("inter") * lit(den) >=
+          (col("a.n") + col("b.n") - col("inter")) * lit(num))
+        .withColumn("j", col("inter").cast("double") /
+          (col("a.n") + col("b.n") - col("inter")))
+        .select(col("a.doc_id"), col("b.doc_id"), col("j")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact.nonEmpty, s"corpus should contain pairs at j >= $num/$den")
+      assert(got == exact, s"prefix filter must be lossless at tau=$num/$den: " +
+        s"missing ${exact -- got}, extra ${got -- exact}")
+    }
   }
 
   test("exact dedup counts duplicates") {

@@ -132,6 +132,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(m("skew_ratio") == 5.0)
   }
 
+  test("q110 skew report: no unpartitioned window; all-null key degrades " +
+       "gracefully") {
+    import spark.implicits._
+    val q = Scale.qSkewReport(spark, sf)
+    // unpartitioned WindowExec prints two bracket groups ("Window [fns],
+    // [order]"); partitioned prints three ("Window [fns], [part], [order]")
+    val unpart = plan(q).linesIterator
+      .filter(_.contains("Window "))
+      .filter(l => "\\], \\[".r.findAllIn(l).size < 2).toList
+    assert(unpart.isEmpty,
+      s"single-task global-rank window in q110 plan:\n${unpart.mkString("\n")}")
+    // 100%-null key — the exact pathology the report diagnoses — must
+    // yield the report (null_fraction = 1, null group metrics), not an
+    // empty DataFrame
+    val m = Scale.keySkewReport(
+        Seq.fill(5)(Option.empty[String]).toDF("k"), "k")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(m.size == 8)
+    assert(m("rows_total").contains(5.0) && m("null_rows").contains(5.0))
+    assert(m("null_fraction").contains(1.0))
+    assert(m("keys_total").contains(0.0))
+    assert(m("p50_group").isEmpty && m("p99_group").isEmpty &&
+           m("skew_ratio").isEmpty)
+  }
+
   test("join-free co-occurrence pairs == distinct self-join formulation") {
     val viaArrays = Scale.coOccurrencePairs(
         Tables.lineitem(spark, sf), "l_orderkey", "l_partkey")
@@ -313,6 +338,21 @@ class PlanAuditSpec extends SparkSpec {
     val n = Scale.countExchanges(df)
     assert(n <= 4, s"filter→dedup→shard→chunk→manifest must stay ≤4 shuffles, got $n:\n" +
       df.queryExecution.executedPlan.toString.take(800))
+  }
+
+  test("q114 rerank stage 2 aggregates only the broadcast-pruned shortlist") {
+    import graft.text.Bm25
+    val docs = Tables.documents(spark, sf)
+    val shortlist = Bm25.topK(docs, Bm25.QueryTerms, k = 5)
+    val lm = Bm25.fluencyFor(docs, shortlist)
+    // input pruned BEFORE the per-doc aggregate: output rows == |shortlist|,
+    // not |corpus| (500 docs at this SF)
+    assert(lm.count() == 5,
+      "fluency must aggregate the shortlist only, never the corpus")
+    val p = plan(lm)
+    assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("doc_id")),
+      s"the shortlist prune must be a broadcast join on doc_id:\n${p.take(1200)}")
   }
 
   test("q85 mixture sampling: the per-source budget table joins by broadcast") {
