@@ -40,16 +40,37 @@ object Sampling {
 
   /** Length-weighted document sample: 25 docs drawn proportional to token
     * count — the "sample by token budget, not by document count" shape of
-    * training-mixture construction. Hash-derived keys are engine-specific
-    * → rows-only; SamplingSpec pins determinism, size, weight-zero
-    * exclusion, and planted-weight dominance. */
-  def qWeightedSample(spark: SparkSession, d: String): DataFrame =
+    * training-mixture construction. Hash-derived membership is
+    * engine-specific; SketchesSpec pins determinism, size, weight-zero
+    * exclusion, and planted-weight dominance over this raw shape. */
+  def weightedDocSample(spark: SparkSession, d: String): DataFrame =
     weightedSample(
       Tables.documents(spark, d)
         .select(col("doc_id"), col("lang"), col("source"),
           size(graft.text.Text.tokens).as("n_tokens")),
       "doc_id", col("n_tokens"), k = 25)
       .orderBy("doc_id")
+
+  /** q70, oracle-checkable form (the q65-for-q55 exactness-contract
+    * pattern): WHICH docs are drawn is hash-dependent, but the sample's
+    * accounting is fully deterministic — exactly min(k, pool) distinct
+    * rows, every one from the positive-weight pool. `n_outside_pool` is
+    * computed from the ACTUAL sample via an anti-join-style probe, so a
+    * sampling bug (duplicates, zero-weight leak, wrong k) flips a value
+    * and fails the hash compare. */
+  def qWeightedSample(spark: SparkSession, d: String): DataFrame = {
+    val pool = Tables.documents(spark, d)
+      .select(col("doc_id"), size(graft.text.Text.tokens).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    weightedDocSample(spark, d)
+      .join(pool.select(col("doc_id"), lit(1).as("__in_pool")),
+        Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_sampled"),
+        countDistinct(col("doc_id")).as("n_distinct"),
+        sum(when(col("__in_pool").isNull, 1L).otherwise(0L)).as("n_outside_pool"))
+      .crossJoin(broadcast(pool.agg(count(lit(1)).as("n_pool"))))
+      .select("n_sampled", "n_distinct", "n_outside_pool", "n_pool")
+  }
 
   /** Training-mixture construction under a global token budget with
     * temperature-weighted per-source shares (the UniMax / "sample source s
@@ -104,10 +125,22 @@ object Sampling {
     "q70_weighted_sample" -> (qWeightedSample _),
     "q85_mixture_sample"  -> (qMixtureSample _))
 
-  // q70's Efraimidis–Spirakis keys are xxhash64-derived (engine-specific) —
-  // rows-only. q85 is integer-exact end-to-end (floor(sqrt), integer div,
-  // md5 order) so it gets a full oracle.
+  // q70's Efraimidis–Spirakis keys are xxhash64-derived (engine-specific),
+  // so the oracle pins the sample's deterministic accounting instead of
+  // its membership. q85 is integer-exact end-to-end (floor(sqrt), integer
+  // div, md5 order) so it gets a full oracle.
   val oracles: Map[String, String] = Map(
+    "q70_weighted_sample" -> s"""
+      WITH pool AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, len(${graft.text.Text.duckTokens}) AS n_tokens
+          FROM documents)
+        WHERE n_tokens > 0)
+      SELECT LEAST(25, COUNT(*)) AS n_sampled,
+             LEAST(25, COUNT(*)) AS n_distinct,
+             CAST(0 AS BIGINT) AS n_outside_pool,
+             COUNT(*) AS n_pool
+      FROM pool""",
     "q85_mixture_sample" -> s"""
       WITH t AS (
         SELECT source, doc_id, md5(text) AS h,

@@ -75,10 +75,10 @@ object Sketches {
   /** Approximate vs exact per-group quantiles: `approx_percentile`
     * (KLL-style sketch, bounded memory, mergeable) next to the exact
     * value — the operator you run at 100 TB when q52's exact formulations
-    * are still too heavy, with the error budget made visible. Sketch
-    * internals are engine-specific → rows-only; SketchesSpec bounds the
-    * rank error against exact percentiles. */
-  def qApproxQuantiles(spark: SparkSession, d: String): DataFrame =
+    * are still too heavy, with the error budget made visible. Raw shape
+    * (flag, q, approx_value, exact_value); approx values are
+    * engine-specific — SketchesSpec bounds their rank error. */
+  def approxVsExact(spark: SparkSession, d: String): DataFrame =
     Tables.lineitem(spark, d)
       .groupBy("l_returnflag")
       .agg(
@@ -90,8 +90,40 @@ object Sketches {
           col("approx"), col("exact"))))
       .select(col("l_returnflag"), col("col.q").as("q"),
         col("col.approx").as("approx_value"),
-        round(col("col.exact"), 6).as("exact_value"))
+        col("col.exact").as("exact_value"))
+
+  /** q69, oracle-checkable form (the q65-for-q55 exactness-contract
+    * pattern): the sketch value itself is engine-specific, but its RANK
+    * GUARANTEE is not — KLL promises |R(v)/n − q| ≤ ε (ε = 1/accuracy).
+    * The query computes the approx value's occupied rank interval
+    * [rank_lt+1, rank_le] against the group and emits whether it
+    * intersects the allowed band as `approx_rank_ok`, alongside the exact
+    * interpolated percentile. The DuckDB oracle pins the exact values and
+    * `TRUE` — a degraded sketch flips the boolean and fails the hash
+    * compare, so the sketch path is genuinely oracle-audited. The rank
+    * audit is one broadcast join + one aggregation (9 rows vs lineitem),
+    * the "sketch to shrink, verify exact" second pass this module is
+    * about. */
+  def qApproxQuantiles(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val eps = 1.0 / 10000
+    approxVsExact(spark, d)
+      .join(li, "l_returnflag")
+      .groupBy(col("l_returnflag"), col("q"), col("approx_value"),
+        col("exact_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("approx_value"), 1L)
+          .otherwise(0L)).as("rank_lt"),
+        sum(when(col("l_extendedprice") <= col("approx_value"), 1L)
+          .otherwise(0L)).as("rank_le"))
+      .select(col("l_returnflag"), col("q"),
+        round(col("exact_value"), 6).as("exact_value"),
+        (col("rank_le") >= (col("q") - lit(eps)) * col("n") - 1 &&
+         col("rank_lt") + 1 <= (col("q") + lit(eps)) * col("n") + 1)
+          .as("approx_rank_ok"))
       .orderBy("l_returnflag", "q")
+  }
 
   /** Exported mergeable HLL sketches (Spark 4's Apache DataSketches
     * surface): per-day distinct-user sketches materialized as BINARY
@@ -138,6 +170,23 @@ object Sketches {
       FROM tok CROSS JOIN tot
       GROUP BY term, total
       HAVING COUNT(*) * 100 > total
-      ORDER BY n DESC, term""")
-    // q69: sketch internals engine-specific — rows-only.
+      ORDER BY n DESC, term""",
+    // q69: the approx VALUE is engine-specific, but the exact percentile
+    // and the rank-guarantee boolean are not — the oracle pins both (a
+    // degraded sketch flips approx_rank_ok → hash mismatch).
+    "q69_approx_quantiles" -> """
+      WITH e AS (
+        SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS exact_value
+        FROM lineitem GROUP BY 1
+        UNION ALL
+        SELECT l_returnflag, CAST(0.5 AS DOUBLE),
+               ROUND(quantile_cont(l_extendedprice, 0.5), 6)
+        FROM lineitem GROUP BY 1
+        UNION ALL
+        SELECT l_returnflag, CAST(0.75 AS DOUBLE),
+               ROUND(quantile_cont(l_extendedprice, 0.75), 6)
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, q, exact_value, TRUE AS approx_rank_ok
+      FROM e ORDER BY l_returnflag, q""")
 }

@@ -49,6 +49,25 @@ object IO {
   def partitionedRead(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(root)
 
+  /** SequenceFile source: Hadoop's (key, value) Text container — the one
+    * chapter-7 format the reference documents with no code
+    * (src/chapter_07/README.md:132-174) that needs no external connector:
+    * Hadoop core is already on Spark's classpath. Returns (key, value)
+    * string columns. SequenceFiles are splittable (sync markers), so the
+    * scan parallelizes like any other Hadoop input at scale. */
+  def sequenceFile(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.sequenceFile[String, String](path).toDF("key", "value")
+  }
+
+  /** SequenceFile sink: the first two columns rendered as the (key, value)
+    * Text pair. Hadoop output-committer semantics: the target directory
+    * must not exist (no overwrite mode — callers own the lifecycle, the
+    * [[swapDirs]] pattern covers in-place refresh). */
+  def sequenceFileSink(df: DataFrame, path: String): Unit =
+    df.rdd.map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1))))
+      .saveAsSequenceFile(path)
+
   /** Multimodal ingestion: whole files as rows of (path, modificationTime,
     * length, content binary) — how raw image/audio/video lands in a
     * DataFrame before decode. Supports pathGlobFilter pushdown. */

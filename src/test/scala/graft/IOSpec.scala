@@ -56,6 +56,25 @@ class IOSpec extends SparkSpec {
     assert(files.length == 1)
   }
 
+  test("SequenceFile round trip: (key, value) Text pairs survive; splittable container") {
+    val src = IO.csvInfer(spark, res("employees.csv"))
+      .select(col("name"), col("salary").cast("string"))
+    val dir = s"$tmp/seqfile"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    IO.sequenceFileSink(src, dir)
+    val back = IO.sequenceFile(spark, dir)
+    assert(back.columns.sameElements(Array("key", "value")))
+    assert(back.count() == 8)
+    val pairs = back.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expected = src.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pairs == expected)
+    // really a Hadoop SequenceFile: the container's magic header
+    val part = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("part-")).head
+    val head = java.nio.file.Files.readAllBytes(part.toPath).take(3)
+    assert(head.sameElements("SEQ".getBytes), "missing SequenceFile magic")
+  }
+
   test("hive-partitioned write: one file per partition dir; pruning skips dirs (K6, S8, §4)") {
     val tx = IO.csvInfer(spark, res("transactions.csv"))
       .withColumn("year", split(col("date"), "/").getItem(2).cast("int"))

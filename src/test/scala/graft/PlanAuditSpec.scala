@@ -24,6 +24,24 @@ class PlanAuditSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  /** Lines of `planStr` that are single-task (unpartitioned) Window
+    * operators. WindowExec prints `Window [fns], [part], [order]`; either
+    * trailing spec may be absent when empty, so two bracket groups are
+    * ambiguous — an ORDER group is recognized by its sort markers
+    * (partitioned-no-order windows, e.g. a per-group total, are fine). */
+  private def unpartitionedWindows(planStr: String): List[String] = {
+    planStr.linesIterator.filter(_.contains("Window ")).filter { l =>
+      val groups = "\\], \\[".r.findAllIn(l).size + 1
+      groups match {
+        case g if g >= 3 => false            // [fns], [part], [order]
+        case 2 =>                            // which spec is the 2nd group?
+          val last = l.substring(l.lastIndexOf("], [") + 4)
+          last.contains(" ASC ") || last.contains(" DESC ")
+        case _ => true                       // [fns] only: global window
+      }
+    }.toList
+  }
+
   test("q01: filter pushed to parquet, schema pruned, whole-stage codegen") {
     val f = formatted(Core.q01PricingSummary(spark, sf))
     assert(f.contains("PushedFilters") && f.contains("LessThanOrEqual(l_shipdate"))
@@ -136,11 +154,7 @@ class PlanAuditSpec extends SparkSpec {
        "gracefully") {
     import spark.implicits._
     val q = Scale.qSkewReport(spark, sf)
-    // unpartitioned WindowExec prints two bracket groups ("Window [fns],
-    // [order]"); partitioned prints three ("Window [fns], [part], [order]")
-    val unpart = plan(q).linesIterator
-      .filter(_.contains("Window "))
-      .filter(l => "\\], \\[".r.findAllIn(l).size < 2).toList
+    val unpart = unpartitionedWindows(plan(q))
     assert(unpart.isEmpty,
       s"single-task global-rank window in q110 plan:\n${unpart.mkString("\n")}")
     // 100%-null key — the exact pathology the report diagnoses — must
@@ -155,6 +169,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(m("keys_total").contains(0.0))
     assert(m("p50_group").isEmpty && m("p99_group").isEmpty &&
            m("skew_ratio").isEmpty)
+  }
+
+  test("registry-wide audit: unpartitioned windows only where the input is " +
+       "provably domain-bounded") {
+    // An unpartitioned Window is a single-task sort — acceptable ONLY when
+    // its input is bounded by a small DOMAIN (dates, sources), never by
+    // data size. This sweep keeps the set closed: a new query that sneaks
+    // in a global window fails here with its name.
+    val allowed = Map(
+      // cumulative distinct users over the DATE domain (≤ |days| rows)
+      "q64_cumulative_users" -> "date domain",
+      // per-source token totals (≤ |sources| rows) feed the budget window
+      "q85_mixture_sample" -> "source domain",
+      // NTILE thresholds over the per-lang quartile table (≤ 4·|langs|)
+      "q98_global_curriculum" -> "quantile-spec domain")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        val unpart = unpartitionedWindows(p)
+        if (unpart.nonEmpty) Some(name -> unpart.head.trim.take(120)) else None
+    }
+    val unexpected = offenders.filterNot { case (n, _) => allowed.contains(n) }
+    assert(unexpected.isEmpty,
+      s"queries with undocumented single-task windows:\n${
+        unexpected.map { case (n, l) => s"  $n: $l" }.mkString("\n")}")
   }
 
   test("join-free co-occurrence pairs == distinct self-join formulation") {
@@ -224,7 +264,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("weighted sample plans TakeOrderedAndProject; IVF assignment has no exchange") {
-    val ws = graft.ops.Sampling.qWeightedSample(spark, sf)
+    val ws = graft.ops.Sampling.weightedDocSample(spark, sf)
     assert(ws.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
       "ES sampling must be a bounded top-k, not a global sort")
     val emb = Tables.embeddings(spark, sf)
@@ -338,6 +378,19 @@ class PlanAuditSpec extends SparkSpec {
     val n = Scale.countExchanges(df)
     assert(n <= 4, s"filter→dedup→shard→chunk→manifest must stay ≤4 shuffles, got $n:\n" +
       df.queryExecution.executedPlan.toString.take(800))
+  }
+
+  test("q66 unigram LM: one corpus scan; tf and termCounts exchanges reused " +
+       "across the three consumers") {
+    // the tf subplan feeds three branches (join probe, vocab counts,
+    // total); AQE stage reuse must collapse them to ONE scan + reused
+    // exchanges — without it the corpus is tokenized three times
+    val df = graft.text.Text.qUnigramLm(spark, sf)
+    val p = plan(df)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"q66 must scan the corpus exactly once:\n${p.take(1200)}")
+    assert("ReusedExchange".r.findAllIn(p).size >= 2,
+      s"tf and termCounts exchanges must be reused:\n${p.take(1200)}")
   }
 
   test("q114 rerank stage 2 aggregates only the broadcast-pruned shortlist") {

@@ -49,7 +49,7 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("approx quantiles sit within tight rank error of exact") {
-    val rows = Sketches.qApproxQuantiles(spark, sf).collect()
+    val rows = Sketches.approxVsExact(spark, sf).collect()
     assert(rows.length == 9) // 3 flags x 3 quantiles... adjusted below if fewer flags
     val prices = Tables.lineitem(spark, sf)
       .select("l_returnflag", "l_extendedprice").collect()
@@ -90,8 +90,8 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("weighted sample: deterministic, sized, zero-weight excluded, planted weight wins") {
-    val a = Sampling.qWeightedSample(spark, sf).collect().map(_.getLong(0)).toSeq
-    val b = Sampling.qWeightedSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    val a = Sampling.weightedDocSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    val b = Sampling.weightedDocSample(spark, sf).collect().map(_.getLong(0)).toSeq
     assert(a == b, "same data + same seed must reproduce the same sample")
     assert(a.length == 25 && a.distinct.length == 25)
     // planted dominance: one row with overwhelming weight is always drawn

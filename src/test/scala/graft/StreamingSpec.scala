@@ -384,6 +384,78 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows: late-row admission uses the PREVIOUS batch's " +
+       "watermark; eviction uses the current one (two-watermark model)") {
+    import org.apache.spark.sql.types._
+    // The measured model that explains every observed case (and the r4
+    // confusion NOTES.md recorded): since the multi-stateful-operator work
+    // (SPARK-39931), each batch carries TWO watermark values —
+    //   lateEvents wm  = the previous batch's watermark → filters INPUT
+    //   eviction wm    = the freshly advanced watermark → finalizes STATE
+    // so a late row gets exactly one batch of grace: it survives iff the
+    // watermark-advancing batch is the one immediately before it (its
+    // filter still carries the OLD wm), and then merges into any live
+    // session or forms its own. One batch later the advanced wm has
+    // propagated into the filter and the same row is silently dropped —
+    // in EVERY output mode (the filter sits in the session restore, ahead
+    // of state; complete mode's no-eviction does not rescue it).
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    def prep(dir: String, batches: Seq[Seq[(Long, java.sql.Timestamp)]]): Unit = {
+      if (new java.io.File(dir).exists) rmRf(new java.io.File(dir))
+      new java.io.File(dir).mkdirs()
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("user_id", "ts").coalesce(1).write.parquet(s"$dir/b$i")
+        new java.io.File(s"$dir/b$i").listFiles.filter(_.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, j) =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$dir/b$i-$j.parquet")) }
+        rmRf(new java.io.File(s"$dir/b$i"))
+      }
+    }
+    def run(dir: String, mode: String, name: String) = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = Streams.sessions(stream).writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      val out = spark.table(name).collect()
+        .map(r => (r.getTimestamp(1).toString, r.getLong(2))).sortBy(_._1).toSeq
+      q.stop()
+      out
+    }
+    // Case A — one-batch grace: wm advances to 14:00 in the 15:00 batch;
+    // the NEXT batch's 10:20 row is filtered with the OLD wm (9:10), so
+    // it is admitted and MERGES into the still-live 10:00 session (n=3).
+    val graceDir = "target/tmp/stream_sess_grace"
+    prep(graceDir, Seq(
+      Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00"))),
+      Seq((1L, ts("2024-01-01 15:00:00"))),
+      Seq((1L, ts("2024-01-01 10:20:00"))),
+      Seq((1L, ts("2024-01-01 20:00:00")))))
+    assert(run(graceDir, "append", "sess_grace_a") ==
+      Seq(("2024-01-01 10:00:00.0", 3L), ("2024-01-01 15:00:00.0", 1L)))
+    assert(run(graceDir, "complete", "sess_grace_c") ==
+      Seq(("2024-01-01 10:00:00.0", 3L), ("2024-01-01 15:00:00.0", 1L),
+          ("2024-01-01 20:00:00.0", 1L)))
+    // Case B — grace expired: the wm-advancing 15:00 batch comes FIRST;
+    // by the time the 10:xx rows arrive the 14:00 wm has propagated into
+    // the input filter. The 10:00/10:10 batch still slips through (its
+    // filter carries the initial wm), but the third batch's 10:20 row is
+    // dropped — even in complete mode, where its 10:00 session is STILL
+    // LIVE in state and a merge would otherwise be possible.
+    val expiredDir = "target/tmp/stream_sess_expired"
+    prep(expiredDir, Seq(
+      Seq((1L, ts("2024-01-01 15:00:00"))),
+      Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00"))),
+      Seq((1L, ts("2024-01-01 10:20:00")))))
+    assert(run(expiredDir, "append", "sess_exp_a") ==
+      Seq(("2024-01-01 10:00:00.0", 2L)))   // 15:00 never finalizes
+    assert(run(expiredDir, "complete", "sess_exp_c") ==
+      Seq(("2024-01-01 10:00:00.0", 2L), ("2024-01-01 15:00:00.0", 1L)))
+  }
+
   test("stream-stream attribution join == batch join (3 micro-batches)") {
     prepared
     def clicks(df: org.apache.spark.sql.DataFrame) =

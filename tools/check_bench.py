@@ -1,93 +1,99 @@
 #!/usr/bin/env python3
 """Bench regression guard: feed it a graft.Bench JSON line (file or stdin)
-and it checks per-query and total budgets from BENCHMARKS.md.
+and it checks per-query and total budgets.
 
 Usage:  python3 tools/check_bench.py [bench.json]
         ... runMain graft.Bench | grep '"metric"' | python3 tools/check_bench.py
 
-Exit 0 = within budget, exit 1 = regression. Budgets are ~2x the typical
-sf0.1 local[8] steady-state measurement: machine noise on this box is
-+/-25% run-to-run (measured; see BENCHMARKS.md "Run-to-run variance"), so
-anything past 2x is a plan regression, not noise.
+Exit 0 = within budget, exit 1 = regression.
+
+Calibration: budgets derive from per-query TYPICAL times (measured sf0.1
+local[32] steady state) scaled by a BOX FACTOR computed at run time — the
+median of observed/typical across the whole suite. A box that runs
+everything uniformly 1.8x slower moves every budget together (no false
+failures), while a single regressed query still sticks out against the
+suite median (no lost sensitivity — the failure mode of hard-coding
+doubled constants, which left ~2.5x headroom on a fast box).
 """
 import json
 import sys
 
-# Per-query hard budgets (seconds) where the typical time exceeds the
-# default. Keep in sync with the BENCHMARKS.md budget table.
-BUDGETS = {
-    "q52_percentiles": 2.5,
-    "q29_tf_idf": 2.5,
-    "q62_contamination": 2.5,
-    "q56_curation": 2.0,
-    "q59_minhash_verify": 2.0,
-    "q19_rollup": 2.0,
-    "q53_topk_agg": 2.0,
-    "q58_rank_family": 2.0,
-    "q46_ivf_ann": 2.0,
-    "q66_unigram_lm": 2.0,
-    "q68_boilerplate": 2.0,
-    "q69_approx_quantiles": 3.0,  # runs sketch AND exact percentile side by side
-    "q73_dedup_clusters": 4.0,    # q31's pair join + iterative CC rounds
-    "q87_dup_coverage": 2.5,      # gram explode + df join (q62's class)
-    "q89_pagerank": 3.0,          # 10 chained iterations: stage-latency
-                                  # bound (~0.14 s/round), not data bound
-    "q101_fasta_roundtrip": 5.0,  # write-bound like q44: renders + writes
-                                  # the corpus as FASTA text, then re-reads
-    "q102_bm25": 2.5,             # explode + two aggs + broadcast joins
-    "q103_simjoin_prefix": 5.0,   # df window + prefix join + verify join
-    "q104_pq_ann": 6.0,           # k-means training jobs + 256-kernel
-                                  # encode projections (codegen compile
-                                  # dominates at these SFs)
-    "q07_selfjoin_2hop": 6.0,     # slowest core query; see BENCHMARKS.md
-    "q44_partition_pruning": 5.0, # write-bound by design
-    "q98_global_curriculum": 3.0, # two window families over lineitem
-    "q93_ntile_curriculum": 3.0,  # per-lang quartile windows + stats
-    "q39_media_features": 5.0,    # real PNG+WAV+GIF decode of every payload
-                                  # (heavy-tailed: occasional GC spikes)
-    "q108_bpe_train": 5.0,        # 12 driver-coordinated merge rounds:
-                                  # stage-latency bound (vocab table is
-                                  # tiny), not data bound
-    "q109_bigram_lm": 3.0,        # bigram explode + 3 count joins
-    "q112_bpe_encode": 6.0,       # trains (12 rounds) then re-encodes the
-                                  # corpus -- q108's latency plus a map pass
-    "q114_bm25_rerank": 4.0,      # BM25 shortlist + LM join (two tf aggs)
+# Per-query typical seconds (sf0.1 steady state, reference box = the round-5
+# VM). Queries absent from this table use DEFAULT_TYPICAL. Regenerate by
+# pasting a quiet-box bench run: the VALUES matter only relatively — the box
+# factor rescales the whole table to the current machine.
+TYPICAL = {
+    "q07_selfjoin_2hop": 2.4,     # slowest core query; see BENCHMARKS.md
+    "q103_simjoin_prefix": 2.1,   # df window + prefix join + verify join
+    "q108_bpe_train": 3.7,        # 12 driver-coordinated rounds: stage-
+                                  # latency bound, not data bound
+    "q112_bpe_encode": 4.5,       # q108's rounds plus a map-only re-encode
+    "q39_media_features": 1.8,    # real PNG+WAV+GIF decode of every payload
+    "q69_approx_quantiles": 2.0,  # sketch + exact + rank-audit join
+    "q73_dedup_clusters": 2.0,    # q31's pair join + iterative CC rounds
+    "q89_pagerank": 1.5,          # 10 chained iterations, stage-latency
+    "q104_pq_ann": 3.0,           # k-means jobs + 256-kernel encode
+                                  # (codegen compile dominates at toy SF)
+    "q101_fasta_roundtrip": 1.0,  # write-bound: renders + rewrites corpus
+    "q44_partition_pruning": 1.5, # write-bound by design
+    "q62_contamination": 1.1,
+    "q82_regional_revenue": 1.0,
+    "q102_bm25": 0.8,
+    "q114_bm25_rerank": 1.2,      # BM25 shortlist + pruned LM stage
+    "q96_dataset_build": 0.8,
+    "q71_heavy_hitters": 0.8,
+    "q56_curation": 0.7,
+    "q59_minhash_verify": 0.7,
 }
-DEFAULT_BUDGET = 2.0   # every other query is sub-1s typical
-TOTAL_HARD = 110.0     # suite total: fail — a real regression
-TOTAL_SOFT = 95.0      # suite total: warn — above the observed same-code
-                       # band. NB round-4's box runs this suite ~1.8x
-                       # slower than round-3's (identical code+SF: 76-88 s
-                       # for the r3-era 100 queries vs the 38-48 s band
-                       # measured in r3; per-query times scale uniformly).
-                       # Budgets are calibrated to the CURRENT box; the
-                       # r3-era bands were: 38-46 s at 93 queries, 33-41.8
-                       # at 79, 27.4-36.5 at the r2-era 63.
+DEFAULT_TYPICAL = 0.5   # every other query is sub-0.5s typical
+HEADROOM = 2.5          # per-query: beyond this x typical (box-adjusted)
+                        # it's a plan regression, not noise (measured
+                        # run-to-run noise is +/-25%, spikes to 2x on a
+                        # loaded box — BENCHMARKS.md "Run-to-run variance")
+FLOOR_SEC = 1.5         # never fail a query under this (box-adjusted):
+                        # scheduling jitter dominates sub-second queries
+TOTAL_HEADROOM = 1.6    # suite total: tighter than per-query (noise
+                        # averages out across ~114 queries)
 
 
 def main() -> int:
     raw = open(sys.argv[1]).read() if len(sys.argv) > 1 else sys.stdin.read()
-    line = next(l for l in raw.splitlines() if '"metric"' in l)
+    line = next(l for l in raw.splitlines() if '"queries"' in l or '"metric"' in l)
     bench = json.loads(line[line.index("{"):])
+    queries = bench["queries"]
+
+    # Box factor: median observed/typical over the whole suite, clamped —
+    # a broken box claim can at most 4x the budgets, never erase the gate.
+    ratios = sorted(sec / TYPICAL.get(name, DEFAULT_TYPICAL)
+                    for name, sec in queries.items())
+    box = ratios[len(ratios) // 2] if ratios else 1.0
+    box = max(0.5, min(4.0, box))
 
     failures, warns = [], []
-    for name, sec in sorted(bench["queries"].items()):
-        budget = BUDGETS.get(name, DEFAULT_BUDGET)
+    for name, sec in sorted(queries.items()):
+        budget = max(FLOOR_SEC * box,
+                     TYPICAL.get(name, DEFAULT_TYPICAL) * HEADROOM * box)
         if sec > budget:
-            failures.append(f"FAIL {name}: {sec:.2f}s > budget {budget:.1f}s")
+            failures.append(f"FAIL {name}: {sec:.2f}s > budget {budget:.1f}s "
+                            f"(typical {TYPICAL.get(name, DEFAULT_TYPICAL):.1f}s"
+                            f" x box {box:.2f})")
     total = bench["value"]
-    if total > TOTAL_HARD:
-        failures.append(f"FAIL total: {total:.1f}s > hard budget {TOTAL_HARD:.0f}s")
-    elif total > TOTAL_SOFT:
-        warns.append(f"WARN total: {total:.1f}s > soft budget {TOTAL_SOFT:.0f}s "
-                     f"(noise band; re-run before concluding)")
+    typ_total = sum(TYPICAL.get(n, DEFAULT_TYPICAL) for n in queries)
+    total_budget = typ_total * TOTAL_HEADROOM * box
+    if total > total_budget:
+        failures.append(f"FAIL total: {total:.1f}s > budget {total_budget:.0f}s "
+                        f"(typical {typ_total:.0f}s x box {box:.2f})")
+    elif total > typ_total * 1.3 * box:
+        warns.append(f"WARN total: {total:.1f}s above the observed same-code "
+                     f"band ({typ_total * 1.3 * box:.0f}s; re-run before "
+                     f"concluding)")
 
     for w in warns:
         print(w)
     for f in failures:
         print(f)
-    print(f"== bench total {total:.1f}s, {len(bench['queries'])} queries, "
-          f"{len(failures)} over budget ==")
+    print(f"== bench total {total:.1f}s, {len(queries)} queries, "
+          f"box factor {box:.2f}, {len(failures)} over budget ==")
     return 1 if failures else 0
 
 
