@@ -39,6 +39,35 @@ object Percentiles {
   private def interpolated(vLo: Column, vHi: Column, p: Column): Column =
     vLo + (p - floor(p)) * (vHi - vLo)
 
+  /** Running rank ranges over a (g, b, cnt) coarse histogram, as a
+    * TWO-LEVEL distributed prefix sum. A per-group running window would be
+    * a single task whenever one group dominates (keySkewReport's input IS
+    * one group); instead the running sum partitions by
+    * (group, super-bucket) — never more than `SuperSpan` histogram rows
+    * per task — and the cross-super-bucket carry comes from a broadcast
+    * non-equi join over super-bucket TOTALS (≤ domain/(width·span) rows).
+    * Returns (g, b, cnt, hi_rank, lo_rank); no unpartitioned window
+    * anywhere (the registry-wide PlanAuditSpec sweep enforces this). */
+  private def cumulativeRanks(hist: DataFrame): DataFrame = {
+    val SuperSpan = 256
+    val h = hist.withColumn("sb", floor(col("b") / SuperSpan).cast("long"))
+    val local = h.withColumn("local_hi", sum(col("cnt")).over(
+      Window.partitionBy(col("g"), col("sb")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sbTot = h.groupBy(col("g").as("tg"), col("sb").as("tsb"))
+      .agg(sum(col("cnt")).as("sb_cnt"))
+    val sbPrev = sbTot.join(
+        broadcast(sbTot.select(col("tg").as("pg"), col("tsb").as("psb"),
+          col("sb_cnt").as("p_cnt"))),
+        col("tg") === col("pg") && col("psb") < col("tsb"), "left")
+      .groupBy(col("tg"), col("tsb"))
+      .agg(coalesce(sum(col("p_cnt")), lit(0L)).as("prev_cnt"))
+    local.join(sbPrev, col("g") === col("tg") && col("sb") === col("tsb"))
+      .withColumn("hi_rank", col("local_hi") + col("prev_cnt"))
+      .withColumn("lo_rank", col("hi_rank") - col("cnt") + 1)
+      .select(col("g"), col("b"), col("cnt"), col("hi_rank"), col("lo_rank"))
+  }
+
   /** Window-rank formulation: one exchange, per-group single-task sort. */
   def viaWindowRank(df: DataFrame, groupCol: String, valueCol: String,
                     quantiles: Seq[Double]): DataFrame = {
@@ -78,32 +107,10 @@ object Percentiles {
     val li = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
     val bucket = floor(col("v") / bucketWidth).cast("long")
 
-    // Pass 1: coarse histogram + running rank ranges per bucket, as a
-    // two-level distributed prefix sum. A per-group running sum would be a
-    // single-task window whenever one group dominates (the keySkewReport
-    // case IS one group); instead the running sum partitions by
-    // (group, super-bucket) — never more than `SuperSpan` histogram rows
-    // per task — and the cross-super-bucket carry comes from a broadcast
-    // non-equi join over super-bucket TOTALS (≤ domain/(width·span) rows).
-    val SuperSpan = 256
+    // Pass 1: coarse histogram + running rank ranges ([[cumulativeRanks]]:
+    // two-level distributed prefix sum, no unpartitioned window).
     val hist = li.groupBy(col("g"), bucket.as("b")).agg(count(lit(1)).as("cnt"))
-      .withColumn("sb", floor(col("b") / SuperSpan).cast("long"))
-    val local = hist.withColumn("local_hi", sum(col("cnt")).over(
-      Window.partitionBy(col("g"), col("sb")).orderBy(col("b"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val sbTot = hist.groupBy(col("g").as("tg"), col("sb").as("tsb"))
-      .agg(sum(col("cnt")).as("sb_cnt"))
-    val sbPrev = sbTot.join(
-        broadcast(sbTot.select(col("tg").as("pg"), col("tsb").as("psb"),
-          col("sb_cnt").as("p_cnt"))),
-        col("tg") === col("pg") && col("psb") < col("tsb"), "left")
-      .groupBy(col("tg"), col("tsb"))
-      .agg(coalesce(sum(col("p_cnt")), lit(0L)).as("prev_cnt"))
-    val cum = local.join(sbPrev,
-        col("g") === col("tg") && col("sb") === col("tsb"))
-      .withColumn("hi_rank", col("local_hi") + col("prev_cnt"))
-      .withColumn("lo_rank", col("hi_rank") - col("cnt") + 1)
-      .select(col("g"), col("b"), col("cnt"), col("hi_rank"), col("lo_rank"))
+    val cum = cumulativeRanks(hist)
 
     // Integer target ranks (n per group reuses hist's exchange).
     val targets = hist.groupBy(col("g").as("sg")).agg(sum(col("cnt")).as("n"))
@@ -143,12 +150,13 @@ object Percentiles {
     val li = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
     val bucket = floor(col("v") / bucketWidth).cast("long")
 
-    // Pass 1: coarse histogram + running rank ranges per bucket.
+    // Pass 1: coarse histogram + running rank ranges ([[cumulativeRanks]]:
+    // two-level distributed prefix sum — a per-group running window here
+    // would serialize the whole formulation into one task whenever a
+    // single group dominates, the exact wall this formulation exists to
+    // avoid).
     val hist = li.groupBy(col("g"), bucket.as("b")).agg(count(lit(1)).as("cnt"))
-    val cum = hist.withColumn("hi_rank", sum(col("cnt")).over(
-        Window.partitionBy(col("g")).orderBy(col("b"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("lo_rank", col("hi_rank") - col("cnt") + 1)
+    val cum = cumulativeRanks(hist)
 
     // Quantile spec: n per group (reuses hist's exchange), target ranks.
     val spec = hist.groupBy(col("g").as("sg")).agg(sum(col("cnt")).as("n"))

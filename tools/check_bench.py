@@ -43,7 +43,25 @@ TYPICAL = {
     "q96_dataset_build": 0.8,
     "q71_heavy_hitters": 0.8,
     "q56_curation": 0.7,
-    "q59_minhash_verify": 0.7,
+    "q59_minhash_verify": 0.9,
+    "q52_percentiles": 1.5,       # sort-based exact percentile
+    "q98_global_curriculum": 2.0, # two exact-percentile window families
+    "q107_winsorized": 1.6,       # nearest-rank thresholds + clipped agg
+    "q109_bigram_lm": 1.8,        # bigram explode + three count joins
+    "q110_skew_report": 1.5,      # bucket-selection percentiles over the
+                                  # key table (r5: replaced the global
+                                  # rank window — more stages, no
+                                  # single-task sort)
+    "q93_ntile_curriculum": 1.5,  # per-lang quartile windows
+    "q87_dup_coverage": 1.3,      # 8-gram explode + df join
+    "q68_boilerplate": 1.2,       # gram expansion + per-lang window top-k
+    "q82_regional_revenue": 1.1,  # six-table broadcast chain
+    "q62_contamination": 1.2,
+    "q29_tf_idf": 1.0,
+    "q46_ivf_ann": 1.0,           # k-means training jobs
+    "q102_bm25": 1.1,
+    "q79_cohorts": 0.9,
+    "q48_topn_per_group": 0.9,
 }
 DEFAULT_TYPICAL = 0.5   # every other query is sub-0.5s typical
 HEADROOM = 2.5          # per-query: beyond this x typical (box-adjusted)
