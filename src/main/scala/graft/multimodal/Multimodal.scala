@@ -421,10 +421,10 @@ object Multimodal {
     * real PNG payloads decoded with ImageIO (pixel-derived dims + channel
     * means), audio rows real WAV payloads decoded with javax.sound
     * (frames / rate / RMS), video rows real animated-GIF payloads decoded
-    * frame-by-frame (frame count / dims / cross-frame means). Rows-only
-    * check — decode correctness against known fixtures asserted in
+    * frame-by-frame (frame count / dims / cross-frame means). Raw per-row
+    * shape; decode correctness against known fixtures is asserted in
     * MultimodalSpec. */
-  def qMediaFeatures(spark: SparkSession, d: String): DataFrame = {
+  def mediaFeatures(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val media = withRealMedia(mediaTable(spark, d).as[MediaRow])
     decodeAndFeaturize(media).toDF()
@@ -435,6 +435,21 @@ object Multimodal {
       .withColumn("rms", round(col("rms"), 6))
       .orderBy("media_id")
   }
+
+  /** q39, oracle-checkable form (the q69 exactness-contract pattern): the
+    * decoded feature VALUES are codec outputs DuckDB cannot recompute,
+    * but the decode-health accounting is deterministic — every synthetic
+    * payload is a real PNG/WAV/GIF, so per modality the row count must
+    * match the corpus partition AND every payload must decode through the
+    * REAL codec path (`decoded = true`; a silent fall-through to the byte
+    * stub flips `all_decoded` and fails the hash compare). The decode
+    * work still runs in full — this aggregates [[mediaFeatures]]. */
+  def qMediaFeatures(spark: SparkSession, d: String): DataFrame =
+    mediaFeatures(spark, d)
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_media"),
+        min(col("decoded")).as("all_decoded"))
+      .orderBy("media_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_binary_meta"    -> (qBinaryMeta _),
@@ -449,6 +464,11 @@ object Multimodal {
              CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
              COUNT(DISTINCT sha256(text)) AS n_distinct_payloads
       FROM documents GROUP BY 1 ORDER BY media_type""",
-    // q39: stubbed kernel output — rows-only.
-  )
+    // q39: decode-health contract — codec outputs aren't SQL-recomputable,
+    // but the per-modality counts and the all-decoded boolean are.
+    "q39_media_features" -> """
+      SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+             WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             COUNT(*) AS n_media, TRUE AS all_decoded
+      FROM documents GROUP BY 1 ORDER BY media_type""")
 }

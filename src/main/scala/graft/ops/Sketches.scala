@@ -137,8 +137,13 @@ object Sketches {
     * Determinism: an HLL sketch of a value set is deterministic and its
     * union is associative/commutative, so merged-estimate ==
     * direct-estimate EXACTLY (SketchesSpec pins the bitwise equality and
-    * bounds the error vs exact countDistinct). Sketch bytes are
-    * engine-specific → rows-only. */
+    * bounds the error vs exact countDistinct).
+    *
+    * Oracle-checkable since r5 (the q69 exactness-contract pattern): the
+    * estimate value is engine-specific, but lgK=12 promises rsd ≈ 1.6% —
+    * the query emits the EXACT totals plus a boolean pinning the merged
+    * estimate within 10% of exact; the oracle pins the exacts and `TRUE`,
+    * so a degraded merge path fails the hash compare. */
   def qHllDaily(spark: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(spark, d)
       .select(to_date(col("ts")).as("day"), col("user_id"))
@@ -152,8 +157,9 @@ object Sketches {
         sum(col("exact_daily")).as("sum_daily_exact"))
       .crossJoin(broadcast(
         ev.agg(count_distinct(col("user_id")).as("exact_total_users"))))
-      .select(col("est_total_users"), col("exact_total_users"),
-        col("sum_daily_exact"))
+      .select(col("exact_total_users"), col("sum_daily_exact"),
+        (abs(col("est_total_users") - col("exact_total_users")).cast("double")
+          <= lit(0.10) * col("exact_total_users")).as("hll_est_within_bound"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -188,5 +194,14 @@ object Sketches {
                ROUND(quantile_cont(l_extendedprice, 0.75), 6)
         FROM lineitem GROUP BY 1)
       SELECT l_returnflag, q, exact_value, TRUE AS approx_rank_ok
-      FROM e ORDER BY l_returnflag, q""")
+      FROM e ORDER BY l_returnflag, q""",
+    "q113_hll_daily" -> """
+      WITH daily AS (
+        SELECT DATE_TRUNC('day', ts) AS day,
+               COUNT(DISTINCT user_id) AS exact_daily
+        FROM events GROUP BY 1)
+      SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_total_users,
+             CAST(SUM(exact_daily) AS BIGINT) AS sum_daily_exact,
+             TRUE AS hll_est_within_bound
+      FROM daily""")
 }

@@ -107,26 +107,52 @@ object Extra {
       .orderBy("ship_month")
   }
 
-  /** Approximate distinct (HLL++): approx vs exact per event_type.
-    * Engine-specific sketch → rows-only check; the ±5%-of-exact bound is
-    * asserted in ExtraSpec. */
-  def q45ApproxDistinct(spark: SparkSession, d: String): DataFrame =
+  /** Approximate distinct (HLL++): approx vs exact per event_type — raw
+    * shape; the approx value is engine-specific. ExtraSpec bounds it. */
+  def approxVsExactDistinct(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
            countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
-  /** Content-keyed train/test split stats (ops.Splits): deterministic
-    * bucket assignment via xxhash64 → rows-only check (hash engine-
-    * specific); invariants (disjoint, complete, ratio) in SplitsSpec. */
+  /** q45, oracle-checkable form (the q69 exactness-contract pattern): the
+    * HLL++ estimate itself is engine-specific, but its error contract is
+    * not — the default rsd is 0.05, and the estimate for a FIXED dataset
+    * is deterministic. The query emits the exact count plus a boolean
+    * pinning |approx − exact| within 3·rsd (+2 absolute for tiny groups);
+    * the oracle pins the exact count and `TRUE`, so a degraded estimate
+    * fails the hash compare instead of hiding behind a rows-only check. */
+  def q45ApproxDistinct(spark: SparkSession, d: String): DataFrame =
+    approxVsExactDistinct(spark, d)
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          greatest(lit(2.0), lit(0.15) * col("exact_users")))
+          .as("approx_within_bound"))
+      .orderBy("event_type")
+
+  /** Content-keyed train/test split stats (ops.Splits), oracle-checkable
+    * form (the q69 exactness-contract pattern): WHICH split a doc lands
+    * in is hash-specific, but the split's contract is not — per lang,
+    * train + test reproduce the total count exactly (completeness AND
+    * disjointness: a dropped or doubled row shifts n_docs), and the
+    * realized test fraction sits within ±10 pp of the requested 20%
+    * (binomial sd at the smallest per-lang stratum here is ~4 pp; the
+    * xxhash64 assignment is deterministic, so the boolean is stable).
+    * Raw per-split counts stay spec-pinned in SplitsSpec. */
   def q55SplitStats(spark: SparkSession, d: String): DataFrame = {
     val (train, test) = graft.ops.Splits.trainTest(
       Tables.documents(spark, d), "doc_id", testPercent = 20)
-    train.withColumn("split", lit("train"))
-      .unionByName(test.withColumn("split", lit("test")))
-      .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
-      .orderBy("split", "lang")
+    val t = train.groupBy("lang").agg(count(lit(1)).as("n_train"))
+    val s = test.groupBy("lang").agg(count(lit(1)).as("n_test"))
+    t.join(s, Seq("lang"), "full")
+      .na.fill(0L, Seq("n_train", "n_test"))
+      .select(col("lang"),
+        (col("n_train") + col("n_test")).as("n_docs"),
+        (abs(col("n_test").cast("double") /
+             (col("n_train") + col("n_test")) - 0.2) <= 0.10)
+          .as("test_frac_ok"))
+      .orderBy("lang")
   }
 
   /** Split-balance contract, oracle-checked: the train/test halves of the
@@ -193,6 +219,16 @@ object Extra {
 
   val oracles: Map[String, String] = Map(
     "q89_pagerank" -> pageRankOracle,
+    // q45/q55: exactness contracts — the engine-specific value (HLL
+    // estimate / hash assignment) is reduced to a deterministic boolean
+    // the oracle pins as TRUE, alongside fully exact counts.
+    "q45_approx_distinct" -> """
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+             TRUE AS approx_within_bound
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q55_split_stats" -> """
+      SELECT lang, COUNT(*) AS n_docs, TRUE AS test_frac_ok
+      FROM documents GROUP BY lang ORDER BY lang""",
     "q40_graph_degrees" -> """
       WITH edges AS (
         SELECT prev_type AS src, event_type AS dst FROM (

@@ -156,13 +156,19 @@ object Pq {
       .limit(k)
   }
 
-  /** PQ-ANN top-10 for query vec_id=0 (k-means/hash dependent → rows-only;
-    * recall vs brute force + determinism pinned in SimilaritySpec). */
-  def qPqAnn(spark: SparkSession, d: String): DataFrame =
-    adcTopK(Tables.embeddings(spark, d), queryVecId = 0L, k = 10)
+  /** PQ-ANN top-10 for query vec_id=0, as its oracle-checkable contract
+    * ([[graft.similarity.Similarity.annContract]], floor calibrated from
+    * measured 0.8–0.9 single-query recall); the raw neighbor list and
+    * determinism stay spec-pinned in SimilaritySpec. */
+  def qPqAnn(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    graft.similarity.Similarity.annContract(
+      adcTopK(emb, queryVecId = 0L, k = 10), emb, 0L, 10, minRecall = 0.6)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_pq_ann" -> (qPqAnn _))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q104_pq_ann" -> Similarity.annContractOracle)
 }

@@ -11,7 +11,7 @@ class ExtraSpec extends SparkSpec {
   }
 
   test("approx_count_distinct within 5% of exact") {
-    Extra.q45ApproxDistinct(spark, sf).collect().foreach { r =>
+    Extra.approxVsExactDistinct(spark, sf).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
       val exact = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact <= 0.05,
