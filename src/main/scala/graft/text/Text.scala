@@ -193,9 +193,15 @@ object Text {
     * (doc, term) TF pairs, not raw tokens, so join input is the distinct-
     * term count; the vocabulary side is tiny relative to the corpus and
     * broadcast-eligible (at extreme vocab, bucket both sides on term).
-    * The tf subplan feeds three branches (tf, vocab counts, total); at
-    * 100 TB persist/checkpoint it once — here the tokenized scan is cheap
-    * and AQE's exchange reuse covers the overlap.
+    * The tf subplan feeds three branches (tf, vocab counts, total). The
+    * STATIC plan prints three tokenize→explode→partial-count scans, but
+    * all three end at a canonically-identical Exchange on (doc_id, term),
+    * so AQE's runtime stage reuse executes the tokenization ONCE and the
+    * other two branches read the reused shuffle stage (2 ReusedExchange
+    * markers in the final adaptive plan — PlanAuditSpec pins this; it is
+    * invisible in `explain()` because reuse happens at stage
+    * materialization, not planning). At 100 TB the reused exchange is
+    * exactly the "persist tf once" discipline without the memory pin.
     * Numeric discipline: per-term log-probs are fixed-pointed with
     * `floor(lp * 1e9)` — multiply and floor are exact IEEE ops, so both
     * engines produce the SAME integer from the same double (a `round(_, 9)`
