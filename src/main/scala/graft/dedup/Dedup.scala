@@ -383,9 +383,10 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash+LSH structural summary (hash-dependent → no SQL oracle;
-    * rows-only check + planted-duplicate recall spec in DedupSpec). */
-  def qMinhashLsh(spark: SparkSession, d: String): DataFrame = {
+  /** MinHash+LSH structural summary per band — raw shape (bucket counts,
+    * max bucket, candidate-pair count are hash-layout-specific; DedupSpec
+    * pins planted-duplicate recall). */
+  def minhashLshStats(spark: SparkSession, d: String): DataFrame = {
     val sigs = minhashSignatures(Tables.documents(spark, d))
     val bands = sigs.select(col("doc_id"),
       posexplode(expr(
@@ -400,17 +401,76 @@ object Dedup {
       .orderBy("band")
   }
 
-  /** SimHash duplicate groups: docs sharing an identical 64-bit simhash
-    * (hash-dependent → rows-only check). Group-by-signature is the
-    * scale-safe shape — pairwise Hamming search over correlated corpora
-    * explodes quadratically inside LSH buckets (measured: 220s at sf0.1);
-    * [[simhashPairs]] remains the bounded-corpus pair API (spec-tested). */
-  def qSimhash(spark: SparkSession, d: String): DataFrame =
+  /** q32, oracle-checkable form (the q69 exactness-contract pattern):
+    * WHERE each signature buckets is xxhash-specific, but two properties
+    * of a correct LSH index are not — per band, every signed doc lands in
+    * exactly ONE bucket (sum of bucket sizes == signed-doc count, an
+    * accounting identity a dropped or doubled row breaks), and
+    * byte-identical texts have identical signatures, so each band's
+    * largest bucket must hold at least the largest exact-duplicate text
+    * group (a broken signature kernel scatters them). The oracle pins the
+    * signed-doc count exactly and both booleans as TRUE; raw bucket stats
+    * stay available via [[minhashLshStats]]. */
+  def qMinhashLsh(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val dupMax = broadcast(docs
+      .withColumn("toks", Text.tokens).filter(size(col("toks")) >= 3)
+      .groupBy("text").agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("dup_max")))
+    val sigs = minhashSignatures(docs)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${NumBands - 1}), b -> xxhash64(${
+          (0 until BandRows).map(r => s"sig[b * $BandRows + $r]").mkString(", ")}))"))
+        .as(Seq("band", "bucket")))
+    bands.groupBy("band", "bucket").agg(count(lit(1)).as("sz"))
+      .groupBy("band")
+      .agg(sum(col("sz")).as("n_sigs"), max(col("sz")).as("max_bucket"))
+      .crossJoin(dupMax)
+      .select(col("band"), col("n_sigs"),
+        (col("max_bucket") >= col("dup_max")).as("exact_dups_bucketed"))
+      .orderBy("band")
+  }
+
+  /** SimHash duplicate groups: docs sharing an identical 64-bit simhash —
+    * raw shape (signature values are hash-specific). Group-by-signature is
+    * the scale-safe shape — pairwise Hamming search over correlated
+    * corpora explodes quadratically inside LSH buckets (measured: 220s at
+    * sf0.1); [[simhashPairs]] remains the bounded-corpus pair API
+    * (spec-tested). */
+  def simhashGroups(spark: SparkSession, d: String): DataFrame =
     simhash(Tables.documents(spark, d))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .orderBy(col("n_docs").desc, col("simhash"))
       .limit(20)
+
+  /** q33, oracle-checkable form (the q69 exactness-contract pattern): the
+    * 64-bit signatures are hash-specific, but a correct SimHash grouping
+    * obeys three engine-independent laws — group sizes sum back to the
+    * corpus (accounting identity), the number of distinct signatures
+    * cannot exceed the number of distinct TEXTS (identical text ⇒
+    * identical signature; collisions only merge further), and the largest
+    * group must hold at least the largest exact-duplicate text group. The
+    * oracle pins the corpus count exactly and the laws as TRUE; raw
+    * groups stay available via [[simhashGroups]]. */
+  def qSimhash(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val exact = broadcast(docs.agg(
+      count(lit(1)).as("n_total"),
+      countDistinct(col("text")).as("n_distinct_texts")))
+    val dupMax = broadcast(docs.groupBy("text")
+      .agg(count(lit(1)).as("c")).agg(max(col("c")).as("dup_max")))
+    simhash(docs)
+      .groupBy("simhash").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_docs"),
+        max(col("n")).as("max_group"))
+      .crossJoin(exact).crossJoin(dupMax)
+      .select(col("n_docs"),
+        (col("n_docs") === col("n_total")).as("coverage_ok"),
+        (col("n_groups") <= col("n_distinct_texts")).as("groups_le_distinct_texts"),
+        (col("max_group") >= col("dup_max")).as("exact_dups_grouped"))
+  }
 
   /** Canonical-representative dedup: one keeper (min doc_id) per content
     * fingerprint — the materialized form a pipeline actually applies
@@ -428,8 +488,9 @@ object Dedup {
     * signature estimate (matching minhash fraction ≈ Jaccard) and the
     * exact hashed-shingle Jaccard. At 100 TB the estimate prunes
     * candidates before the exact sets are ever shuffled.
-    * Hash-dependent → rows-only check; estimator quality in DedupSpec. */
-  def qMinhashVerify(spark: SparkSession, d: String): DataFrame = {
+    * Raw shape (which candidates LSH surfaces is hash-dependent);
+    * estimator quality pinned in DedupSpec. */
+  def minhashVerifyPairs(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     val base = docs
       .withColumn("toks", Text.tokens)
@@ -452,8 +513,37 @@ object Dedup {
         col("inter").cast("double") /
           (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .select("doc_a", "doc_b", "est_jaccard", "exact_jaccard")
-      .orderBy(col("exact_jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(20)
+  }
+
+  /** q59, oracle-checkable form (the q69 exactness-contract pattern): the
+    * LSH candidate set is hash-dependent, but the pipeline's CONTRACT is
+    * not — every pair it reports at exact Jaccard ≥ τ must be a member of
+    * the true τ-pair set, and it must find at least a floor fraction of
+    * that set. The true set is computed by [[similarityJoin]], the
+    * lossless prefix-filter join whose own oracle is exact all-pairs SQL
+    * (q103) — so the exact side is DuckDB-recomputable. Theory puts the
+    * per-pair detection probability at 1−(1−J²)^8 ≥ 0.90 for J ≥ 0.5
+    * (8 bands × 2 rows); the floor of 0.7 leaves noise-free margin
+    * (seeds are fixed, so measured recall is deterministic per dataset:
+    * 1.0 at sf0.001/0.01/0.1). Precision needs no floor: the verify
+    * stage computes exact Jaccard, so false positives are structurally
+    * impossible — the subset boolean pins that the join bookkeeping
+    * (not the math) stays honest. Raw pairs via [[minhashVerifyPairs]]. */
+  def qMinhashVerify(spark: SparkSession, d: String): DataFrame = {
+    val tauNum = 1L; val tauDen = 2L
+    val exact = similarityJoin(Tables.documents(spark, d), tauNum, tauDen)
+      .select("doc_a", "doc_b")
+    val found = minhashVerifyPairs(spark, d)
+      .filter(col("exact_jaccard") * lit(tauDen) >= lit(tauNum))
+      .select("doc_a", "doc_b")
+    val hits = found.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_exact_pairs"),
+        (col("n_hits") === col("n_found")).as("all_found_are_true_pairs"),
+        (col("n_hits").cast("double") >=
+          lit(0.7) * col("n_exact_pairs")).as("lsh_recall_ok"))
   }
 
   /** Eval-set contamination detection: find training documents sharing
@@ -482,6 +572,57 @@ object Dedup {
       .orderBy(col("shared_grams").desc, col("eval_doc"), col("train_doc"))
       .limit(20)
   }
+
+  /** Exact repeated-span masking — the substring-level dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022): a span of `k` consecutive tokens that also occurs in at
+    * least one OTHER document is memorization fuel, and the fix is to cut
+    * the SPAN, not drop the document (doc-level dedup — q30/q54 — misses
+    * partial overlap entirely; q62/q87 only MEASURE it). Returns per doc:
+    * token count, covered-position count, and the cleaned text with every
+    * covered token removed.
+    *
+    * Scale shape (why this never goes quadratic): per-doc sliding spans
+    * are a map-side transform (≤ |doc| rows per doc); "repeated" is one
+    * gram-keyed aggregation; the mask join is a SEMI join of spans
+    * against repeated grams — output ≤ input rows regardless of how hot
+    * a gram is (a million-doc boilerplate span costs exactly one row per
+    * occurrence, unlike pairwise designs); coverage merge is one doc-keyed
+    * aggregation whose state is bounded by the doc's own length. Two
+    * shuffles total (gram key, doc key). At 100 TB swap the span STRING
+    * for its xxhash64 (the q31 hashed-shingle precedent) to shrink the
+    * shuffle — string grams here keep the DuckDB oracle exact. */
+  def repeatedSpanMask(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs.withColumn("toks", Text.tokens)
+      .filter(size(col("toks")) >= k)
+      .select("doc_id", "toks")
+      .repartition(col("doc_id")) // materialize tokenization once (q31 note)
+    val spans = toks.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, size(toks) - $k)," +
+        s" i -> array_join(slice(toks, i + 1, $k), ' '))"))
+      .as(Seq("pos", "g")))
+    val repeated = spans.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("g")
+    val covered = spans.join(repeated, Seq("g"), "left_semi")
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + $k - 1)")).as("cp"))
+      .groupBy("doc_id").agg(collect_set(col("cp")).as("cov"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        when(col("cov").isNull, 0).otherwise(size(col("cov"))).as("n_covered"),
+        expr("array_join(filter(toks," +
+          " (t, i) -> cov IS NULL OR NOT array_contains(cov, i)), ' ')")
+          .as("cleaned"))
+  }
+
+  /** q115: repeated 8-token spans masked corpus-wide; the cleaned text is
+    * pinned by md5 so the oracle compare stays value-exact without
+    * shipping document bodies. */
+  def qRepeatedSpans(spark: SparkSession, d: String): DataFrame =
+    repeatedSpanMask(Tables.documents(spark, d), k = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+        md5(col("cleaned")).as("cleaned_md5"))
+      .orderBy("doc_id")
 
   /** Cross-document duplication coverage (the C4/RefinedWeb "how much of
     * this source is boilerplate shared with other documents" metric):
@@ -522,9 +663,65 @@ object Dedup {
     "q81_edit_distance"  -> (qEditDistance _),
     "q94_bloom_dedup"    -> (qBloomDedup _),
     "q103_simjoin_prefix" -> (qSimJoinPrefix _),
+    "q115_repeated_spans" -> (qRepeatedSpans _),
   )
 
   val oracles: Map[String, String] = Map(
+    // q32/q33/q59: exactness contracts — the hash-specific value (bucket
+    // layout, signature values, LSH candidate set) is reduced to exact
+    // accounting plus deterministic booleans the oracle pins as TRUE.
+    "q32_minhash_lsh" -> s"""
+      WITH sigs AS (
+        SELECT doc_id FROM (SELECT doc_id, ${Text.duckTokens} AS toks
+                            FROM documents)
+        WHERE len(toks) >= 3)
+      SELECT CAST(t.band AS INT) AS band,
+             (SELECT COUNT(*) FROM sigs) AS n_sigs,
+             TRUE AS exact_dups_bucketed
+      FROM (SELECT unnest(range(0, ${NumBands})) AS band) t ORDER BY band""",
+    "q33_simhash" -> """
+      SELECT COUNT(*) AS n_docs, TRUE AS coverage_ok,
+             TRUE AS groups_le_distinct_texts, TRUE AS exact_dups_grouped
+      FROM documents""",
+    // q115: fully exact — string spans, deterministic mask; DuckDB
+    // reproduces the whole computation including the cleaned text.
+    "q115_repeated_spans" -> s"""
+      WITH t AS (
+        SELECT doc_id, toks FROM
+          (SELECT doc_id, ${Text.duckTokens} AS toks FROM documents)
+        WHERE len(toks) >= 8),
+      spans AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               array_to_string(toks[CAST(i AS INT) + 1:CAST(i AS INT) + 8], ' ') AS g
+        FROM t, LATERAL (SELECT unnest(range(0, len(toks) - 7)) AS i) u),
+      rep AS (SELECT g FROM spans GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      cov AS (
+        SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS cp
+        FROM (SELECT doc_id, pos FROM spans SEMI JOIN rep USING (g)) h,
+             LATERAL (SELECT unnest(range(0, 8)) AS j) v),
+      cstat AS (SELECT doc_id, COUNT(*) AS n_covered, list(cp) AS cps
+                FROM cov GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+             CAST(COALESCE(c.n_covered, 0) AS INT) AS n_covered,
+             md5(COALESCE(array_to_string(
+               list_filter(t.toks, (tok, i) ->
+                 c.cps IS NULL OR NOT list_contains(c.cps, i - 1)), ' '), ''))
+               AS cleaned_md5
+      FROM t LEFT JOIN cstat c USING (doc_id)
+      ORDER BY t.doc_id""",
+    "q59_minhash_verify" -> s"""
+      WITH sh AS (
+        SELECT doc_id, $duckShinglesSql AS shingles
+        FROM (SELECT doc_id, ${Text.duckTokens} AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      pairs AS (
+        SELECT CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT COUNT(*) AS n_exact_pairs, TRUE AS all_found_are_true_pairs,
+             TRUE AS lsh_recall_ok
+      FROM pairs WHERE jaccard >= 0.5""",
     "q103_simjoin_prefix" -> s"""
       WITH sh AS (
         SELECT doc_id, $duckShinglesSql AS shingles

@@ -120,12 +120,11 @@ object BpeTrain {
       (syms, m) => mergeOnce(syms, m.left, m.right)
     }
 
-  /** q108: the first 12 learned merges over the corpus, plus the resulting
-    * mean subword count per word — deterministic integer statistics
-    * (rows-only: the iterative argmax/merge loop is not SQL-expressible). */
-  def qBpeTrain(spark: SparkSession, d: String): DataFrame = {
+  /** The first `nMerges` learned merges plus vocab totals — raw shape;
+    * the full merge sequence is pinned by BpeSpec's hand-computed corpus. */
+  def trainedMerges(spark: SparkSession, d: String, nMerges: Int = 12): DataFrame = {
     import spark.implicits._
-    val (merges, ws) = train(Tables.documents(spark, d), nMerges = 12)
+    val (merges, ws) = train(Tables.documents(spark, d), nMerges)
     val vocabStats = ws.toDF().agg(
       count(lit(1)).as("n_words"),
       sum(size(col("syms")).cast("long")).as("total_symbols")).head()
@@ -134,6 +133,39 @@ object BpeTrain {
       .withColumn("n_words", lit(vocabStats.getLong(0)))
       .withColumn("total_symbols", lit(vocabStats.getLong(1)))
       .orderBy("rank")
+  }
+
+  /** q108, oracle-checkable form (the q69 exactness-contract pattern).
+    * DuckDB cannot thread the iterative merge loop, but it CAN recompute
+    * round 1 exactly — the argmax adjacent character pair over the word
+    * vocabulary (with the (count desc, left, right) tie order) needs no
+    * iteration — and rounds 2..n obey an engine-independent law: the
+    * winning count never increases (a new pair containing merged XY
+    * occurs only where X·Y occurred, so its count ≤ the count just
+    * merged; all other counts only shrink or stand). Vocab totals bound
+    * the symbol table: n_words ≤ total_symbols < total_chars (12 merges
+    * must have contracted SOMETHING). The full merge table still
+    * computes — this summarizes [[trainedMerges]]'s 12 driver-coordinated
+    * rounds; BpeSpec pins the hand-computed sequence. */
+  def qBpeTrain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (merges, ws) = train(Tables.documents(spark, d), nMerges = 12)
+    val vocabStats = ws.toDF().agg(
+      count(lit(1)).as("n_words"),
+      sum(size(col("syms")).cast("long")).as("total_symbols"),
+      sum(length(col("word")).cast("long")).as("total_chars")).head()
+    ws.unpersist()
+    val (nWords, totalSyms, totalChars) =
+      (vocabStats.getLong(0), vocabStats.getLong(1), vocabStats.getLong(2))
+    val monotone = merges.sliding(2).forall {
+      case Seq(a, b) => b.weighted_count <= a.weighted_count
+      case _         => true
+    }
+    val first = merges.head
+    Seq((merges.size, nWords, first.left, first.right, first.weighted_count,
+        monotone, nWords <= totalSyms && totalSyms < totalChars))
+      .toDF("n_merges", "n_words", "first_left", "first_right",
+        "first_count", "counts_monotone_ok", "symbols_within_bounds")
   }
 
   /** Corpus-scale ENCODE with a learned merge table — the apply half of
@@ -152,17 +184,24 @@ object BpeTrain {
           val subs = table.foldLeft(w.map(_.toString): Seq[String]) {
             (syms, m) => mergeOnce(syms, m._1, m._2)
           }
-          (id, src, subs.length)
+          // roundtrip: merge application only ever concatenates adjacent
+          // symbols, so the subwords must spell the word back exactly — a
+          // dropped/duplicated symbol in the apply loop breaks this
+          (id, src, subs.length, w.length, subs.mkString == w)
         }
       }
-      .toDF("doc_id", "source", "n_subwords")
+      .toDF("doc_id", "source", "n_subwords", "n_chars", "roundtrip_ok")
   }
 
   /** q112: train 12 merges, re-encode the corpus with them, report
-    * per-source compression (subwords per character — trained merges
-    * must beat the char-level baseline of 1.0). Deterministic integer
-    * statistics; rows-only like q108 (the merge table is the output of
-    * the non-SQL-expressible trainer). */
+    * per-source conservation. Oracle-checkable (the q69 exactness-contract
+    * pattern): the subword counts depend on the learned merges (not
+    * SQL-recomputable), but per source the word and character totals are
+    * exact, every word's subwords must concatenate back to the word
+    * (roundtrip — pins the distributed apply loop), and the encoding must
+    * actually compress (n_words ≤ n_subwords < n_chars; strict, because
+    * at least one learned merge fires in every source — deterministic for
+    * fixed data, verified at sf0.001/0.01/0.1). */
   def qBpeEncode(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     val (merges, ws) = train(docs, nMerges = 12)
@@ -170,7 +209,13 @@ object BpeTrain {
     encodeCorpus(docs, merges)
       .groupBy("source")
       .agg(count(lit(1)).as("n_words"),
-        sum(col("n_subwords").cast("long")).as("n_subwords"))
+        sum(col("n_chars").cast("long")).as("n_chars"),
+        sum(col("n_subwords").cast("long")).as("n_subwords"),
+        min(col("roundtrip_ok")).as("all_roundtrip_ok"))
+      .select(col("source"), col("n_words"), col("n_chars"),
+        (col("n_words") <= col("n_subwords") &&
+          col("n_subwords") < col("n_chars")).as("compressed"),
+        col("all_roundtrip_ok"))
       .orderBy("source")
   }
 
@@ -178,5 +223,29 @@ object BpeTrain {
     "q108_bpe_train" -> (qBpeTrain _),
     "q112_bpe_encode" -> (qBpeEncode _))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    // q108: DuckDB recomputes round 1's argmax pair exactly (same
+    // (count desc, left, right) tie order) and the vocab size; the
+    // iterative rounds are pinned by the monotone/bounds booleans.
+    "q108_bpe_train" -> s"""
+      WITH words AS (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(${Text.duckTokens}) AS word FROM documents)
+        GROUP BY word),
+      prs AS (
+        SELECT substring(word, CAST(i AS INT), 1) AS l,
+               substring(word, CAST(i AS INT) + 1, 1) AS r,
+               SUM(freq) AS c
+        FROM words, LATERAL (SELECT unnest(range(1, length(word))) AS i) t
+        GROUP BY 1, 2)
+      SELECT 12 AS n_merges, (SELECT COUNT(*) FROM words) AS n_words,
+             l AS first_left, r AS first_right, CAST(c AS BIGINT) AS first_count,
+             TRUE AS counts_monotone_ok, TRUE AS symbols_within_bounds
+      FROM prs ORDER BY c DESC, l, r LIMIT 1""",
+    "q112_bpe_encode" -> s"""
+      SELECT source, COUNT(*) AS n_words,
+             CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+             TRUE AS compressed, TRUE AS all_roundtrip_ok
+      FROM (SELECT source, unnest(${Text.duckTokens}) AS word FROM documents)
+      GROUP BY source ORDER BY source""")
 }

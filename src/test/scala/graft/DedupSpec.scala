@@ -61,7 +61,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash signature agreement estimates Jaccard (the LSH estimator)") {
-    val rows = Dedup.qMinhashVerify(spark, sf).collect()
+    val rows = Dedup.minhashVerifyPairs(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val est = r.getDouble(2); val exact = r.getDouble(3)
@@ -135,5 +135,33 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(out("srcA") == ((6L, 6L, 1.0)), s"srcA: ${out("srcA")}") // 3 grams/doc × 2 docs
     assert(out("srcB") == ((3L, 0L, 0.0)), s"srcB: ${out("srcB")}")
+  }
+
+  test("repeated-span mask: shared span cut from both docs, unique text " +
+       "kept, token conservation") {
+    // docs 1/2 share an 8-token boilerplate prefix, then diverge; doc 3 is
+    // fully unique; doc 4 is too short to span.
+    val boiler = "please subscribe to our newsletter for daily updates"
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$boiler omega psi chi phi upsilon tau sigma rho"),
+      (3L, "entirely original prose about distributed query engines and planning"),
+      (4L, "too short"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanMask(docs, k = 8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    // the 8-token boilerplate is exactly the shared span: masked in both
+    assert(out(1L) == ((16, 8, "alpha beta gamma delta epsilon zeta eta theta")), s"${out(1L)}")
+    assert(out(2L) == ((16, 8, "omega psi chi phi upsilon tau sigma rho")), s"${out(2L)}")
+    // unique doc untouched
+    assert(out(3L)._2 == 0 && out(3L)._3.startsWith("entirely original"))
+    // sub-k doc filtered out entirely (cannot host a span)
+    assert(!out.contains(4L))
+    // conservation: cleaned token count == n_tokens - n_covered
+    out.values.foreach { case (n, c, cleaned) =>
+      val kept = cleaned.split(" ").count(_.nonEmpty)
+      assert(kept == n - c, s"conservation broken: $n - $c vs $kept")
+    }
   }
 }

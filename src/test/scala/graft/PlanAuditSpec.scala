@@ -408,6 +408,16 @@ class PlanAuditSpec extends SparkSpec {
       s"the shortlist prune must be a broadcast join on doc_id:\n${p.take(1200)}")
   }
 
+  test("q115 repeated-span mask: semi-join masking, never pairwise") {
+    val df = graft.dedup.Dedup.qRepeatedSpans(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"span masking must never go pairwise:\n${p.take(800)}")
+    assert(p.contains("LeftSemi"),
+      s"repeated-gram filter must be a semi join (output <= input rows " +
+        s"regardless of gram heat):\n${p.take(800)}")
+  }
+
   test("q85 mixture sampling: the per-source budget table joins by broadcast") {
     val docs = Tables.documents(spark, sf)
     val kept = graft.ops.Sampling.mixtureSample(

@@ -43,7 +43,10 @@ TYPICAL = {
     "q96_dataset_build": 0.8,
     "q71_heavy_hitters": 0.8,
     "q56_curation": 0.7,
-    "q59_minhash_verify": 0.9,
+    # r5: q59 became the recall contract — it runs the FULL lossless
+    # prefix-filter join (the q103 workload) as its in-plan exact side,
+    # plus the LSH+verify pipeline it always ran
+    "q59_minhash_verify": 4.0,
     "q52_percentiles": 1.5,       # sort-based exact percentile
     "q98_global_curriculum": 2.0, # two exact-percentile window families
     "q107_winsorized": 1.6,       # nearest-rank thresholds + clipped agg
