@@ -168,9 +168,39 @@ object Extra {
       .orderBy("lang")
   }
 
+  /** Leakage-safe cluster split (ops.Splits.clusterSafeSplit): exact-dup
+    * clusters keyed on md5(text), split assignment on the portable md5
+    * bucket — so unlike q55's balance-contract oracle, MEMBERSHIP itself
+    * is oracle-checked (DuckDB recomputes the identical md5 buckets).
+    * n_clusters < n_docs in train pins that duplicate groups travel
+    * together; SplitsSpec pins the no-cluster-straddles-splits property
+    * directly. Map-only: the split is a projection, the rollup is the
+    * only exchange. */
+  def q116ClusterSplit(spark: SparkSession, d: String): DataFrame =
+    graft.ops.Splits.clusterSafeSplit(
+        Tables.documents(spark, d), md5(col("text")), testPercent = 20)
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("cluster_key")).as("n_clusters"))
+      .orderBy("split", "lang")
+
+  /** ORC round trip: nation written to ORC (the other Spark-native
+    * columnar format — same pushdown/pruning machinery as parquet) and
+    * read back; the oracle reads the SOURCE table, so any row lost or
+    * mangled by the ORC writer/reader fails the hash. */
+  def q117OrcRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") + "/graft_orc_demo"
+    graft.sources.IO.orcSink(Tables.nation(spark, d), root)
+    graft.sources.IO.orc(spark, root)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_split_stats"      -> (q55SplitStats _),
     "q65_split_balance"    -> (q65SplitBalance _),
+    "q116_cluster_split"   -> (q116ClusterSplit _),
+    "q117_orc_roundtrip"   -> (q117OrcRoundtrip _),
     "q40_graph_degrees"    -> (q40GraphDegrees _),
     "q41_monoid_avg"       -> (q41MonoidAvg _),
     "q42_sessionize"       -> (q42Sessionize _),
@@ -229,6 +259,22 @@ object Extra {
     "q55_split_stats" -> """
       SELECT lang, COUNT(*) AS n_docs, TRUE AS test_frac_ok
       FROM documents GROUP BY lang ORDER BY lang""",
+    // q116: unlike q55, split MEMBERSHIP is itself oracle-checked — the
+    // md5 bucket is engine-portable, so DuckDB recomputes the identical
+    // assignment (hex parse of the first 8 digits of md5(cluster_key),
+    // where cluster_key is itself md5(text) — hence the double md5).
+    "q116_cluster_split" -> """
+      WITH c AS (
+        SELECT lang, md5(text) AS ck,
+               CASE WHEN CAST(('0x' || substring(md5(md5(text)), 1, 8)) AS BIGINT)
+                         % 100 < 20
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents)
+      SELECT split, lang, COUNT(*) AS n_docs, COUNT(DISTINCT ck) AS n_clusters
+      FROM c GROUP BY split, lang ORDER BY split, lang""",
+    "q117_orc_roundtrip" -> """
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      ORDER BY n_nationkey""",
     "q40_graph_degrees" -> """
       WITH edges AS (
         SELECT prev_type AS src, event_type AS dst FROM (

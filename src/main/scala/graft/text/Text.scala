@@ -333,8 +333,37 @@ object Text {
       .orderBy("source")
   }
 
+  /** Quality-threshold retention curve: the sweep you run BEFORE picking
+    * a filter cutoff — for every stopword-ratio decile floor, how many
+    * documents and tokens survive the filter. One corpus scan collapses
+    * to a ≤ 11-row bin table; the suffix-cumulative window runs over the
+    * BINS (bounded domain — the q64 discipline), never the corpus, so
+    * the single-partition window is O(bins) regardless of corpus size.
+    * Bin = (10·n_stop) div n_tokens in integer math — bit-identical on
+    * both engines, no double-rounding hazard. */
+  def qRetentionCurve(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val en = stopwords.head._2
+    val bins = Tables.documents(spark, d)
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_stop", expr(scoreSql("toks", en)))
+      .withColumn("min_bin", expr("(10 * n_stop) div n_tokens"))
+      .groupBy("min_bin")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens").cast("long")).as("n_toks"))
+    val w = Window.orderBy(col("min_bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins.select(col("min_bin"),
+        sum(col("n_docs")).over(w).as("docs_retained"),
+        sum(col("n_toks")).over(w).as("tokens_retained"))
+      .orderBy("min_bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_pii_scan"    -> (qPiiScan _),
+    "q118_retention_curve" -> (qRetentionCurve _),
     "q66_unigram_lm"  -> (qUnigramLm _),
     "q68_boilerplate" -> (qBoilerplate _),
     "q109_bigram_lm" -> (qBigramLm _),
@@ -396,6 +425,22 @@ object Text {
                CAST(length(text) AS DOUBLE) / len(toks) AS chars_per_token
         FROM (SELECT doc_id, text, $duckTokens AS toks FROM documents)
         ORDER BY doc_id""",
+      "q118_retention_curve" -> s"""
+        WITH s AS (
+          SELECT len(toks) AS n_tokens, ${duckScoreSql("toks", en)} AS n_stop
+          FROM (SELECT $duckTokens AS toks FROM documents)
+          WHERE len(toks) > 0),
+        b AS (
+          SELECT (10 * n_stop) // n_tokens AS min_bin,
+                 COUNT(*) AS n_docs, SUM(n_tokens) AS n_toks
+          FROM s GROUP BY min_bin)
+        SELECT CAST(min_bin AS BIGINT) AS min_bin,
+               CAST(SUM(n_docs) OVER w AS BIGINT) AS docs_retained,
+               CAST(SUM(n_toks) OVER w AS BIGINT) AS tokens_retained
+        FROM b
+        WINDOW w AS (ORDER BY min_bin DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY min_bin""",
       "q25_quality" -> s"""
         SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
                CAST(${duckScoreSql("toks", en)} AS DOUBLE) / len(toks) AS stopword_ratio,

@@ -183,7 +183,9 @@ class PlanAuditSpec extends SparkSpec {
       // per-source token totals (≤ |sources| rows) feed the budget window
       "q85_mixture_sample" -> "source domain",
       // NTILE thresholds over the per-lang quartile table (≤ 4·|langs|)
-      "q98_global_curriculum" -> "quantile-spec domain")
+      "q98_global_curriculum" -> "quantile-spec domain",
+      // suffix-cumulative retention over the decile-bin table (≤ 11 rows)
+      "q118_retention_curve" -> "decile-bin domain")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf).queryExecution.executedPlan.toString

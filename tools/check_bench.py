@@ -36,10 +36,9 @@ TYPICAL = {
                                   # (codegen compile dominates at toy SF)
     "q101_fasta_roundtrip": 1.0,  # write-bound: renders + rewrites corpus
     "q44_partition_pruning": 1.5, # write-bound by design
-    "q62_contamination": 1.1,
-    "q82_regional_revenue": 1.0,
-    "q102_bm25": 0.8,
     "q114_bm25_rerank": 1.2,      # BM25 shortlist + pruned LM stage
+    "q66_unigram_lm": 0.7,        # measured steady state 0.7-1.2s (tf
+                                  # exchange reuse); 2.2s one-off was GC
     "q96_dataset_build": 0.8,
     "q71_heavy_hitters": 0.8,
     "q56_curation": 0.7,
