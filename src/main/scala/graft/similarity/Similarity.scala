@@ -255,12 +255,49 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Engine-portable Rademacher hyperplanes: weight(p,i) ∈ {+1,−1} from
+    * the parity of the first 8 hex digits of md5("p_i"). Sign-random
+    * projections with ±1 entries are valid SimHash planes (Charikar '02;
+    * Achlioptas '03 for ±1 projections), and deriving them from a
+    * standardized hash instead of a seeded engine RNG means ANY engine —
+    * or this one, years later, on a different JVM — rebuilds the identical
+    * index layout. The q116 portability argument, applied to ANN. */
+  def portablePlanes(planes: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(planes, dim) { (p, i) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${p}_${i}".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0) 1L else -1L
+    }
+
+  /** Portable LSH signature over a fixed-point copy of the vector:
+    * bit p = (Σᵢ w(p,i) · ⌊vᵢ·10⁶⌋ ≥ 0). The float→double widening,
+    * the ·10⁶ multiply, and ⌊·⌋ are bit-identical IEEE ops on every
+    * engine, and the ±1-weighted sum is exact INTEGER arithmetic —
+    * associative, order-free — so the sign bit can never flip across
+    * engines or partitionings (a double-sum dot near 0 could). */
+  def portableSignatureCol(vecCol: String, planes: Int, dim: Int): Column = {
+    val w = portablePlanes(planes, dim)
+    val micro = transform(col(vecCol),
+      v => floor(v.cast("double") * lit(1e6)).cast("long"))
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(micro, typedlit(w(p).toSeq), (v, wt) => v * wt),
+        lit(0L), (acc, x) => acc + x)
+      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b)).cast("int")
+  }
+
   /** Embedding near-dup pairs: LSH-bucketed within-bucket pairing, ranked
     * by exact cosine — the scale path for embedding-cosine dedup
-    * (all-pairs is O(n²); bucketing bounds it by bucket size). */
+    * (all-pairs is O(n²); bucketing bounds it by bucket size; scale the
+    * plane count with log₂(corpus) to hold expected bucket size flat).
+    * Uses the PORTABLE signature ([[portableSignatureCol]]), so unlike a
+    * seeded-RNG index the full pair list is oracle-checkable — DuckDB
+    * rebuilds the identical buckets from md5 alone. */
   def qEmbedNearDup(spark: SparkSession, d: String): DataFrame = {
     val signed = Tables.embeddings(spark, d)
-      .withColumn("sig", signatureCol("embedding"))
+      .withColumn("sig", portableSignatureCol("embedding", NumPlanes, 64))
       .select("vec_id", "sig", "embedding")
     signed.as("a").join(signed.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
@@ -392,7 +429,35 @@ object Similarity {
           FROM pairs)
         SELECT q_id, CAST(rk AS INT) AS rk, vec_id, cos_sim
         FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
-      // q35/q37: LSH plane construction is engine-side → rows-only.
+      // q35: LSH plane construction is engine-side → contract oracle only.
+      // q37: the portable signature (md5-derived ±1 planes, fixed-point
+      // integer dot) lets DuckDB rebuild the IDENTICAL buckets — the full
+      // pair list is oracle-checked, not just a contract.
+      "q37_embed_neardup" -> s"""
+        WITH v AS (
+          SELECT vec_id, i - 1 AS i,
+                 CAST(floor(CAST(e AS DOUBLE) * 1e6) AS BIGINT) AS vi
+          FROM (SELECT vec_id, unnest(embedding) AS e,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings)),
+        w AS (
+          SELECT p, i,
+                 CASE WHEN CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END AS w
+          FROM range(8) t(p) CROSS JOIN range(64) s(i)),
+        sig AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig
+          FROM (SELECT vec_id, p, SUM(vi * w) AS dot
+                FROM v JOIN w USING (i) GROUP BY vec_id, p)
+          GROUP BY vec_id),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 ROUND(${cos("ea.embedding", "eb.embedding")}, 6) AS cos_sim
+          FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id)
+        SELECT * FROM pairs ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""",
     )
   }
 }

@@ -32,6 +32,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall too low — LSH is broken")
   }
 
+  test("portable signature: md5 planes match an independent JVM computation; " +
+       "identical vectors always collide") {
+    import org.apache.spark.sql.functions._
+    // plane weights re-derived from first principles (MessageDigest, no
+    // engine code) — pins the exact md5("p_i") parity convention the
+    // DuckDB oracle of q37 recomputes
+    val w = Similarity.portablePlanes(8, 64)
+    for (p <- Seq(0, 3, 7); i <- Seq(0, 17, 63)) {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${p}_${i}".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expect = if (java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0) 1L else -1L
+      assert(w(p)(i) == expect, s"plane weight ($p,$i) diverges from MessageDigest")
+    }
+    assert(w.flatten.forall(x => x == 1L || x == -1L))
+    // exactness guarantee the q116-style portability buys: byte-identical
+    // vectors get byte-identical signatures (same bits in → same sig out),
+    // so exact-duplicate embeddings can NEVER be missed by the bucket join
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val twin = emb.withColumn("vec_id", col("vec_id") + 1000000L)
+    val sigs = emb.unionByName(twin)
+      .withColumn("sig", Similarity.portableSignatureCol("embedding", 8, 64))
+      .select(col("vec_id") % 1000000L, col("sig")).distinct()
+    assert(sigs.count() == 50, "a twin vector landed in a different bucket")
+    // signatures actually discriminate (not all vectors in one bucket)
+    val distinctSigs = sigs.select("sig").distinct().count()
+    assert(distinctSigs > 5, s"only $distinctSigs distinct signatures over 50 vectors")
+  }
+
   test("IVF: partitions the corpus; probe search ranks by true cosine") {
     val emb = Tables.embeddings(spark, sf)
     val indexed = Similarity.ivfIndex(emb, k = 8)
