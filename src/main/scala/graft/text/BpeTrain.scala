@@ -80,17 +80,28 @@ object BpeTrain {
     out.toSeq
   }
 
-  /** Learn `nMerges` merges. Each round: one vocabulary aggregation + one
-    * map-only merge application. */
+  /** Learn `nMerges` merges. Each round runs ONE Spark job: the
+    * vocabulary pair aggregation, whose action also materializes the
+    * previous round's map-only merge into the cache. The previous cache
+    * is released only AFTER that action (deferred one round), so the
+    * merge never recomputes from truncated lineage — this replaces the
+    * old per-round eager `count()`, halving driver-coordinated jobs in
+    * the stage-latency-bound regime (BENCHMARKS.md q108/q112). */
   def train(docs: DataFrame, nMerges: Int): (Seq[Merge], Dataset[WordSyms]) = {
     import docs.sparkSession.implicits._
     var ws = initWords(docs).persist()
-    ws.count()
+    // previous round's cache: still backing `ws`'s lineage until the next
+    // action materializes `ws`; unpersisting earlier would force a
+    // recompute, unpersisting never would leak (the r4 ADVICE item)
+    var pending: Option[Dataset[WordSyms]] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 1
     var continue = true
     while (continue && rank <= nMerges) {
-      bestPair(ws) match {
+      val best = bestPair(ws) // materializes ws's cache
+      pending.foreach(_.unpersist())
+      pending = None
+      best match {
         case Some((l, r, c)) =>
           merges += Merge(rank, l, r, l + r, c)
           val prev = ws
@@ -102,14 +113,21 @@ object BpeTrain {
           ws = if (rank % 4 == 0) {
             val cp = mapped.localCheckpoint()
             mapped.unpersist()
+            prev.unpersist() // cp is materialized; prev no longer needed
             cp
-          } else mapped
-          ws.count()
-          prev.unpersist()
+          } else {
+            pending = Some(prev)
+            mapped
+          }
           rank += 1
         case None => continue = false
       }
     }
+    // the last round's merge was never materialized by a following
+    // bestPair: force it ONCE before releasing its backing cache, or
+    // every downstream action on the returned Dataset re-runs the tail
+    // merges from the last checkpoint
+    pending.foreach { p => ws.count(); p.unpersist() }
     (merges.toSeq, ws)
   }
 
