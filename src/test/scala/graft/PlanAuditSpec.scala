@@ -172,12 +172,15 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("registry-wide audit: unpartitioned windows only where the input is " +
-       "provably domain-bounded") {
+       "provably domain-bounded; CartesianProduct only in the cross-join demo") {
     // An unpartitioned Window is a single-task sort — acceptable ONLY when
     // its input is bounded by a small DOMAIN (dates, sources), never by
-    // data size. This sweep keeps the set closed: a new query that sneaks
-    // in a global window fails here with its name.
-    val allowed = Map(
+    // data size. A shuffle CartesianProduct is O(n·m) — acceptable ONLY as
+    // the deliberate q08 teaching demo (1-row broadcast crossJoins plan as
+    // BroadcastNestedLoopJoin and are fine; this catches the SHUFFLE-side
+    // all-pairs explosion). One planning pass sweeps both; the sets stay
+    // closed — a new query that sneaks either in fails here with its name.
+    val allowedWindows = Map(
       // cumulative distinct users over the DATE domain (≤ |days| rows)
       "q64_cumulative_users" -> "date domain",
       // per-source token totals (≤ |sources| rows) feed the budget window
@@ -186,17 +189,25 @@ class PlanAuditSpec extends SparkSpec {
       "q98_global_curriculum" -> "quantile-spec domain",
       // suffix-cumulative retention over the decile-bin table (≤ 11 rows)
       "q118_retention_curve" -> "decile-bin domain")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val allowedCartesian = Set("q08_cross_join")
+    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        name -> fn(spark, sf).queryExecution.executedPlan.toString
           .split("== Initial Plan ==")(0)
-        val unpart = unpartitionedWindows(p)
-        if (unpart.nonEmpty) Some(name -> unpart.head.trim.take(120)) else None
     }
-    val unexpected = offenders.filterNot { case (n, _) => allowed.contains(n) }
-    assert(unexpected.isEmpty,
+    val windowOffenders = plans.flatMap { case (name, p) =>
+      val unpart = unpartitionedWindows(p)
+      if (unpart.nonEmpty) Some(name -> unpart.head.trim.take(120)) else None
+    }.filterNot { case (n, _) => allowedWindows.contains(n) }
+    assert(windowOffenders.isEmpty,
       s"queries with undocumented single-task windows:\n${
-        unexpected.map { case (n, l) => s"  $n: $l" }.mkString("\n")}")
+        windowOffenders.map { case (n, l) => s"  $n: $l" }.mkString("\n")}")
+    val cartesianOffenders = plans.collect {
+      case (name, p) if p.contains("CartesianProduct") &&
+                        !allowedCartesian.contains(name) => name
+    }
+    assert(cartesianOffenders.isEmpty,
+      s"queries with undocumented CartesianProduct: $cartesianOffenders")
   }
 
   test("join-free co-occurrence pairs == distinct self-join formulation") {
