@@ -173,6 +173,45 @@ object Streams {
       .drop("band_keys", "has_sig")
   }
 
+  case class CappedDoc(doc_id: Long, source: String, rk: Long)
+
+  /** Streaming per-host admission cap — the INGEST-side twin of the batch
+    * per-host cap (Curation.capPerGroup / q105) via flatMapGroupsWithState:
+    * at most `cap` documents are ever emitted per source host, and each
+    * carries its admission rank.
+    *
+    * Semantics: within one micro-batch a host's rows are admitted in the
+    * batch operator's deterministic order (md5(text), doc_id); across
+    * batches admission is first-come-first-served — a stream cannot rank
+    * against future arrivals, so WHICH docs fill the cap depends on
+    * arrival order, but the cap itself is exact and already-admitted docs
+    * are never revoked (ranks are append-stable). When all data shares
+    * one trigger this equals the batch operator row-for-row
+    * (StreamingSpec's differential).
+    *
+    * 100 TB design: state per host is ONE long (the admitted count) —
+    * O(#hosts) total, no doc content retained; the per-trigger sort is
+    * over a single host's rows within one micro-batch, bounded by trigger
+    * size, not history. flatMapGroupsWithState (not mapGroups…) because
+    * admission emits 0..cap rows per (host, trigger), not exactly one. */
+  def streamingHostCap(docs: DataFrame, cap: Int): Dataset[CappedDoc] = {
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    docs.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      .as[(Long, String, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (host: String, rows: Iterator[(Long, String, String)],
+         state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val take = rows.toSeq.sortBy(r => (r._3, r._1))
+            .take(math.max(0, cap - admitted).toInt)
+          if (take.nonEmpty) state.update(admitted + take.size)
+          take.iterator.zipWithIndex.map { case (r, i) =>
+            CappedDoc(r._1, host, admitted + i + 1) }
+      }
+  }
+
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state: running per-user totals via mapGroupsWithState —

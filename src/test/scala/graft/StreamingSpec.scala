@@ -215,6 +215,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming host cap: single trigger == batch q105 row-for-row") {
+    import org.apache.spark.sql.types._
+    val dir = "target/tmp/stream_hostcap1"
+    if (new java.io.File(dir).exists) rmRf(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    // whole corpus in ONE micro-batch → admission order == batch ranking
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/all")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 10).parquet(s"$dir/all")
+    val q = Streams.runToMemory(Streams.streamingHostCap(stream, cap = 10).toDF(),
+      "hostcap_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val streamed = spark.table("hostcap_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.pipeline.Curation.qHostCap(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong)).toSet
+      assert(streamed == batch,
+        s"single-trigger streaming cap diverges from batch: ${
+          (streamed diff batch) ++ (batch diff streamed)}")
+    } finally q.stop()
+  }
+
+  test("streaming host cap: cap holds across micro-batches, ranks append-stable") {
+    import org.apache.spark.sql.types._
+    val dir = "target/tmp/stream_hostcap2"
+    if (new java.io.File(dir).exists) rmRf(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    // host "h": 2 docs per batch with cap 3 → all of b1 admitted, exactly
+    // one of b2; host "ok": 1 per batch, never capped
+    Seq((1L, "aa", "h"), (2L, "bb", "h"), (10L, "xx", "ok"))
+      .toDF("doc_id", "text", "source").coalesce(1).write.parquet(s"$dir/b1")
+    Seq((3L, "cc", "h"), (4L, "dd", "h"), (11L, "yy", "ok"))
+      .toDF("doc_id", "text", "source").coalesce(1).write.parquet(s"$dir/b2")
+    Seq("b1", "b2").foreach { sub =>
+      new java.io.File(s"$dir/$sub").listFiles.filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$dir/$sub-$i.parquet")) }
+      rmRf(new java.io.File(s"$dir/$sub"))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.runToMemory(Streams.streamingHostCap(stream, cap = 3).toDF(),
+      "hostcap_stream2", org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val rows = spark.table("hostcap_stream2").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val h = rows.filter(_._2 == "h").sortBy(_._3)
+      assert(h.length == 3, s"cap 3 must admit exactly 3 of host h's 4 docs: $h")
+      // batch-1 docs admitted first (arrival order), ranks 1..2 stable;
+      // the single b2 admission takes rank 3
+      assert(h.take(2).map(_._1).toSet == Set(1L, 2L), s"b1 docs must hold ranks 1-2: $h")
+      assert(h.map(_._3).sameElements(Array(1L, 2L, 3L)))
+      assert(h(2)._1 == 3L || h(2)._1 == 4L)
+      val ok = rows.filter(_._2 == "ok").sortBy(_._3)
+      assert(ok.map(_._1).sameElements(Array(10L, 11L)) &&
+             ok.map(_._3).sameElements(Array(1L, 2L)),
+        s"uncapped host must admit everything with continuing ranks: $ok")
+    } finally q.stop()
+  }
+
   test("stream-static NEAR-dup: LSH bloom flags shared-shingle docs, map-only") {
     import org.apache.spark.sql.types._
     val dir = "target/tmp/stream_neardup"
