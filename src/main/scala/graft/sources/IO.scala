@@ -37,6 +37,33 @@ object IO {
   /** S6: line-delimited JSON (schema inference incl. nested arrays/structs). */
   def json(spark: SparkSession, path: String): DataFrame = spark.read.json(path)
 
+  /** Tolerant CSV ingest — the DataFrame-native channel for the
+    * reference's tolerant line parser (R6, chapter 3's try/except rows):
+    * PERMISSIVE mode parses what it can and lands each malformed line
+    * VERBATIM in a `_corrupt` column instead of killing the 100 TB job
+    * (FAILFAST) or silently losing rows (DROPMALFORMED). Callers split on
+    * `_corrupt IS NULL` — clean rows continue, rejects go to a quarantine
+    * sink with full fidelity for replay. The quarantine column must be
+    * REQUESTED in the schema to be populated, hence the appended field. */
+  def csvTolerant(spark: SparkSession, path: String,
+                  schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+
+  /** Tolerant line-delimited JSON ingest: same quarantine contract as
+    * [[csvTolerant]]. */
+  def jsonTolerant(spark: SparkSession, path: String,
+                   schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
   /** S7: parquet (embedded schema). */
   def parquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 

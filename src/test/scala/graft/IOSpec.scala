@@ -213,6 +213,35 @@ class IOSpec extends SparkSpec {
       .schema(StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
       .option("mode", "DROPMALFORMED").json(s"$tmp/badjson")
     assert(dropped.collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 3L)))
+    // the packaged quarantine channel: same contract via IO.jsonTolerant.
+    // (Spark refuses plans that read ONLY the corrupt column from raw
+    // files — always project data columns alongside it.)
+    val viaIo = IO.jsonTolerant(spark, s"$tmp/badjson",
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+      .select("id", "v", "_corrupt").collect()
+    assert(viaIo.count(_.isNullAt(2)) == 2)
+    assert(viaIo.filter(!_.isNullAt(2)).map(_.getString(2))
+      .exists(_.contains("missing comma")),
+      "quarantined line must survive verbatim for replay")
+  }
+
+  test("tolerant CSV: clean rows parse, malformed lines quarantined verbatim") {
+    val dir = new java.io.File(s"$tmp/badcsv"); dir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/badcsv/data.csv"),
+      """id,qty
+        |1,10
+        |2,notanumber
+        |3,30
+        |""".stripMargin)
+    val out = IO.csvTolerant(spark, s"$tmp/badcsv",
+      StructType(Seq(StructField("id", LongType), StructField("qty", LongType))))
+    val clean = out.filter(col("_corrupt").isNull)
+    assert(clean.collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 3L)))
+    val quarantined = out.filter(col("_corrupt").isNotNull).collect()
+    assert(quarantined.length == 1 &&
+      quarantined.head.getAs[String]("_corrupt") == "2,notanumber",
+      s"reject must carry the raw line: ${quarantined.mkString}")
   }
 
   test("sorted layout: per-file key ranges disjoint, files internally sorted") {
