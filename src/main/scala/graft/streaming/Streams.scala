@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface: file-source ingestion, watermarked
@@ -210,6 +210,61 @@ object Streams {
           take.iterator.zipWithIndex.map { case (r, i) =>
             CappedDoc(r._1, host, admitted + i + 1) }
       }
+  }
+
+  case class Admission(doc_id: Long, fp: String)
+
+  /** First-seen gate whose per-fingerprint ValueState carries a TTL:
+    * Spark evicts the entry `ttl` of processing time after the update, so
+    * a duplicate arriving later than the horizon is re-admitted — and,
+    * crucially, total state is bounded by one horizon's arrival volume. */
+  private class FirstSeenTtl(ttl: java.time.Duration)
+      extends StatefulProcessor[String, (Long, String), Admission] {
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig(ttl))
+    override def handleInputRows(fp: String, rows: Iterator[(Long, String)],
+                                 tv: TimerValues): Iterator[Admission] =
+      if (seen.exists() || rows.isEmpty) Iterator.empty
+      else {
+        seen.update(true)
+        // deterministic within a trigger: lowest doc_id wins the slot
+        Iterator.single(Admission(rows.map(_._1).min, fp))
+      }
+  }
+
+  /** TTL-expiring streaming dedup via `transformWithState` — Spark 4's
+    * arbitrary-state API over the RocksDB state store. First arrival per
+    * content fingerprint is admitted; duplicates are dropped while the
+    * fingerprint's state lives; the state self-expires after `ttl` of
+    * processing time.
+    *
+    * This is the state-LIFECYCLE upgrade of the other two dedup shapes:
+    * [[streamingDedup]] is exact forever but its state grows with corpus
+    * lifetime; [[streamingDedupWithinWatermark]] bounds state by an
+    * EVENT-time horizon (needs a timestamp column and a watermark); this
+    * one bounds state by a WALL-clock horizon with no timestamp column at
+    * all — the "don't re-ingest what we saw this week" contract of a
+    * crawler front-end, at O(horizon arrival volume) state on RocksDB
+    * (spills to disk, not executor heap).
+    *
+    * Run with `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (transformWithState requires it).
+    *
+    * Lifecycle caveat (measured): a TimeMode.ProcessingTime query never
+    * self-terminates — the operator requests a follow-up batch after
+    * EVERY batch to advance its clock, so `Trigger.AvailableNow` keeps
+    * scheduling no-data batches and `awaitTermination` blocks forever.
+    * Callers own the stop: consume the sink, then `query.stop()`. */
+  def streamingDedupTtl(docs: DataFrame,
+                        ttl: java.time.Duration): Dataset[Admission] = {
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    docs.select(col("doc_id"), md5(col("text")).as("fp")).as[(Long, String)]
+      .groupByKey(_._2)
+      .transformWithState(new FirstSeenTtl(ttl), TimeMode.ProcessingTime(),
+        OutputMode.Append())
   }
 
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)

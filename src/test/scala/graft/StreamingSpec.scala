@@ -215,6 +215,84 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState TTL dedup: first-seen admission, state expiry re-admits") {
+    import org.apache.spark.sql.types._
+    val dir = "target/tmp/stream_ttldedup"
+    if (new java.io.File(dir).exists) rmRf(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    // transformWithState requires the RocksDB state store
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // A TimeMode.ProcessingTime query NEVER self-terminates: the
+      // stateful operator demands a follow-up batch every batch
+      // (shouldRunAnotherBatch ≡ true) to advance its clock, so even
+      // Trigger.AvailableNow keeps scheduling no-data batches — measured
+      // here, not guessed. Each stage therefore POLLS the memory sink
+      // for its expected admissions and then stops the query; the two
+      // stages share a checkpoint (exercising RocksDB state recovery);
+      // TTL filtering applies at state READ time on the later run.
+      val in = s"$dir/in"; new java.io.File(in).mkdirs()
+      val ckpt = s"$dir/ckpt"
+      def addBatch(sub: String, rows: Seq[(Long, String)]): Unit = {
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/stage_$sub")
+        new java.io.File(s"$dir/stage_$sub").listFiles
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$in/$sub-$i.parquet")) }
+        rmRf(new java.io.File(s"$dir/stage_$sub"))
+      }
+      // the memory sink cannot RECOVER from a checkpoint (AnalysisException
+      // on restart), so admissions land in a parquet file sink — the
+      // shape a real ingest pipeline uses anyway
+      val out = s"$dir/out"
+      def admitted(): Array[Long] =
+        try spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+        catch { case _: org.apache.spark.sql.AnalysisException => Array.empty }
+      def runOnce(expectTotal: Int): Array[Long] = {
+        val stream = spark.readStream.schema(schema).parquet(in)
+        val q = Streams.streamingDedupTtl(stream,
+            java.time.Duration.ofMillis(150)).toDF()
+          .writeStream.outputMode(OutputMode.Append()).format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .start()
+        try {
+          val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+          while (admitted().length < expectTotal &&
+                 q.exception.isEmpty && System.nanoTime < deadline)
+            Thread.sleep(100)
+          q.exception.foreach(e => fail(s"query failed: ${e.getMessage}"))
+          admitted()
+        } finally q.stop()
+      }
+      addBatch("b1", Seq((1L, "alpha beta"), (2L, "gamma delta")))
+      val afterB1 = runOnce(expectTotal = 2)
+      assert(afterB1.sameElements(Array(1L, 2L)), s"b1: ${afterB1.mkString(",")}")
+      Thread.sleep(400) // >> TTL: doc 1's fingerprint state must expire
+      // b2: a duplicate pair, plus a repeat of doc 1's text (state
+      // expired -> re-admitted), against the recovered checkpoint
+      addBatch("b2", Seq((5L, "epsilon zeta"), (6L, "epsilon zeta"),
+        (7L, "alpha beta")))
+      val afterB2 = runOnce(expectTotal = 4)
+      // 5 admitted, its duplicate 6 dropped (same fingerprint; if both
+      // land in one trigger the lowest doc_id wins the slot); 7
+      // re-admitted because doc 1's state aged out
+      assert(afterB2.sameElements(Array(1L, 2L, 5L, 7L)),
+        s"expected 1,2,5,7 got: ${afterB2.mkString(",")}")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming host cap: single trigger == batch q105 row-for-row") {
     import org.apache.spark.sql.types._
     val dir = "target/tmp/stream_hostcap1"
