@@ -20,6 +20,10 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata parquet carries naive (isAdjustedToUTC=false) timestamps;
+      // read them as UTC instants (TIMESTAMP), not TIMESTAMP_NTZ, so
+      // unix_micros/window arithmetic and the DuckDB oracle line up
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -26,11 +26,14 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads only as a
-    * raw nanosecond LongType (spark.sql.legacy.parquet.nanosAsLong=true —
-    * set by [[Sessions]]/Verify/Bench). Convert to TimestampType (µs) with
-    * integer division: a double division would lose precision above 2^53 ns
-    * (~1970+104 days), silently corrupting every timestamp. */
+  /** `events.ts` on disk has varied across testdata generations: parquet
+    * TIMESTAMP(NANOS) (read as a raw nanosecond LongType under
+    * spark.sql.legacy.parquet.nanosAsLong=true, set by
+    * [[Sessions]]/Verify/Bench) or a naive micros TIMESTAMP (read as
+    * TimestampType with inferTimestampNTZ disabled). Normalize the long
+    * flavor to TimestampType (µs) with integer division: a double division
+    * would lose precision above 2^53 ns (~1970+104 days), silently
+    * corrupting every timestamp. */
   def events(spark: SparkSession, d: String): DataFrame = {
     val raw = load(spark, d, "events")
     if (raw.schema("ts").dataType == LongType)

@@ -14,9 +14,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as long, converted
-      // to TimestampType in Tables.events.
+      // events.ts flavor varies by testdata generation: TIMESTAMP(NANOS)
+      // reads as long (normalized in Tables.events), naive micros reads
+      // directly as TIMESTAMP via the two configs below.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -20,7 +20,14 @@ class StreamingSpec extends SparkSpec {
   }
 
   private lazy val prepared: Unit = {
-    val ev = spark.read.parquet(s"$sf/events.parquet") // raw: ts stays long
+    // Fixture files carry the raw ingest shape readEventsStream expects:
+    // ts as a nanosecond long. Testdata flavor has varied across rounds
+    // (TIMESTAMP(NANOS) → long under nanosAsLong; micros TIMESTAMP
+    // directly) — normalize either to long nanos here.
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val ev =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) raw
+      else raw.withColumn("ts", expr("unix_micros(ts) * 1000"))
     val dir = new java.io.File(streamDir)
     if (dir.exists) rmRf(dir)
     // Chronological micro-batches (how ingestion actually lands files):
