@@ -573,6 +573,67 @@ object Dedup {
       .limit(20)
   }
 
+  /** Training-doc ids flagged as contaminated by [[qContamination]]'s
+    * rule: some eval document shares ≥ `minShared` rare (train-df ≤
+    * `dfCap`) distinct `n`-grams with them. Factored out so the REPORT
+    * (q62) and the ACTION (q119 / [[decontaminate]]) provably apply the
+    * same rule. */
+  def contaminatedTrainIds(docs: DataFrame, n: Int = 8, dfCap: Int = 20,
+                           minShared: Int = 3,
+                           evalSource: String = "src0"): DataFrame = {
+    val toks = docs.withColumn("toks", Text.tokens)
+      .filter(size(col("toks")) >= n)
+    def grams(df: DataFrame, idCol: String) = df
+      .select(col("doc_id").as(idCol),
+        explode(graft.functions.exprs.gramNSetSorted(col("toks"), n)).as("g"))
+    val evalG  = grams(toks.filter(col("source") === evalSource), "eval_doc")
+    val trainG = grams(toks.filter(col("source") =!= evalSource), "train_doc")
+    val rare = trainG.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("g")
+    evalG.join(trainG.join(rare, Seq("g"), "left_semi"), "g")
+      .groupBy("eval_doc", "train_doc")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+      .select(col("train_doc").as("doc_id")).distinct()
+  }
+
+  /** Eval-set DECONTAMINATION — the action [[qContamination]] only
+    * reports (the GPT-3/PaLM appendix-C discipline: before training,
+    * REMOVE every training document that overlaps the benchmark/eval
+    * set, or the eval becomes a memorization test). Returns the training
+    * corpus minus contaminated docs, original schema intact.
+    *
+    * Scale shape: the eval side is tiny relative to 100 TB of training
+    * text, so its gram set broadcasts; the only corpus-linear costs are
+    * the train-gram explode and one df aggregation (both also needed by
+    * q62/q87 and shareable); the final step is an anti join against a
+    * doc-id set bounded by |contaminated| ≪ |train| — broadcastable,
+    * never pairwise. Train docs with < n tokens carry no n-grams and are
+    * structurally kept, matching the oracle's semantics. */
+  def decontaminate(docs: DataFrame, n: Int = 8, dfCap: Int = 20,
+                    minShared: Int = 3,
+                    evalSource: String = "src0"): DataFrame =
+    docs.filter(col("source") =!= evalSource)
+      .join(broadcast(contaminatedTrainIds(docs, n, dfCap, minShared, evalSource)),
+        Seq("doc_id"), "left_anti")
+
+  /** q119: per-source retention report of [[decontaminate]] — kept/dropped
+    * counts plus the exact BIGINT sum of kept doc ids, which pins kept-set
+    * MEMBERSHIP (not just its size) against the oracle. */
+  def qDecontaminate(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val flagged = docs.filter(col("source") =!= "src0")
+      .join(broadcast(contaminatedTrainIds(docs).withColumn("contam", lit(1))),
+        Seq("doc_id"), "left")
+    flagged.groupBy("source").agg(
+        count(lit(1)).as("n_train"),
+        sum(when(col("contam").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("contam").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("contam").isNull, col("doc_id")).otherwise(0L))
+          .as("kept_id_sum"))
+      .orderBy("source")
+  }
+
   /** Exact repeated-span masking — the substring-level dedup of Lee et
     * al., "Deduplicating Training Data Makes Language Models Better"
     * (ACL 2022): a span of `k` consecutive tokens that also occurs in at
@@ -664,6 +725,7 @@ object Dedup {
     "q94_bloom_dedup"    -> (qBloomDedup _),
     "q103_simjoin_prefix" -> (qSimJoinPrefix _),
     "q115_repeated_spans" -> (qRepeatedSpans _),
+    "q119_decontaminate" -> (qDecontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -753,6 +815,35 @@ object Dedup {
       FROM eval_g e JOIN rare_train t USING (g)
       GROUP BY 1, 2 HAVING COUNT(*) >= 3
       ORDER BY shared_grams DESC, eval_doc, train_doc LIMIT 20""",
+    "q119_decontaminate" -> s"""
+      WITH toks AS (
+        SELECT doc_id, source, ${Text.duckTokens} AS toks FROM documents),
+      grams AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+                 i -> array_to_string(toks[i:i+7], ' ')))) AS g
+        FROM toks WHERE len(toks) >= 8),
+      train_g AS (SELECT doc_id, g FROM grams WHERE source <> 'src0'),
+      eval_g AS (SELECT doc_id AS eval_doc, g FROM grams WHERE source = 'src0'),
+      rare_train AS (
+        SELECT t.doc_id, t.g FROM train_g t
+        JOIN (SELECT g FROM train_g GROUP BY g HAVING COUNT(*) <= 20) r
+          USING (g)),
+      contaminated AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT e.eval_doc, t.doc_id
+          FROM eval_g e JOIN rare_train t USING (g)
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3)),
+      train AS (SELECT doc_id, source FROM documents WHERE source <> 'src0')
+      SELECT tr.source, COUNT(*) AS n_train,
+             CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dropped,
+             CAST(SUM(CASE WHEN c.doc_id IS NULL THEN tr.doc_id ELSE 0 END)
+                  AS BIGINT) AS kept_id_sum
+      FROM train tr LEFT JOIN contaminated c USING (doc_id)
+      GROUP BY tr.source ORDER BY tr.source""",
     "q87_dup_coverage" -> s"""
       WITH toks AS (
         SELECT doc_id, source, ${Text.duckTokens} AS toks FROM documents),

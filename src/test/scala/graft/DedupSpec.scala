@@ -164,4 +164,32 @@ class DedupSpec extends SparkSpec {
       assert(kept == n - c, s"conservation broken: $n - $c vs $kept")
     }
   }
+
+  test("decontaminate: eval-overlapping train doc dropped; unrelated, " +
+       "short, and ultra-common-gram docs kept") {
+    val evalTxt = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // 12 tokens → 5 distinct 8-grams; 25 train copies push each gram's
+    // train-df past dfCap=20, so the rare-gram filter must EXEMPT them
+    // (boilerplate ≠ contamination — the q62 dfCap rationale)
+    val boiler = "shared boilerplate header text that occurs across very many training pages verbatim"
+    val docs = (Seq(
+      (1L, evalTxt, "src0"),
+      (2L, boiler, "src0"),
+      (201L, evalTxt, "src1"), // shares 5 rare 8-grams with eval → dropped
+      (202L, "one two three four five six seven eight nine ten eleven twelve", "src1"),
+      (203L, "tiny doc", "src1")) ++ // < 8 tokens: no grams, structurally kept
+      (300L until 325L).map(i => (i, boiler, "src2")))
+      .toDF("doc_id", "text", "source")
+    val kept = Dedup.decontaminate(docs)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(!keptIds.contains(201L), "contaminated doc survived")
+    assert(keptIds.contains(202L) && keptIds.contains(203L))
+    assert((300L until 325L).forall(keptIds.contains),
+      "dfCap-exempt boilerplate was dropped")
+    // eval docs are not part of the returned corpus; schema is unchanged
+    assert(!keptIds.contains(1L) && !keptIds.contains(2L))
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+    // the action removes exactly the ids the report flags
+    assert(Dedup.contaminatedTrainIds(docs).as[Long].collect().toSet == Set(201L))
+  }
 }
