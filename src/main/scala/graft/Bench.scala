@@ -28,17 +28,20 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Output layout matters: the driver's BENCH_r{N}.json retains only the
-    // TAIL of this line (r4 kept the last ~2 KB, cutting a front-placed
-    // total and 50 of 114 query timings). So: per-query times rounded to
-    // ms (halves the line), and the total/metadata fields placed at the
-    // END of the object — a truncated capture always retains the total.
+    // Output layout matters: the driver's BENCH_r{N}.json retains only ~2 KB
+    // of this line (r4's capture kept the tail, cutting a front-placed
+    // total; r5's end-placed total survived). Per-query times are rounded
+    // to ms (halves the line), and the total/metadata fields appear at BOTH
+    // ends of the object — whichever end a truncated capture keeps, the
+    // total is in it. Duplicate JSON keys are identical, so any
+    // last-wins/first-wins parser reads the same numbers.
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},""" +
-      s""""unit":"sec","metric":"total","value":${ms(total)}}""")
+    val meta = s""""n_queries":${results.size},"unit":"sec",""" +
+      s""""metric":"total","value":${ms(total)}"""
+    println(s"""{$meta,"queries":$qs,"sf":"$sfDir",$meta}""")
     spark.stop()
   }
 }

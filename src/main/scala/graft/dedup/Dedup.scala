@@ -353,7 +353,10 @@ object Dedup {
       .filter(col("jaccard") >= 0.05)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val vertices = Tables.documents(spark, d).select(col("doc_id").as("id"))
-    graft.graph.Graph.connectedComponents(edges, vertices)
+    // large/small-star CC (O(log n) rounds), not min-label propagation
+    // (O(diameter)): a 100 TB near-dup graph has long drift chains, and
+    // the star rounds also do half the per-round driver actions
+    graft.graph.Graph.connectedComponentsFast(edges, vertices)._1
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("component")
@@ -552,35 +555,20 @@ object Dedup {
     * dfCap) are dropped first — standard practice, and what bounds the
     * gram join at scale (a stopword-ish 8-gram would otherwise fan out
     * quadratically). One explode-join-aggregate; no pairwise scan. */
-  def qContamination(spark: SparkSession, d: String): DataFrame = {
-    val n = 8; val dfCap = 20; val minShared = 3
-    val docs = Tables.documents(spark, d)
-      .withColumn("toks", Text.tokens)
-      .filter(size(col("toks")) >= n)
-    def grams(df: DataFrame, idCol: String) = df
-      .select(col("doc_id").as(idCol),
-        explode(graft.functions.exprs.gramNSetSorted(col("toks"), n)).as("g"))
-    val evalG  = grams(docs.filter(col("source") === "src0"), "eval_doc")
-    val trainG = grams(docs.filter(col("source") =!= "src0"), "train_doc")
-    val rareTrainG = trainG.join(
-      trainG.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
-        .select("g"), "g")
-    evalG.join(rareTrainG, "g")
-      .groupBy("eval_doc", "train_doc")
-      .agg(count(lit(1)).as("shared_grams"))
-      .filter(col("shared_grams") >= minShared)
+  def qContamination(spark: SparkSession, d: String): DataFrame =
+    contaminationPairs(Tables.documents(spark, d))
       .orderBy(col("shared_grams").desc, col("eval_doc"), col("train_doc"))
       .limit(20)
-  }
 
-  /** Training-doc ids flagged as contaminated by [[qContamination]]'s
-    * rule: some eval document shares ≥ `minShared` rare (train-df ≤
-    * `dfCap`) distinct `n`-grams with them. Factored out so the REPORT
-    * (q62) and the ACTION (q119 / [[decontaminate]]) provably apply the
-    * same rule. */
-  def contaminatedTrainIds(docs: DataFrame, n: Int = 8, dfCap: Int = 20,
-                           minShared: Int = 3,
-                           evalSource: String = "src0"): DataFrame = {
+  /** The single gram pipeline behind contamination detection — the REPORT
+    * (q62) and the ACTION (q119 / [[decontaminate]]) are both views over
+    * this one definition, so the rule cannot drift between them. Returns
+    * (eval_doc, train_doc, shared_grams) for every train doc sharing ≥
+    * `minShared` rare (train-df ≤ `dfCap`) distinct `n`-grams with some
+    * eval doc. */
+  def contaminationPairs(docs: DataFrame, n: Int = 8, dfCap: Int = 20,
+                         minShared: Int = 3,
+                         evalSource: String = "src0"): DataFrame = {
     val toks = docs.withColumn("toks", Text.tokens)
       .filter(size(col("toks")) >= n)
     def grams(df: DataFrame, idCol: String) = df
@@ -594,8 +582,14 @@ object Dedup {
       .groupBy("eval_doc", "train_doc")
       .agg(count(lit(1)).as("shared_grams"))
       .filter(col("shared_grams") >= minShared)
-      .select(col("train_doc").as("doc_id")).distinct()
   }
+
+  /** Training-doc ids flagged as contaminated by [[contaminationPairs]]. */
+  def contaminatedTrainIds(docs: DataFrame, n: Int = 8, dfCap: Int = 20,
+                           minShared: Int = 3,
+                           evalSource: String = "src0"): DataFrame =
+    contaminationPairs(docs, n, dfCap, minShared, evalSource)
+      .select(col("train_doc").as("doc_id")).distinct()
 
   /** Eval-set DECONTAMINATION — the action [[qContamination]] only
     * reports (the GPT-3/PaLM appendix-C discipline: before training,

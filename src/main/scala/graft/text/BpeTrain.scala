@@ -131,6 +131,125 @@ object BpeTrain {
     (merges.toSeq, ws)
   }
 
+  /** Top-`m` pairs in sequential tie order — one job, same aggregation as
+    * [[bestPair]] but returning a lookahead window for batched selection. */
+  private def topPairs(ws: Dataset[WordSyms], m: Int): Array[(String, String, Long)] =
+    ws.toDF()
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i + 1] AS r))"))
+        .as("p"))
+      .groupBy(col("p.l"), col("p.r"))
+      .agg(sum(col("freq")).as("c"))
+      .orderBy(col("c").desc, col("l"), col("r"))
+      .limit(m)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+  /** From a sorted lookahead window, the longest prefix batch that is
+    * PROVABLY equivalent to applying the merges one sequential round at a
+    * time. Three facts make the argument:
+    *
+    *   1. merging (l, r) leaves the count of every symbol-disjoint pair
+    *      unchanged (occurrences cannot overlap without a shared symbol);
+    *   2. pairs sharing a symbol with the merge only LOSE occurrences;
+    *   3. every newly created pair (x, lr) / (lr, x) inherits count ≤ some
+    *      pre-merge pair involving l or r.
+    *
+    * So after merging a disjoint prefix q1..qk, the sequential argmax is
+    * q(k+1) provided c(q(k+1)) is STRICTLY above every candidate that
+    * shares a symbol with the batch (2 and 3 bound those, but a tie could
+    * flip on lexicographic order — hence strict) and strictly above the
+    * uncollected tail (bounded by the window's minimum). q1 alone is
+    * always exact (it IS the argmax), so the batch never degenerates below
+    * the one-per-round trainer. */
+  private[graft] def selectBatch(
+      cands: Seq[(String, String, Long)],
+      complete: Boolean = false): Seq[(String, String, Long)] = {
+    if (cands.isEmpty) return Nil
+    // counts strictly above this are provably safe: the first candidate
+    // sharing a symbol with the batch, or — when the window was truncated
+    // (`complete=false`) — the window's minimum standing in for everything
+    // uncollected. A complete, sharer-free window is all-safe: every new
+    // pair inherits its count from a pre-merge sharer, and none exist.
+    val used = scala.collection.mutable.Set.empty[String]
+    val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var bound = if (complete) Long.MinValue else cands.last._3
+    var i = 0
+    var stopped = false
+    while (i < cands.length && !stopped) {
+      val (l, r, c) = cands(i)
+      if (used.contains(l) || used.contains(r)) { bound = c; stopped = true }
+      else { batch += cands(i); used += l; used += r; i += 1 }
+    }
+    val safe = batch.takeWhile(_._3 > bound)
+    if (safe.isEmpty) batch.take(1).toSeq else safe.toSeq
+  }
+
+  /** One-pass application of a symbol-disjoint merge batch: equivalent to
+    * applying each pair's [[mergeOnce]] in rank order, because disjoint
+    * patterns cannot overlap in the symbol stream — so a single greedy
+    * left-to-right scan with a (left → (right, merged)) lookup table
+    * commutes with any application order. */
+  private[graft] def mergeBatch(syms: Seq[String],
+                                table: Map[String, (String, String)]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      val hit = if (i + 1 < syms.length) table.get(syms(i)) else None
+      hit match {
+        case Some((r, merged)) if syms(i + 1) == r => out += merged; i += 2
+        case _                                     => out += syms(i); i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** [[train]] with per-round BATCHED merges: each driver round collects a
+    * `lookahead`-row pair window (same single aggregation job) and applies
+    * every provably-safe merge from it in ONE map pass — cutting the
+    * driver-coordinated round count (the stage-latency bound at toy SF,
+    * and the scheduling-overhead bound on a 1000-executor cluster) by the
+    * average batch size while producing the IDENTICAL merge table
+    * (BpeSpec pins equality with [[train]] merge-for-merge). */
+  def trainBatched(docs: DataFrame, nMerges: Int,
+                   lookahead: Int = 256): (Seq[Merge], Dataset[WordSyms]) = {
+    import docs.sparkSession.implicits._
+    var ws = initWords(docs).persist()
+    var pending: Option[Dataset[WordSyms]] = None
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var round = 0
+    var continue = true
+    while (continue && merges.size < nMerges) {
+      val window = topPairs(ws, lookahead) // materializes ws's cache
+      pending.foreach(_.unpersist())
+      pending = None
+      val batch = selectBatch(window.toSeq, complete = window.length < lookahead)
+        .take(nMerges - merges.size)
+      if (batch.isEmpty) continue = false
+      else {
+        batch.foreach { case (l, r, c) =>
+          merges += Merge(merges.size + 1, l, r, l + r, c)
+        }
+        val table = batch.map { case (l, r, _) => l -> (r, l + r) }.toMap
+        val prev = ws
+        val mapped = prev.map(w => w.copy(syms = mergeBatch(w.syms, table))).persist()
+        round += 1
+        ws = if (round % 4 == 0) {
+          val cp = mapped.localCheckpoint()
+          mapped.unpersist()
+          prev.unpersist()
+          cp
+        } else {
+          pending = Some(prev)
+          mapped
+        }
+      }
+    }
+    pending.foreach { p => ws.count(); p.unpersist() }
+    (merges.toSeq, ws)
+  }
+
   /** Encode a single word with a learned merge table (apply in rank
     * order) — the tokenizer a data loader ships with the vocab. */
   def encode(word: String, merges: Seq[Merge]): Seq[String] =
@@ -167,7 +286,7 @@ object BpeTrain {
     * rounds; BpeSpec pins the hand-computed sequence. */
   def qBpeTrain(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val (merges, ws) = train(Tables.documents(spark, d), nMerges = 12)
+    val (merges, ws) = trainBatched(Tables.documents(spark, d), nMerges = 12)
     val vocabStats = ws.toDF().agg(
       count(lit(1)).as("n_words"),
       sum(size(col("syms")).cast("long")).as("total_symbols"),
@@ -222,7 +341,7 @@ object BpeTrain {
     * fixed data, verified at sf0.001/0.01/0.1). */
   def qBpeEncode(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val (merges, ws) = train(docs, nMerges = 12)
+    val (merges, ws) = trainBatched(docs, nMerges = 12)
     ws.unpersist()
     encodeCorpus(docs, merges)
       .groupBy("source")

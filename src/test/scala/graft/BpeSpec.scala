@@ -53,6 +53,46 @@ class BpeSpec extends SparkSpec {
     assert(enc.map(_.getInt(2)).sum < docs.head().getString(1).count(_.isLetter))
   }
 
+  test("batched trainer reproduces the sequential merge table exactly") {
+    // the real corpus shape: documents table at the smallest SF — natural
+    // tie structure, sharers, and window truncation all exercised
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val (seq_, w1) = BpeTrain.train(docs, nMerges = 20)
+    w1.unpersist()
+    for (lookahead <- Seq(2, 8, 256)) { // tiny windows force the tail bound
+      val (bat, w2) = BpeTrain.trainBatched(docs, nMerges = 20, lookahead)
+      assert(bat == seq_, s"lookahead=$lookahead diverged from sequential")
+      // final vocab state must match too (same merges applied)
+      def symTotal(ws: org.apache.spark.sql.Dataset[BpeTrain.WordSyms]) =
+        ws.toDF().agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.col("syms")))).head().getLong(0)
+      assert(symTotal(w1) == symTotal(w2), "post-merge symbol totals must match")
+      w2.unpersist()
+    }
+  }
+
+  test("selectBatch: safety bounds on hand-built windows") {
+    // disjoint prefix, sharer stops the batch AND bounds trailing ties:
+    // (a,b)=9 safe; (c,d)=7 ties with the sharer (b,x)=7 → trimmed
+    assert(BpeTrain.selectBatch(Seq(("a", "b", 9L), ("c", "d", 7L),
+      ("b", "x", 7L)), complete = true) == Seq(("a", "b", 9L)))
+    // sharer below the accepted counts: both stay
+    assert(BpeTrain.selectBatch(Seq(("a", "b", 9L), ("c", "d", 7L),
+      ("b", "x", 5L)), complete = true) ==
+      Seq(("a", "b", 9L), ("c", "d", 7L)))
+    // truncated window: the tail bound trims members at the window minimum
+    assert(BpeTrain.selectBatch(Seq(("a", "b", 9L), ("c", "d", 7L)),
+      complete = false) == Seq(("a", "b", 9L)))
+    // complete sharer-free window: everything is safe, ties included
+    assert(BpeTrain.selectBatch(Seq(("a", "b", 7L), ("c", "d", 7L)),
+      complete = true) == Seq(("a", "b", 7L), ("c", "d", 7L)))
+    // argmax is always exact: batch never empties even when q2 shares-ties
+    assert(BpeTrain.selectBatch(Seq(("a", "b", 7L), ("b", "c", 7L)),
+      complete = true) == Seq(("a", "b", 7L)))
+  }
+
   test("encode round trip: learned merges tokenize seen and unseen words") {
     val docs = Seq(
       ("hug " * 10) + ("pug " * 5) + ("pun " * 12) + ("bun " * 4) + ("hugs " * 5)

@@ -59,6 +59,8 @@ TYPICAL = {
     "q68_boilerplate": 1.2,       # gram expansion + per-lang window top-k
     "q82_regional_revenue": 1.1,  # six-table broadcast chain
     "q62_contamination": 1.2,
+    "q119_decontaminate": 1.3,    # q62's gram workload + the kept/dropped
+                                  # rollup — budget with q62, not DEFAULT
     "q29_tf_idf": 1.0,
     "q46_ivf_ann": 1.0,           # k-means training jobs
     "q102_bm25": 1.1,
