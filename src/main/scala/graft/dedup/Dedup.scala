@@ -216,13 +216,32 @@ object Dedup {
     * instead of the 62M of source-only blocking. int/int → double division
     * keeps the score bitwise cross-engine. */
   def qNgramJaccard(spark: SparkSession, d: String): DataFrame =
-    jaccardPairs(spark, d)
+    nearDupPairs(spark, d)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
-  /** All within-block Jaccard pairs (doc_a, doc_b, jaccard) — the shared
-    * pair generator behind q31 (top-20) and q73 (thresholded near-dup
-    * graph). */
+  /** The shared near-dup pair generator behind q31 (top-20), q73
+    * (cluster graph) and q81 (edit-distance verify): ALL pairs with
+    * shingle Jaccard ≥ 0.05, via the lossless prefix-filter join
+    * ([[similarityJoin]]). Replaced the blocked [[jaccardPairs]] in
+    * round 6 for two measured reasons: (1) the fixed-cardinality
+    * blocking keys make block sizes grow with the corpus — the blocked
+    * join went quadratic at sf1 (33× time for 10× docs) where this join
+    * stays sub-linear per pair (2.9 s → 6.0 s for 10× docs / 10× pairs);
+    * (2) blocking on `n_chars div 100` is LOSSY for near-dups of
+    * different lengths — at sf0.1 it surfaced 6 of the 590 true τ ≥ 0.05
+    * pairs. DedupSpec pins the subset relation. */
+  def nearDupPairs(spark: SparkSession, d: String): DataFrame =
+    similarityJoin(Tables.documents(spark, d), tauNum = 1, tauDen = 20)
+
+  /** All within-block Jaccard pairs (doc_a, doc_b, jaccard) — the
+    * BLOCKED teaching baseline (block keys: source, lang, length
+    * bucket). Kept as the classic blocking+verify shape and as the
+    * bounded-cost twin, NOT as the production pair generator: its block
+    * count is fixed, so blocks grow linearly with the corpus and the
+    * within-block join quadratically (measured 33× at a 10× scale-up),
+    * and length-bucket blocking misses cross-bucket near-dups (6 of 590
+    * true pairs at sf0.1). [[nearDupPairs]] is the lossless replacement. */
   def jaccardPairs(spark: SparkSession, d: String): DataFrame = {
     // Shingle sets are sorted 64-bit hash arrays built by one kernel call
     // (Gram3SetSorted); pairwise |A∩B| is one linear merge
@@ -349,8 +368,7 @@ object Dedup {
     * (component = min doc_id in cluster, n_docs). Oracle: DuckDB
     * WITH RECURSIVE over the identical pair set. */
   def qDedupClusters(spark: SparkSession, d: String): DataFrame = {
-    val edges = jaccardPairs(spark, d)
-      .filter(col("jaccard") >= 0.05)
+    val edges = nearDupPairs(spark, d)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val vertices = Tables.documents(spark, d).select(col("doc_id").as("id"))
     // large/small-star CC (O(log n) rounds), not min-label propagation
@@ -371,7 +389,7 @@ object Dedup {
     * corpus. */
   def qEditDistance(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d).select("doc_id", "text")
-    val top = jaccardPairs(spark, d)
+    val top = nearDupPairs(spark, d)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(10)
     top
@@ -872,37 +890,35 @@ object Dedup {
     "q30_dedup_exact" -> """
       SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct
       FROM documents GROUP BY lang ORDER BY lang""",
+    // q31/q73/q81 share the q103 all-pairs CTE at τ = 1/20, with the
+    // threshold in INTEGER math (20·inter ≥ union) exactly like the
+    // Spark-side prefix-filter verify — a double `>= 0.05` could flip on
+    // ties for τ values without exact binary representation.
     "q31_ngram_jaccard" -> s"""
       WITH sh AS (
-        SELECT doc_id, source, lang, n_chars // 100 AS len_bucket,
-               $duckShinglesSql AS shingles
-        FROM (SELECT doc_id, source, lang, n_chars, ${Text.duckTokens} AS toks
-              FROM documents)
-        WHERE len($duckShinglesSql) > 0),
+        SELECT doc_id, $duckShinglesSql AS shingles
+        FROM (SELECT doc_id, ${Text.duckTokens} AS toks FROM documents)
+        WHERE len(toks) >= 3),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / (len(a.shingles) + len(b.shingles)
-                    - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-        FROM sh a JOIN sh b
-          ON a.source = b.source AND a.lang = b.lang
-         AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
-      SELECT * FROM pairs ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+               len(list_intersect(a.shingles, b.shingles)) AS inter,
+               len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)) AS un
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / un AS jaccard
+      FROM pairs WHERE 20 * inter >= un
+      ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
     "q73_dedup_clusters" -> s"""
       WITH RECURSIVE sh AS (
-        SELECT doc_id, source, lang, n_chars // 100 AS len_bucket,
-               $duckShinglesSql AS shingles
-        FROM (SELECT doc_id, source, lang, n_chars, ${Text.duckTokens} AS toks
-              FROM documents)
-        WHERE len($duckShinglesSql) > 0),
+        SELECT doc_id, $duckShinglesSql AS shingles
+        FROM (SELECT doc_id, ${Text.duckTokens} AS toks FROM documents)
+        WHERE len(toks) >= 3),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a JOIN sh b
-          ON a.source = b.source AND a.lang = b.lang
-         AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / (len(a.shingles) + len(b.shingles)
-                    - len(list_intersect(a.shingles, b.shingles))) >= 0.05),
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE 20 * len(list_intersect(a.shingles, b.shingles)) >=
+              len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))),
       e2 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
              UNION SELECT doc_b, doc_a FROM pairs),
       cc AS (
@@ -914,21 +930,21 @@ object Dedup {
       FROM comp GROUP BY component ORDER BY component""",
     "q81_edit_distance" -> s"""
       WITH sh AS (
-        SELECT doc_id, source, lang, n_chars // 100 AS len_bucket,
-               $duckShinglesSql AS shingles
-        FROM (SELECT doc_id, source, lang, n_chars, ${Text.duckTokens} AS toks
-              FROM documents)
-        WHERE len($duckShinglesSql) > 0),
+        SELECT doc_id, $duckShinglesSql AS shingles
+        FROM (SELECT doc_id, ${Text.duckTokens} AS toks FROM documents)
+        WHERE len(toks) >= 3),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / (len(a.shingles) + len(b.shingles)
-                    - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-        FROM sh a JOIN sh b
-          ON a.source = b.source AND a.lang = b.lang
-         AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id),
+               len(list_intersect(a.shingles, b.shingles)) AS inter,
+               len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)) AS un
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      thresholded AS (
+        SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / un AS jaccard
+        FROM pairs WHERE 20 * inter >= un),
       top AS (
-        SELECT * FROM pairs ORDER BY jaccard DESC, doc_a, doc_b LIMIT 10)
+        SELECT * FROM thresholded
+        ORDER BY jaccard DESC, doc_a, doc_b LIMIT 10)
       SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard,
              CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
              CAST(GREATEST(length(da.text), length(db.text)) AS INT) AS max_len

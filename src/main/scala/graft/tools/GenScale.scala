@@ -1,0 +1,118 @@
+package graft.tools
+
+import graft.Sessions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× scale-up of a testdata directory — the measurement rig
+  * behind BENCHMARKS.md's scaling table (sf0.1 → sf1), NOT part of the
+  * query library. The driver's generator is read-only to us, so a 10×
+  * corpus is derived from the sf0.1 tables under invariants that keep
+  * every registered query's work honest at the new scale:
+  *
+  *  - **Relational tables** replicate with per-copy KEY OFFSETS
+  *    (`key + copy * (max+1)`), so FK joins stay 1:N with the original
+  *    fan-out — join/agg output cardinality scales linearly, never
+  *    quadratically. Fixed dimensions (region, nation) stay fixed, as in
+  *    TPC-H. Copy 0 is identical to the source ⇒ sf0.1 ⊂ sf1.
+  *  - **documents** replicate with every `[a-z]+` token suffixed by a
+  *    copy-specific letters-only salt ("zz" + letter — survives the
+  *    `[^a-z]+` tokenizer as part of the token). Within a copy all
+  *    token-level structure (exact-dup groups, near-dup Jaccard, gram
+  *    df, BPE pair stats' shape) is preserved exactly; across copies the
+  *    token vocabularies are DISJOINT, so no cross-copy near-dup pairs
+  *    appear and dedup/contamination workloads scale linearly instead of
+  *    quadratically in the copy count. (Naive replication would hand
+  *    every doc 9 exact duplicates and inflate pair counts ~45×.)
+  *  - **embeddings** replicate under a per-copy ORTHOGONAL transform
+  *    (coordinate permutation + sign flips, seeded by the copy index):
+  *    within-copy inner products — hence every cosine/KNN/ANN result
+  *    structure — are preserved exactly in real arithmetic, while a
+  *    vector and its rotated twin land near cosine 0 (|cos| ≳ 0.9 has
+  *    vanishing probability at dim 64), so near-dup pair lists scale
+  *    linearly.
+  *  - **events** replicate with offset event/user ids into the SAME time
+  *    range: 10× the event density per window, which is what a 10×
+  *    traffic scale-up looks like to windowed/sessionized queries.
+  *
+  * Usage: runMain graft.tools.GenScale [srcDir] [outDir] [factor]
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "localdata/sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = Sessions.local("graft-genscale")
+
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    // fixed dims: verbatim
+    for (t <- Seq("region", "nation")) write(read(t), t, 1)
+
+    /** union of `factor` per-copy projections; copy 0 is the original */
+    def replicate(df: DataFrame)(project: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => project(df, i)).reduce(_.unionAll(_))
+
+    /** key + copy * (max+1): disjoint copies, FK integrity intact */
+    def rep(t: String, keys: Seq[String], parts: Int): Unit = {
+      val df = read(t)
+      val offs = keys.map(k => k -> (df.agg(max(col(k).cast("long"))).head().getLong(0) + 1L)).toMap
+      val scaled = replicate(df) { (d, i) =>
+        d.select(d.columns.map { c =>
+          if (offs.contains(c)) (col(c).cast("long") + lit(i.toLong * offs(c))).as(c)
+          else col(c)
+        }.toIndexedSeq: _*)
+      }
+      write(scaled, t, parts)
+    }
+
+    rep("customer", Seq("c_custkey"), 4)
+    rep("supplier", Seq("s_suppkey"), 1)
+    rep("part", Seq("p_partkey"), 4)
+    rep("orders", Seq("o_orderkey", "o_custkey"), 8)
+    rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 16)
+    rep("events", Seq("event_id", "user_id"), 8)
+
+    // documents: token-salted replication (copy 0 unsalted)
+    val docs = read("documents")
+    val maxDoc = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0) + 1L
+    val docsOut = replicate(docs) { (d, i) =>
+      val text: Column =
+        if (i == 0) col("text")
+        else regexp_replace(col("text"), "([a-z]+)", "$1zz" + ('a' + i - 1).toChar)
+      d.select(
+        (col("doc_id") + lit(i * maxDoc)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
+    }
+    write(docsOut, "documents", 8)
+
+    // embeddings: per-copy orthogonal transform (permutation + sign flip)
+    val emb = read("embeddings")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val maxVec = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) + 1L
+    val embOut = replicate(emb) { (d, i) =>
+      val vec: Column =
+        if (i == 0) col("embedding")
+        else {
+          val rnd = new scala.util.Random(0xC0FFEE + i)
+          val perm = rnd.shuffle((0 until dim).toVector)
+          val sign = Vector.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+          array((0 until dim).map { j =>
+            (lit(sign(j)) * col("embedding").getItem(perm(j))).cast("float")
+          }: _*)
+        }
+      d.select((col("vec_id") + lit(i * maxVec)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    }
+    write(embOut, "embeddings", 2)
+
+    val counts = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+      .map(t => t -> spark.read.parquet(s"$out/$t.parquet").count())
+    counts.foreach { case (t, n) => println(s"GENSCALE $t rows=$n") }
+    spark.stop()
+  }
+}

@@ -17,6 +17,21 @@ class DedupSpec extends SparkSpec {
     (103L, "unrelated musings on alpine hiking trails and mountain weather patterns"))
     .toDF("doc_id", "text")
 
+  test("blocked jaccardPairs baseline ⊆ lossless nearDupPairs on real data") {
+    // the round-6 finding pinned: length-bucket blocking is LOSSY (a
+    // near-dup pair spanning two n_chars buckets never meets), so the
+    // blocked baseline must be a strict subset of the prefix-filter join
+    // on any corpus where such pairs exist; never a superset anywhere
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = pairs(Dedup.jaccardPairs(spark, sf).filter(col("jaccard") >= 0.05))
+    val lossless = pairs(Dedup.nearDupPairs(spark, sf))
+    assert(blocked.subsetOf(lossless),
+      s"blocked baseline produced pairs the lossless join missed: ${blocked -- lossless}")
+    assert(lossless.nonEmpty, "corpus should contain near-dup pairs")
+  }
+
   test("minhash LSH recalls planted near-duplicates") {
     val cands = Dedup.lshCandidates(Dedup.minhashSignatures(planted))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -134,6 +134,81 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("tolerant CSV ingest: clean + quarantined == input lines, rejects verbatim") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("name", StringType), StructField("val", DoubleType)))
+    val valid = Gen.zip(Gen.chooseNum(0, 999), Gen.alphaStr.map(_.take(8)),
+      Gen.chooseNum(-999, 999)).map { case (i, s, v) => s"$i,$s,${v / 10.0}" }
+    val mangled = Gen.oneOf(
+      valid.map(_ + ",extra,cols"),                  // arity overflow
+      Gen.alphaStr.map(s => s"notanint,${s.take(6)},1.5"), // type mismatch
+      Gen.alphaStr.map(s => "7,\"" + s.take(4) + "\"x\",2.0"), // nested quote
+      Gen.const("3,\"unterminated quote,9.9"),       // truncated quoted field
+      Gen.alphaStr.map(s => s"4,﻿${s.take(4)},0.5"), // mid-field BOM
+      Gen.const("5,short"))                          // arity underflow
+    val lineGen = Gen.listOfN(40, Gen.frequency(3 -> valid, 2 -> mangled))
+    val dir = new java.io.File("target/tmp/prop_quarantine")
+    for ((data, i) <- samples(lineGen, 8).zipWithIndex) {
+      val lines = "id,name,val" :: data
+      val f = new java.io.File(dir, s"csv_$i"); f.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f.getPath, "part.csv"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      val df = graft.sources.IO.csvTolerant(spark, f.getPath, schema).cache()
+      try {
+        val clean = df.filter(col("_corrupt").isNull).count()
+        val quarantined = df.filter(col("_corrupt").isNotNull)
+          .select("_corrupt").collect().map(_.getString(0))
+        // conservation: the reader never drops or invents a record
+        assert(clean + quarantined.length == data.length,
+          s"sample $i: $clean clean + ${quarantined.length} quarantined != ${data.length}")
+        // fidelity: every quarantined record is an input line VERBATIM —
+        // replayable bytes, not a parser's lossy rendition
+        val inputCounts = data.groupBy(identity).view.mapValues(_.size).toMap
+        quarantined.groupBy(identity).foreach { case (line, hits) =>
+          assert(inputCounts.getOrElse(line, 0) >= hits.size,
+            s"sample $i: quarantined line not verbatim in input: <$line>")
+        }
+      } finally { df.unpersist(); () }
+    }
+  }
+
+  test("tolerant JSON ingest: same conservation + verbatim contract") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val valid = Gen.zip(Gen.chooseNum(0L, 999L), Gen.alphaStr.map(_.take(8)))
+      .map { case (i, s) => s"""{"id": $i, "name": "$s"}""" }
+    val mangled = Gen.oneOf(
+      Gen.alphaStr.map(s => s"""{"id": "${s.take(4)}x", "name": "y"}"""), // type clash
+      valid.map(_.dropRight(1)),                     // truncated object
+      valid.map(_ + "}}"),                           // trailing garbage
+      Gen.const("""{"id": 1 "name": missingcomma}"""),
+      Gen.const("not json at all"))
+    val lineGen = Gen.listOfN(40, Gen.frequency(3 -> valid, 2 -> mangled))
+    val dir = new java.io.File("target/tmp/prop_quarantine")
+    for ((data, i) <- samples(lineGen, 8).zipWithIndex) {
+      val f = new java.io.File(dir, s"json_$i"); f.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f.getPath, "part.json"),
+        data.mkString("\n").getBytes("UTF-8"))
+      val df = graft.sources.IO.jsonTolerant(spark, f.getPath, schema).cache()
+      try {
+        val clean = df.filter(col("_corrupt").isNull).count()
+        val quarantined = df.filter(col("_corrupt").isNotNull)
+          .select("_corrupt").collect().map(_.getString(0))
+        assert(clean + quarantined.length == data.length,
+          s"sample $i: $clean + ${quarantined.length} != ${data.length}")
+        val inputCounts = data.groupBy(identity).view.mapValues(_.size).toMap
+        quarantined.groupBy(identity).foreach { case (line, hits) =>
+          assert(inputCounts.getOrElse(line, 0) >= hits.size,
+            s"sample $i: quarantined line not verbatim in input: <$line>")
+        }
+      } finally { df.unpersist(); () }
+    }
+  }
+
   test("round-trip: parquet write/read preserves any (string,double) rows") {
     val rows = Gen.nonEmptyListOf(
       Gen.zip(Gen.alphaNumStr.map(_.take(12)), Gen.chooseNum(-1000000, 1000000).map(_ / 7.0)))

@@ -30,7 +30,13 @@ TYPICAL = {
     "q112_bpe_encode": 4.5,       # q108's rounds plus a map-only re-encode
     "q39_media_features": 1.8,    # real PNG+WAV+GIF decode of every payload
     "q69_approx_quantiles": 2.0,  # sketch + exact + rank-audit join
-    "q73_dedup_clusters": 2.0,    # q31's pair join + iterative CC rounds
+    # r6: q31/q73/q81 moved off the lossy blocked pair join onto the full
+    # lossless prefix-filter join at tau=1/20 (the q103 workload) — the
+    # blocked baseline found 6 of 590 true pairs at sf0.1 and went
+    # quadratic at sf1. Deliberate work-add, the q59 precedent.
+    "q31_ngram_jaccard": 3.6,
+    "q73_dedup_clusters": 7.0,    # lossless pair join + star-CC rounds
+    "q81_edit_distance": 3.6,
     "q89_pagerank": 1.5,          # 10 chained iterations, stage-latency
     "q104_pq_ann": 3.0,           # k-means jobs + 256-kernel encode
                                   # (codegen compile dominates at toy SF)
