@@ -247,6 +247,10 @@ object BpeTrain {
       }
     }
     pending.foreach { p => ws.count(); p.unpersist() }
+    // operational visibility (stderr — Bench's stdout stays one JSON line):
+    // rounds ≪ merges is the point of batching; rounds == merges means the
+    // window degenerated to one safe merge per round on this corpus
+    System.err.println(s"BPE_TRAIN_BATCHED rounds=$round merges=${merges.size}")
     (merges.toSeq, ws)
   }
 
@@ -309,7 +313,14 @@ object BpeTrain {
     * the train→apply loop. The merge table is tiny (it's the model);
     * it rides into every task as a closure (at a real vocab size,
     * `sparkContext.broadcast` — same shape), and encoding is a map-only
-    * pass: no shuffle until the output aggregation. */
+    * pass: no shuffle until the output aggregation.
+    *
+    * Each task MEMOIZES word → encoding: token occurrences repeat words
+    * with corpus/vocab ≫ 1 (Zipf — "the" alone is ~5% of English tokens),
+    * so the 12-pass merge fold runs once per distinct word per partition,
+    * not once per occurrence, while the output stays per-occurrence and
+    * the pass stays shuffle-free (the alternative — joining occurrences
+    * against a pre-encoded vocab table — costs a corpus-wide shuffle). */
   def encodeCorpus(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -317,14 +328,18 @@ object BpeTrain {
     docs.select(col("doc_id"), col("source"), explode(Text.tokens).as("word"))
       .as[(Long, String, String)]
       .mapPartitions { rows =>
+        val memo = scala.collection.mutable.HashMap.empty[String, (Int, Boolean)]
         rows.map { case (id, src, w) =>
-          val subs = table.foldLeft(w.map(_.toString): Seq[String]) {
-            (syms, m) => mergeOnce(syms, m._1, m._2)
-          }
-          // roundtrip: merge application only ever concatenates adjacent
-          // symbols, so the subwords must spell the word back exactly — a
-          // dropped/duplicated symbol in the apply loop breaks this
-          (id, src, subs.length, w.length, subs.mkString == w)
+          val (nSubs, ok) = memo.getOrElseUpdate(w, {
+            val subs = table.foldLeft(w.map(_.toString): Seq[String]) {
+              (syms, m) => mergeOnce(syms, m._1, m._2)
+            }
+            // roundtrip: merge application only ever concatenates adjacent
+            // symbols, so the subwords must spell the word back exactly — a
+            // dropped/duplicated symbol in the apply loop breaks this
+            (subs.length, subs.mkString == w)
+          })
+          (id, src, nSubs, w.length, ok)
         }
       }
       .toDF("doc_id", "source", "n_subwords", "n_chars", "roundtrip_ok")
@@ -339,16 +354,42 @@ object BpeTrain {
     * actually compress (n_words ≤ n_subwords < n_chars; strict, because
     * at least one learned merge fires in every source — deterministic for
     * fixed data, verified at sf0.001/0.01/0.1). */
+  /** q112's aggregate report needs no per-occurrence rows, so it encodes
+    * at VOCABULARY scale: aggregate occurrences to (source, word, cnt)
+    * first — the map-side partial agg shrinks the corpus to ≤ |sources| ×
+    * |vocab| rows BEFORE any expensive work — then run the merge fold once
+    * per distinct (source, word) and weight the totals by cnt. Same
+    * numbers as encoding every occurrence (counts distribute over
+    * duplicates), measured ~2× faster at sf0.1 and widening with corpus /
+    * vocab; [[encodeCorpus]] remains the per-occurrence path a data
+    * loader materializes. */
   def qBpeEncode(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     val (merges, ws) = trainBatched(docs, nMerges = 12)
     ws.unpersist()
-    encodeCorpus(docs, merges)
+    import spark.implicits._
+    val table = merges.sortBy(_.rank).map(m => (m.left, m.right)).toIndexedSeq
+    docs.select(col("source"), explode(Text.tokens).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      .as[(String, String, Long)]
+      .mapPartitions { rows =>
+        val memo = scala.collection.mutable.HashMap.empty[String, (Int, Boolean)]
+        rows.map { case (src, w, cnt) =>
+          val (nSubs, ok) = memo.getOrElseUpdate(w, {
+            val subs = table.foldLeft(w.map(_.toString): Seq[String]) {
+              (syms, m) => mergeOnce(syms, m._1, m._2)
+            }
+            (subs.length, subs.mkString == w)
+          })
+          (src, cnt, cnt * w.length, cnt * nSubs, ok)
+        }
+      }
+      .toDF("source", "cnt", "chars", "subwords", "ok")
       .groupBy("source")
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("n_chars").cast("long")).as("n_chars"),
-        sum(col("n_subwords").cast("long")).as("n_subwords"),
-        min(col("roundtrip_ok")).as("all_roundtrip_ok"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("subwords")).as("n_subwords"),
+        min(col("ok")).as("all_roundtrip_ok"))
       .select(col("source"), col("n_words"), col("n_chars"),
         (col("n_words") <= col("n_subwords") &&
           col("n_subwords") < col("n_chars")).as("compressed"),

@@ -25,9 +25,11 @@ import sys
 TYPICAL = {
     "q07_selfjoin_2hop": 2.4,     # slowest core query; see BENCHMARKS.md
     "q103_simjoin_prefix": 2.1,   # df window + prefix join + verify join
-    "q108_bpe_train": 3.7,        # 12 driver-coordinated rounds: stage-
-                                  # latency bound, not data bound
-    "q112_bpe_encode": 4.5,       # q108's rounds plus a map-only re-encode
+    "q108_bpe_train": 3.0,        # 8 driver-coordinated batched rounds:
+                                  # stage-latency bound, not data bound
+    "q112_bpe_encode": 3.0,       # q108's rounds plus the vocab-scale
+                                  # encode (r6: was 4.5 when the encode ran
+                                  # per occurrence; now aggregate-first)
     "q39_media_features": 1.8,    # real PNG+WAV+GIF decode of every payload
     "q69_approx_quantiles": 2.0,  # sketch + exact + rank-audit join
     # r6: q31/q73/q81 moved off the lossy blocked pair join onto the full
