@@ -44,6 +44,16 @@ object GenScale {
     val out = if (args.length > 1) args(1) else "localdata/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
     val spark = Sessions.local("graft-genscale")
+    val counts = scale(spark, src, out, factor)
+    counts.foreach { case (t, n) => println(s"GENSCALE $t rows=$n") }
+    spark.stop()
+  }
+
+  /** Derive a `factor`× copy of testdata dir `src` into `out`; returns
+    * per-table row counts. Separated from [[main]] so ScaleLawSpec can run
+    * the scaler inside the shared test session (main stops its session). */
+  def scale(spark: org.apache.spark.sql.SparkSession, src: String, out: String,
+            factor: Int): Seq[(String, Long)] = {
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String, parts: Int): Unit =
@@ -109,10 +119,8 @@ object GenScale {
     }
     write(embOut, "embeddings", 2)
 
-    val counts = Seq("region", "nation", "customer", "supplier", "part",
+    Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
       .map(t => t -> spark.read.parquet(s"$out/$t.parquet").count())
-    counts.foreach { case (t, n) => println(s"GENSCALE $t rows=$n") }
-    spark.stop()
   }
 }
