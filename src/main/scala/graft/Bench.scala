@@ -11,15 +11,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Spill, don't die: by default SMJ/cartesian buffer all rows of one
+      // join key on-heap (ExternalAppendOnlyUnsafeRowArray stays an
+      // ArrayBuffer until this row threshold), so one hot key at a big sf
+      // is an executor OOM — seen at sf10, stage-1030 smj_findNextJoinRows.
+      // Past the threshold the buffer becomes an UnsafeExternalSorter,
+      // which spills under memory pressure. Same setting in Sessions.local.
+      .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "65536")
+      .config("spark.sql.cartesianProductExec.buffer.in.memory.threshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup pass: JIT + codegen compilation + parquet footer caches. The
     // timed pass then measures steady-state query compute, which is what a
-    // long-lived cluster session sees.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // long-lived cluster session sees. Progress goes to stderr so a JVM
+    // death (OOM → SparkUncaughtExceptionHandler exits) names its query.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      System.err.println(s"BENCH_WARM $name")
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      System.err.println(s"BENCH_RUN $name")
       val t0 = System.nanoTime()
       // stdout stays a single JSON line; failures go to stderr so a broken
       // query is visible instead of silently benching as wall-clock-to-throw

@@ -24,6 +24,15 @@ object Sessions {
       // read them as UTC instants (TIMESTAMP), not TIMESTAMP_NTZ, so
       // unix_micros/window arithmetic and the DuckDB oracle line up
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // One hot join key must spill, not OOM: SMJ/cartesian buffer a key's
+      // whole match group on-heap (plain ArrayBuffer) until this row count,
+      // only then switching to a spillable UnsafeExternalSorter. The
+      // default threshold is effectively infinite, which at sf10 turned a
+      // skewed gram join into an executor OOM. 64k rows ≈ single-digit MB
+      // for our widest buffered rows — negligible for normal keys, disk
+      // (not heap) for pathological ones.
+      .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "65536")
+      .config("spark.sql.cartesianProductExec.buffer.in.memory.threshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -2,25 +2,71 @@ package graft.tools
 
 import graft.{Sessions, SparkEntry}
 
-/** Ad-hoc timing probe: run the NAMED registry queries against a testdata
-  * dir, once warm + once timed, printing per-query seconds — the rig for
-  * isolating one query's regression without paying a full Bench pass.
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Ad-hoc probe: run the NAMED registry queries against a testdata dir,
+  * once warm + once timed, printing per-query seconds PLUS the task-metric
+  * totals that actually pin a query's scale behavior — shuffle read/write
+  * bytes, spill, and input bytes. Wall time on a shared box swings ±2.5×
+  * (BENCHMARKS.md), but shuffle BYTES are deterministic for a fixed plan
+  * and dataset, so "does work grow linearly in sf?" is answered here, not
+  * by the clock. The rig for isolating one query's regression or scaling
+  * law without paying a full Bench pass.
   *
   * Usage: runMain graft.tools.QueryProbe <sfDir> q108_bpe_train[,q112...] [reps]
   */
 object QueryProbe {
+
+  /** Sums task metrics across all tasks between resets. Queries run
+    * sequentially on the driver thread but task-end events arrive on the
+    * listener bus thread, so counters synchronize on the instance. */
+  final class TaskMetricsListener extends SparkListener {
+    var shuffleRead, shuffleWrite, spillDisk, spillMem, input, tasks = 0L
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
+      val m = e.taskMetrics
+      if (m != null) {
+        shuffleRead += m.shuffleReadMetrics.totalBytesRead
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        spillDisk += m.diskBytesSpilled
+        spillMem += m.memoryBytesSpilled
+        input += m.inputMetrics.bytesRead
+        tasks += 1
+      }
+    }
+    def reset(): Unit = synchronized {
+      shuffleRead = 0; shuffleWrite = 0; spillDisk = 0; spillMem = 0
+      input = 0; tasks = 0
+    }
+    def line: String = synchronized {
+      f"tasks=$tasks shuffle_rd=$shuffleRead shuffle_wr=$shuffleWrite " +
+        f"input=$input spill_mem=$spillMem spill_disk=$spillDisk"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.lift(1).map(_.split(",").toSeq)
       .getOrElse(Seq("q108_bpe_train", "q112_bpe_encode"))
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
     val spark = Sessions.local("graft-probe")
+    val metrics = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     for (n <- names) {
       val fn = SparkEntry.queries(n)
       for (r <- 1 to reps) {
+        metrics.reset()
         val t0 = System.nanoTime()
         val cnt = fn(spark, d).count()
-        println(f"PROBE $n rep=$r rows=$cnt sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener bus is async (and its waitUntilEmpty is private[spark]);
+        // poll until the task counter stops moving before reading totals
+        var last = -1L
+        var cur = metrics.synchronized(metrics.tasks)
+        while (cur != last) {
+          last = cur; Thread.sleep(150)
+          cur = metrics.synchronized(metrics.tasks)
+        }
+        println(f"PROBE $n rep=$r rows=$cnt sec=$sec%.2f ${metrics.line}")
       }
     }
     spark.stop()
