@@ -12,10 +12,18 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def local(appName: String = "graft",
             cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
+    // Shuffle partitions default to the core count (right at test SFs,
+    // where per-partition payloads are tiny), overridable by env for
+    // bigger local corpora. The CLUSTER rule this knob stands in for:
+    // partition count scales with shuffle VOLUME (target ≲ a few hundred
+    // MB/partition), not with core count — at sf10 the pinned 32 made
+    // per-partition sort payloads 10× sf1's and pushed the heavy joins
+    // into spill (measured in BENCHMARKS.md's second-decade table).
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores.toString)
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

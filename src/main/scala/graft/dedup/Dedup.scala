@@ -327,6 +327,45 @@ object Dedup {
       // re-evaluates it per candidate pair
       .repartition(col("doc_id"))
     val posting = sets.select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
+    // Two exact regimes, dispatched on τ (both return the identical pair
+    // set — DedupSpec pins each against brute force):
+    //
+    //  - LOW τ (≤ 1/4) → POSTING-COUNT verification. At small τ the
+    //    prefix is nearly the whole set (1 − τ + 1/n of it), so prefix
+    //    filtering prunes almost nothing while the array-shipping verify
+    //    attaches both docs' full ~n-long hash arrays to EVERY candidate
+    //    row. Measured at the sf1→sf10 decade (10× docs, candidate count
+    //    itself linear at 11.8×): per-candidate array shipping grew
+    //    shuffle write 158× (88 MB → 13.9 GB compressed) with 50 GB of
+    //    SMJ spill — wall 5.5 s → 160 s. The count plan never touches an
+    //    array after the explode: |A∩B| is the COUNT of posting rows the
+    //    pair shares, one posting self-join + one partial-agg'd groupBy
+    //    over 16-byte pair rows (Vernica et al., SIGMOD'10 shape), and
+    //    J = inter / (n_a + n_b − inter) needs only the carried set
+    //    sizes. Work is Σ_g df(g)² pair rows — at τ this low the prefix
+    //    join's candidate set costs the same Σ over ~95% of postings, so
+    //    skipping the df window + rarity sort is strictly less work.
+    //  - HIGH τ → PREFIX-FILTER + array verify (Chaudhuri/PPJoin, below):
+    //    prefixes shrink to (1−τ)·n + 1 grams, candidates collapse to
+    //    near-true pairs, and the per-candidate linear merge verify is
+    //    cheap precisely because there are few candidates. The count
+    //    plan would still pay the FULL Σ_g df(g)² join regardless of τ.
+    if (tauNum * 4 <= tauDen) {
+      return posting.as("a").join(posting.as("b"),
+          col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          // size-ratio prune (J ≥ τ ⇒ τ·|larger| ≤ |smaller|), integer math
+          col("a.n") * lit(tauDen) >= col("b.n") * lit(tauNum) &&
+          col("b.n") * lit(tauDen) >= col("a.n") * lit(tauNum))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter") * lit(tauDen) >=
+          (col("n_a") + col("n_b") - col("inter")) * lit(tauNum))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")))
+        .select("doc_a", "doc_b", "jaccard")
+    }
     val dfreq = posting.groupBy("g").agg(count(lit(1)).as("df"))
     val prefix = posting.join(dfreq, "g")
       .withColumn("pos", row_number().over(

@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.{Sessions, SparkEntry}
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 
 /** Ad-hoc probe: run the NAMED registry queries against a testdata dir,
   * once warm + once timed, printing per-query seconds PLUS the task-metric
@@ -22,6 +22,17 @@ object QueryProbe {
     * listener bus thread, so counters synchronize on the instance. */
   final class TaskMetricsListener extends SparkListener {
     var shuffleRead, shuffleWrite, spillDisk, spillMem, input, tasks = 0L
+    /** (stageId, name-head, wall ms, Σ task cpu ms, Σ task run ms, ntasks) —
+      * per-stage attribution: a query slow with tiny shuffle is diagnosed
+      * here (which STAGE burns the time, and is it cpu or scheduling). */
+    val stages = scala.collection.mutable.ArrayBuffer.empty[String]
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = synchronized {
+      val si = e.stageInfo
+      val wall = (for {a <- si.completionTime; b <- si.submissionTime} yield a - b).getOrElse(-1L)
+      val cpuMs = si.taskMetrics.executorCpuTime / 1000000
+      val runMs = si.taskMetrics.executorRunTime
+      stages += f"    stage=${si.stageId}%-4d wall=${wall}ms cpu=${cpuMs}ms run=${runMs}ms tasks=${si.numTasks} ${si.name.takeWhile(_ != '\n').take(60)}"
+    }
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
       val m = e.taskMetrics
       if (m != null) {
@@ -35,7 +46,7 @@ object QueryProbe {
     }
     def reset(): Unit = synchronized {
       shuffleRead = 0; shuffleWrite = 0; spillDisk = 0; spillMem = 0
-      input = 0; tasks = 0
+      input = 0; tasks = 0; stages.clear()
     }
     def line: String = synchronized {
       f"tasks=$tasks shuffle_rd=$shuffleRead shuffle_wr=$shuffleWrite " +
@@ -67,6 +78,8 @@ object QueryProbe {
           cur = metrics.synchronized(metrics.tasks)
         }
         println(f"PROBE $n rep=$r rows=$cnt sec=$sec%.2f ${metrics.line}")
+        if (sys.env.contains("SPARK_GRAFT_PROBE_STAGES"))
+          metrics.synchronized(metrics.stages.foreach(println))
       }
     }
     spark.stop()

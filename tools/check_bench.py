@@ -32,13 +32,13 @@ TYPICAL = {
                                   # per occurrence; now aggregate-first)
     "q39_media_features": 1.8,    # real PNG+WAV+GIF decode of every payload
     "q69_approx_quantiles": 2.0,  # sketch + exact + rank-audit join
-    # r6: q31/q73/q81 moved off the lossy blocked pair join onto the full
-    # lossless prefix-filter join at tau=1/20 (the q103 workload) — the
-    # blocked baseline found 6 of 590 true pairs at sf0.1 and went
-    # quadratic at sf1. Deliberate work-add, the q59 precedent.
-    "q31_ngram_jaccard": 3.6,
-    "q73_dedup_clusters": 7.0,    # lossless pair join + star-CC rounds
-    "q81_edit_distance": 3.6,
+    # r6: q31/q73/q81 run the lossless similarity join at tau=1/20; late
+    # r6 switched its low-tau verify from array-shipping to the
+    # posting-count plan (BENCHMARKS.md "second decade"), roughly halving
+    # their sf0.1 times again (measured 1.6/3.9/1.9 at cpus=8).
+    "q31_ngram_jaccard": 1.8,
+    "q73_dedup_clusters": 4.5,    # pair join + star-CC rounds
+    "q81_edit_distance": 2.2,
     "q89_pagerank": 1.5,          # 10 chained iterations, stage-latency
     "q104_pq_ann": 3.0,           # k-means jobs + 256-kernel encode
                                   # (codegen compile dominates at toy SF)
@@ -48,12 +48,12 @@ TYPICAL = {
     "q66_unigram_lm": 0.7,        # measured steady state 0.7-1.2s (tf
                                   # exchange reuse); 2.2s one-off was GC
     "q96_dataset_build": 0.8,
-    "q71_heavy_hitters": 0.8,
+    "q71_heavy_hitters": 1.0,     # probed steady state 1.0-1.3s at cpus=32
     "q56_curation": 0.7,
     # r5: q59 became the recall contract — it runs the FULL lossless
-    # prefix-filter join (the q103 workload) as its in-plan exact side,
-    # plus the LSH+verify pipeline it always ran
-    "q59_minhash_verify": 4.0,
+    # similarity join (tau=1/20 -> posting-count plan since late r6) as
+    # its in-plan exact side, plus the LSH+verify pipeline it always ran
+    "q59_minhash_verify": 3.2,
     "q52_percentiles": 1.5,       # sort-based exact percentile
     "q98_global_curriculum": 2.0, # two exact-percentile window families
     "q107_winsorized": 1.6,       # nearest-rank thresholds + clipped agg
