@@ -596,10 +596,20 @@ object Dedup {
     val found = minhashVerifyPairs(spark, d)
       .filter(col("exact_jaccard") * lit(tauDen) >= lit(tauNum))
       .select("doc_a", "doc_b")
-    val hits = found.join(exact, Seq("doc_a", "doc_b"), "left_semi")
-    exact.agg(count(lit(1)).as("n_exact_pairs"))
-      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
-      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+    // One full-outer join + one aggregate yields all three counts in a
+    // SINGLE pass of each side. The previous shape (left-semi for hits +
+    // separate count() aggs of exact and found) referenced each DataFrame
+    // twice, and Spark plans each reference as its own subtree — the
+    // whole prefix-filter join and the whole LSH pipeline each executed
+    // TWICE per run (no common-subexpression elimination across
+    // DataFrame reuse; exchange reuse doesn't span different parents).
+    exact.withColumn("in_exact", lit(1))
+      .join(found.withColumn("in_found", lit(1)),
+        Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("in_exact")).as("n_exact_pairs"),
+        count(col("in_found")).as("n_found"),
+        count(when(col("in_exact").isNotNull &&
+          col("in_found").isNotNull, 1)).as("n_hits"))
       .select(col("n_exact_pairs"),
         (col("n_hits") === col("n_found")).as("all_found_are_true_pairs"),
         (col("n_hits").cast("double") >=

@@ -62,13 +62,20 @@ object Sampling {
     val pool = Tables.documents(spark, d)
       .select(col("doc_id"), size(graft.text.Text.tokens).as("n_tokens"))
       .filter(col("n_tokens") > 0)
-    weightedDocSample(spark, d)
+    // Full-outer + one aggregate: the sample-side counts AND the pool
+    // total come from a single pass of each subtree. The previous shape
+    // (left join + a separate pool.agg crossJoin) referenced `pool`
+    // twice, so the corpus tokenize behind n_tokens ran twice per query.
+    weightedDocSample(spark, d).withColumn("__s", lit(1))
       .join(pool.select(col("doc_id"), lit(1).as("__in_pool")),
-        Seq("doc_id"), "left")
-      .agg(count(lit(1)).as("n_sampled"),
-        countDistinct(col("doc_id")).as("n_distinct"),
-        sum(when(col("__in_pool").isNull, 1L).otherwise(0L)).as("n_outside_pool"))
-      .crossJoin(broadcast(pool.agg(count(lit(1)).as("n_pool"))))
+        Seq("doc_id"), "full_outer")
+      .agg(count(col("__s")).as("n_sampled"),
+        countDistinct(when(col("__s").isNotNull, col("doc_id")))
+          .as("n_distinct"),
+        sum(when(col("__s").isNotNull && col("__in_pool").isNull, 1L)
+          .otherwise(0L)).as("n_outside_pool"),
+        countDistinct(when(col("__in_pool").isNotNull, col("doc_id")))
+          .as("n_pool"))
       .select("n_sampled", "n_distinct", "n_outside_pool", "n_pool")
   }
 

@@ -223,10 +223,19 @@ object Similarity {
   def annContract(ann: DataFrame, emb: DataFrame, queryVecId: Long, k: Int,
                   minRecall: Double): DataFrame = {
     val bf = bruteForceTopK(emb, queryVecId, k)
-    val hits = ann.join(bf.select(col("vec_id")), "vec_id")
-    ann.agg(count(lit(1)).as("n_ann"))
-      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
-      .crossJoin(broadcast(bf.agg(min(col("cos_sim")).as("exact_topk_min_cos"))))
+    // Full-outer + one aggregate: every count and the exact side's min
+    // cosine come from a SINGLE pass of each pipeline. The previous
+    // shape (hits join + separate aggs of ann and bf) referenced each
+    // DataFrame twice and Spark executed each expensive subtree (the ANN
+    // pipeline, the brute-force scan) twice per run — DataFrame reuse is
+    // not common-subexpression elimination.
+    ann.select(col("vec_id")).withColumn("in_ann", lit(1))
+      .join(bf.select(col("vec_id"), col("cos_sim"))
+        .withColumn("in_bf", lit(1)), Seq("vec_id"), "full_outer")
+      .agg(count(col("in_ann")).as("n_ann"),
+        count(when(col("in_ann").isNotNull &&
+          col("in_bf").isNotNull, 1)).as("n_hits"),
+        min(col("cos_sim")).as("exact_topk_min_cos"))
       .select(lit(queryVecId).as("q_id"), lit(k).as("k"), col("n_ann"),
         col("exact_topk_min_cos"),
         (col("n_hits").cast("double") / k >= minRecall).as("recall_ok"))
