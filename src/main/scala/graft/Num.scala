@@ -29,9 +29,19 @@ object Num {
     * identical operands — bitwise-equal results, no rounding needed. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
-  /** SQL fragment twins (DuckDB + Spark both accept these ANSI forms). */
+  /** SQL fragment twins (DuckDB + Spark both accept these ANSI forms).
+    *
+    * The decimal→double hop goes THROUGH a string: DuckDB's direct
+    * `CAST(DECIMAL AS DOUBLE)` divides the scaled int128 by 10^scale in
+    * double arithmetic, which is NOT correctly rounded — measured 1 ulp
+    * off at sf1 (q01 sum_charge: exact decimal …010.941590, DuckDB
+    * direct cast …010.941593, correct double …010.94159). decimal→string
+    * is exact and string→double is correctly rounded on BOTH engines
+    * (Spark's Decimal.toDouble is also correctly rounded, so the Spark
+    * side needs no detour — [[dsum]] is unchanged and q15, which runs
+    * this fragment through spark.sql, just takes the same exact route). */
   def sqlDsum(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS STRING) AS DOUBLE)"
   def sqlDavg(expr: String): String =
     s"${sqlDsum(expr)} / COUNT(*)"
 }

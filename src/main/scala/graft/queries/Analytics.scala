@@ -238,8 +238,8 @@ object Analytics {
         SELECT li.g, th.n, th.lo, th.hi,
                CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
                CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
-               CAST(SUM(CASE WHEN v >= lo AND v <= hi
-                    THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE) AS s_inside
+               CAST(CAST(SUM(CASE WHEN v >= lo AND v <= hi
+                    THEN CAST(v AS DECIMAL(18,2)) END) AS STRING) AS DOUBLE) AS s_inside
         FROM li JOIN th USING (g) GROUP BY 1, 2, 3, 4)
       SELECT g AS l_returnflag, n, lo, hi, n_below, n_above,
              (s_inside + (n_below * lo + n_above * hi)) / n AS win_mean

@@ -418,8 +418,8 @@ object Core {
       SELECT l_returnflag, l_linestatus,
              ${Num.sqlDsum("l_quantity")} AS sum_qty,
              ${Num.sqlDsum("l_extendedprice")} AS sum_base_price,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS STRING) AS DOUBLE) AS sum_disc_price,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS STRING) AS DOUBLE) AS sum_charge,
              ${Num.sqlDavg("l_quantity")} AS avg_qty,
              ${Num.sqlDavg("l_extendedprice")} AS avg_price,
              ${Num.sqlDavg("l_discount")} AS avg_disc,

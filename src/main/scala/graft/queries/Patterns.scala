@@ -259,7 +259,7 @@ object Patterns {
       SELECT user_id, event_id, n_last_hour, sum_last_hour FROM (
         SELECT user_id, event_id,
                COUNT(*) OVER w AS n_last_hour,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS STRING) AS DOUBLE)
                  AS sum_last_hour
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)

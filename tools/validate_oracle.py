@@ -31,9 +31,14 @@ def frame_key(rows, cols):
 
 def main(sf_dir, out_dir, skip=(), only=(), timeout=None):
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        # driver testdata is a single file; GenScale output is a directory
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
