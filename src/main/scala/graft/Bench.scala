@@ -22,6 +22,12 @@ object Bench {
       // which spills under memory pressure. Same setting in Sessions.local.
       .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "65536")
       .config("spark.sql.cartesianProductExec.buffer.in.memory.threshold", "65536")
+      // 238 query executions share this JVM; ContextCleaner reclaims old
+      // broadcasts/shuffles only after their weak refs are GC'd, and a
+      // large heap may not GC for many queries — stale executor state
+      // then inflates later queries (measured at sf10: q71 35 s in-suite
+      // vs 4.3 s solo). Default periodicGC is 30min; tighten it.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup pass: JIT + codegen compilation + parquet footer caches. The
@@ -32,6 +38,9 @@ object Bench {
       System.err.println(s"BENCH_WARM $name")
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // One explicit GC between passes: the timed pass starts from a clean
+    // old gen instead of inheriting the warmup's garbage.
+    System.gc()
     val results = SparkEntry.queries.map { case (name, fn) =>
       System.err.println(s"BENCH_RUN $name")
       val t0 = System.nanoTime()
