@@ -85,6 +85,24 @@ object Patterns {
         round(col("quantile"), 4).as("quartile"), col("n"))
       .orderBy("l_returnflag", "qi")
 
+  /** q52's SCALE-PATH twin: the same exact quartiles via two-pass bucket
+    * selection (Percentiles.viaBucketSelection) instead of the
+    * window-rank sort. Registered separately (same oracle as q52) after
+    * the sf10 measurement made the crossover concrete: the window-rank
+    * form's parallelism is GROUP-COUNT-bound — 9 (returnflag,
+    * linestatus) groups ⇒ 9 single-threaded sort tasks over 60M rows,
+    * 42 s solo at sf10 with zero spill — while bucket selection's
+    * per-task work is bounded by histogram rows, never group size.
+    * Keeping both registered makes the crossover a per-round benchmark
+    * row rather than a doc claim. */
+  def q120PercentilesBuckets(spark: SparkSession, d: String): DataFrame =
+    graft.ops.Percentiles.viaBucketSelection(
+        Tables.lineitem(spark, d), "l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.75), bucketWidth = 100)
+      .select(col("l_returnflag"), col("qi"),
+        round(col("quantile"), 4).as("quartile"), col("n"))
+      .orderBy("l_returnflag", "qi")
+
   /** Top-N per group via the bounded-heap aggregate
     * ([[graft.functions.TopKByScore]]): identical results to the window
     * formulation (q48) with O(groups × k) shuffle instead of O(rows) —
@@ -229,6 +247,7 @@ object Patterns {
     "q50_secondary_sort"  -> (q50SecondarySort _),
     "q51_inverted_index"  -> (q51InvertedIndex _),
     "q52_percentiles"     -> (q52Percentiles _),
+    "q120_percentiles_buckets" -> (q120PercentilesBuckets _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -326,6 +345,19 @@ object Patterns {
             FROM documents)
       GROUP BY term ORDER BY term""",
     "q52_percentiles" -> """
+      SELECT l_returnflag, CAST(qi AS INT) AS qi, quartile, n FROM (
+        SELECT l_returnflag,
+               unnest(list_transform(
+                 quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+                 x -> round(x, 4))) AS quartile,
+               generate_subscripts(
+                 quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]), 1) AS qi,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag, qi""",
+    // q120 computes the IDENTICAL quartiles by a different physical plan;
+    // the ground truth is the same SQL as q52's.
+    "q120_percentiles_buckets" -> """
       SELECT l_returnflag, CAST(qi AS INT) AS qi, quartile, n FROM (
         SELECT l_returnflag,
                unnest(list_transform(

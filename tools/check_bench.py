@@ -55,6 +55,8 @@ TYPICAL = {
     # its in-plan exact side, plus the LSH+verify pipeline it always ran
     "q59_minhash_verify": 3.2,
     "q52_percentiles": 1.5,       # sort-based exact percentile
+    "q120_percentiles_buckets": 1.4,  # two-pass bucket selection (q52's
+                                  # scale-path twin; group-size-free)
     "q98_global_curriculum": 2.0, # two exact-percentile window families
     "q107_winsorized": 1.6,       # nearest-rank thresholds + clipped agg
     "q109_bigram_lm": 1.8,        # bigram explode + three count joins
