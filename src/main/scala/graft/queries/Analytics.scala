@@ -197,6 +197,13 @@ object Analytics {
       .groupBy("g", "n")
       .agg(min(when(col("rn") === expr(rLo), col("v"))).as("lo"),
            max(when(col("rn") === expr(rHi), col("v"))).as("hi"))
+    winsorizedAssemble(li, th, groupCol)
+  }
+
+  /** The clip-and-average tail shared by both threshold formulations:
+    * `th` is (g, n, lo, hi) — broadcast, one aggregation, exact pieces. */
+  private def winsorizedAssemble(li: DataFrame, th: DataFrame,
+                                 groupCol: String): DataFrame =
     li.join(broadcast(th), "g")
       .groupBy(col("g").as(groupCol), col("n"), col("lo"), col("hi"))
       .agg(
@@ -208,10 +215,34 @@ object Analytics {
         (col("s_inside") + (col("n_below") * col("lo") + col("n_above") * col("hi")))
           / col("n"))
       .select(groupCol, "n", "lo", "hi", "n_below", "n_above", "win_mean")
+
+  /** q107's SCALE-PATH twin (the q120-for-q52 move): identical winsorized
+    * stats with the nearest-rank thresholds from
+    * [[graft.ops.Percentiles.nearestRankViaBuckets]] — the two-level
+    * histogram whose per-task work is bounded by the value domain — in
+    * place of the window's per-group single-task sort. Thresholds are the
+    * same order statistics at the same integer ranks, so the output (and
+    * the oracle) is bit-identical; at sf10 the sort form runs 46 s solo
+    * against 9 group-bound tasks while this one keeps all cores busy. */
+  def winsorizedStatsViaBuckets(df: DataFrame, groupCol: String,
+                                valueCol: String, pLo: Int = 5, pHi: Int = 95,
+                                bucketWidth: Double = 100.0): DataFrame = {
+    val li = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val th = graft.ops.Percentiles
+      .nearestRankViaBuckets(df, groupCol, valueCol, Seq(pLo, pHi), bucketWidth)
+      .groupBy(col(groupCol).as("g"), col("n"))
+      .agg(min(when(col("pct") === pLo, col("value"))).as("lo"),
+           max(when(col("pct") === pHi, col("value"))).as("hi"))
+    winsorizedAssemble(li, th, groupCol)
   }
 
   def qWinsorized(spark: SparkSession, d: String): DataFrame =
     winsorizedStats(Tables.lineitem(spark, d), "l_returnflag", "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  def qWinsorizedBuckets(spark: SparkSession, d: String): DataFrame =
+    winsorizedStatsViaBuckets(Tables.lineitem(spark, d),
+        "l_returnflag", "l_extendedprice")
       .orderBy("l_returnflag")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -220,10 +251,12 @@ object Analytics {
     "q93_ntile_curriculum" -> (qNtileCurriculum _),
     "q95_group_zscore" -> (qGroupZscore _),
     "q98_global_curriculum" -> (qGlobalCurriculum _),
-    "q107_winsorized" -> (qWinsorized _))
+    "q107_winsorized" -> (qWinsorized _),
+    "q121_winsorized_buckets" -> (qWinsorizedBuckets _))
 
-  val oracles: Map[String, String] = Map(
-    "q107_winsorized" -> """
+  /** q107 and q121 compute the identical result by different physical
+    * plans; both pin against the same ground-truth SQL. */
+  private val winsorizedOracle = """
       WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem),
       r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM li),
       n AS (SELECT g, COUNT(*) AS n FROM li GROUP BY g),
@@ -243,7 +276,11 @@ object Analytics {
         FROM li JOIN th USING (g) GROUP BY 1, 2, 3, 4)
       SELECT g AS l_returnflag, n, lo, hi, n_below, n_above,
              (s_inside + (n_below * lo + n_above * hi)) / n AS win_mean
-      FROM a ORDER BY l_returnflag""",
+      FROM a ORDER BY l_returnflag"""
+
+  val oracles: Map[String, String] = Map(
+    "q107_winsorized" -> winsorizedOracle,
+    "q121_winsorized_buckets" -> winsorizedOracle,
     "q98_global_curriculum" -> s"""
       WITH t AS (
         SELECT len(${graft.text.Text.duckTokens}) AS n_tokens FROM documents),

@@ -292,6 +292,12 @@ class PipelineOpsSpec extends SparkSpec {
     val again = Analytics.winsorizedStats(df.repartition(7), "g", "v")
       .collect().map(r => r.getString(0) -> r.getAs[Double]("win_mean")).toMap
     assert(again("a") == ra.getAs[Double]("win_mean"))
+    // the bucket-selection twin (q121) is row-for-row identical — same
+    // order-statistic thresholds, same exact assembly
+    val viaBuckets = Analytics
+      .winsorizedStatsViaBuckets(df, "g", "v", bucketWidth = 7.0)
+      .collect().map(r => r.getString(0) -> r.toString).toMap
+    assert(viaBuckets == out.map { case (k, r) => k -> r.toString })
   }
 
   test("PII redaction replaces every pattern, leaves clean text intact") {

@@ -59,6 +59,8 @@ TYPICAL = {
                                   # scale-path twin; group-size-free)
     "q98_global_curriculum": 2.0, # two exact-percentile window families
     "q107_winsorized": 1.6,       # nearest-rank thresholds + clipped agg
+    "q121_winsorized_buckets": 1.6,  # same stats, bucket-selection
+                                  # thresholds (q107's scale-path twin)
     "q109_bigram_lm": 1.8,        # bigram explode + three count joins
     "q110_skew_report": 1.5,      # bucket-selection percentiles over the
                                   # key table (r5: replaced the global
