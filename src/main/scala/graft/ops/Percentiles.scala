@@ -36,6 +36,59 @@ import org.apache.spark.sql.functions._
   */
 object Percentiles {
 
+  /** Dispatch threshold for [[grouped]]/[[nearestRankGrouped]]: the largest
+    * per-group row count the window-rank (single-task-per-group sort) form
+    * is allowed to handle before the bucket-selection form takes over.
+    *
+    * Measured crossover (QueryProbe solo, local[32], q52 shape on
+    * lineitem.l_extendedprice, 3 groups — BENCHMARKS.md round-7 table):
+    * at max-group ≈ 0.3M rows (sf0.1) the sort form still wins
+    * (~1.0 vs ~1.2 s — bucket pays its extra fixed stages of
+    * scheduling); by ≈ 3M (sf1) the sort form loses 3× and at ≈ 30M
+    * (sf10) 5× (42 vs 8.4 s), the gap growing as n·log n in ONE task vs
+    * fully-parallel histogram scans. 512k sits just under the measured
+    * crossing, and a single-task sort of 512k rows is also comfortably
+    * within one executor's memory at cluster scale — above it,
+    * parallelism (not memory) is what the bucket form buys. */
+  val SortPathMaxGroupRows: Long = 512L * 1024
+
+  /** One cheap scan answering "how hot is the hottest group?" — the
+    * runtime statistic the [[grouped]] dispatch keys on (plan-time stats
+    * can't see group skew). Reads ONLY the group column (parquet prunes
+    * the rest; for dictionary-encoded group columns this is a fraction of
+    * the data) and partial-aggregates map-side, so the shuffle is
+    * O(distinct groups). Callers that already track table statistics skip
+    * it via `maxGroupRowsHint`. */
+  def probeMaxGroupRows(df: DataFrame, groupCol: String): Long =
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(max(col("cnt")), lit(0L)))
+      .head.getLong(0)
+
+  /** STATS-DISPATCHED grouped exact percentiles — the registered q52 path
+    * (the similarityJoin τ-dispatch precedent: one public entry point, the
+    * engine picks the physical regime). Both regimes return bit-identical
+    * results (PatternsSpec pins them equal), so the choice is purely
+    * physical:
+    *
+    *  - hottest group ≤ [[SortPathMaxGroupRows]] → [[viaWindowRank]]:
+    *    fewest stages, per-group sort tasks are small, wins on latency.
+    *  - hottest group above it → [[viaBucketSelection]]: per-task work
+    *    bounded by the value domain, immune to group size/skew — the
+    *    100 TB regime, where a hot group would serialize the sort form
+    *    into one spilling task.
+    *
+    * The dispatch statistic comes from [[probeMaxGroupRows]] (one
+    * group-column scan) unless the caller supplies `maxGroupRowsHint`. */
+  def grouped(df: DataFrame, groupCol: String, valueCol: String,
+              quantiles: Seq[Double], bucketWidth: Double,
+              maxGroupRowsHint: Option[Long] = None,
+              sortPathMaxGroupRows: Long = SortPathMaxGroupRows): DataFrame = {
+    val hottest = maxGroupRowsHint.getOrElse(probeMaxGroupRows(df, groupCol))
+    if (hottest > sortPathMaxGroupRows)
+      viaBucketSelection(df, groupCol, valueCol, quantiles, bucketWidth)
+    else viaWindowRank(df, groupCol, valueCol, quantiles)
+  }
+
   private def interpolated(vLo: Column, vHi: Column, p: Column): Column =
     vLo + (p - floor(p)) * (vHi - vLo)
 

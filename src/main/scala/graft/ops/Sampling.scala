@@ -66,6 +66,13 @@ object Sampling {
     // total come from a single pass of each subtree. The previous shape
     // (left join + a separate pool.agg crossJoin) referenced `pool`
     // twice, so the corpus tokenize behind n_tokens ran twice per query.
+    //
+    // Precondition note (shared with qMinhashVerify/annContract): the
+    // full-outer accounting needs both sides distinct on doc_id. The
+    // pool side is documents' primary key; the sample side is NOT
+    // assumed distinct — that's the point — which is why the counts use
+    // countDistinct, immune to join fan-out from a duplicated sample row
+    // (pool-side uniqueness keeps the fan-out one-to-one).
     weightedDocSample(spark, d).withColumn("__s", lit(1))
       .join(pool.select(col("doc_id"), lit(1).as("__in_pool")),
         Seq("doc_id"), "full_outer")

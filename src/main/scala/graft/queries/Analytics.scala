@@ -223,7 +223,7 @@ object Analytics {
     * place of the window's per-group single-task sort. Thresholds are the
     * same order statistics at the same integer ranks, so the output (and
     * the oracle) is bit-identical; at sf10 the sort form runs 46 s solo
-    * against 9 group-bound tasks while this one keeps all cores busy. */
+    * against 3 group-bound tasks while this one keeps all cores busy. */
   def winsorizedStatsViaBuckets(df: DataFrame, groupCol: String,
                                 valueCol: String, pLo: Int = 5, pHi: Int = 95,
                                 bucketWidth: Double = 100.0): DataFrame = {
@@ -236,8 +236,29 @@ object Analytics {
     winsorizedAssemble(li, th, groupCol)
   }
 
+  /** STATS-DISPATCHED winsorized stats — the registered q107 path (the
+    * q52 `Percentiles.grouped` move): one probe of the hottest group's
+    * row count picks the threshold regime. Both regimes produce the same
+    * order statistics at the same integer ranks, so the output is
+    * bit-identical (AnalyticsSpec pins it); the choice is purely physical
+    * — at/below [[graft.ops.Percentiles.SortPathMaxGroupRows]] rows the
+    * window sort's tasks are small and its fewer stages win, above it a
+    * hot group would serialize into one task and the domain-bounded
+    * bucket form takes over. */
+  def winsorizedStatsDispatched(df: DataFrame, groupCol: String,
+                                valueCol: String, pLo: Int = 5, pHi: Int = 95,
+                                bucketWidth: Double = 100.0,
+                                maxGroupRowsHint: Option[Long] = None): DataFrame = {
+    val hottest = maxGroupRowsHint.getOrElse(
+      graft.ops.Percentiles.probeMaxGroupRows(df, groupCol))
+    if (hottest > graft.ops.Percentiles.SortPathMaxGroupRows)
+      winsorizedStatsViaBuckets(df, groupCol, valueCol, pLo, pHi, bucketWidth)
+    else winsorizedStats(df, groupCol, valueCol, pLo, pHi)
+  }
+
   def qWinsorized(spark: SparkSession, d: String): DataFrame =
-    winsorizedStats(Tables.lineitem(spark, d), "l_returnflag", "l_extendedprice")
+    winsorizedStatsDispatched(Tables.lineitem(spark, d),
+        "l_returnflag", "l_extendedprice")
       .orderBy("l_returnflag")
 
   def qWinsorizedBuckets(spark: SparkSession, d: String): DataFrame =

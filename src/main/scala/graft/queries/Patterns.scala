@@ -66,35 +66,40 @@ object Patterns {
     * order, below the data's resolution. One row per quantile so the
     * driver compares plain doubles.
     *
-    * Uses [[graft.ops.Percentiles.viaWindowRank]] — a distributed
-    * formulation with NO per-group value buffer (Spark's `percentile`
-    * aggregate holds every group value in one aggregation buffer, an OOM
-    * on hot groups at 100 TB): rank rows per group with `row_number`
-    * (sort-based, spills via UnsafeExternalSorter), keep only the two
-    * rows straddling each quantile position, interpolate. The twin
-    * formulation [[graft.ops.Percentiles.viaBucketSelection]] removes the
-    * remaining single-task-per-group sort for the hot-group extreme;
+    * Uses [[graft.ops.Percentiles.grouped]] — the STATS-DISPATCHED entry
+    * point (round 7; the similarityJoin τ-dispatch precedent): one probe
+    * of the hottest group's row count routes small groups to
+    * [[graft.ops.Percentiles.viaWindowRank]] (`row_number` per group —
+    * fewest stages, wins on latency while per-group sort tasks stay
+    * small) and hot groups to
+    * [[graft.ops.Percentiles.viaBucketSelection]] (two-level histogram —
+    * per-task work bounded by the value domain, so one huge group can't
+    * serialize the plan into a single spilling sort task). Neither regime
+    * ever buffers a group's values in an aggregation buffer (Spark's
+    * `percentile` aggregate does — an OOM on hot groups at 100 TB).
     * PatternsSpec pins all formulations equal, BENCHMARKS.md has the
-    * measured matrix. Same interpolation formula as quantile_cont → the
-    * oracle is unchanged. */
+    * measured matrix and the crossover. Same interpolation formula as
+    * quantile_cont → the oracle is unchanged. */
   def q52Percentiles(spark: SparkSession, d: String): DataFrame =
-    graft.ops.Percentiles.viaWindowRank(
+    graft.ops.Percentiles.grouped(
         Tables.lineitem(spark, d), "l_returnflag", "l_extendedprice",
-        Seq(0.25, 0.5, 0.75))
+        Seq(0.25, 0.5, 0.75), bucketWidth = 100)
       .select(col("l_returnflag"), col("qi"),
         round(col("quantile"), 4).as("quartile"), col("n"))
       .orderBy("l_returnflag", "qi")
 
-  /** q52's SCALE-PATH twin: the same exact quartiles via two-pass bucket
-    * selection (Percentiles.viaBucketSelection) instead of the
-    * window-rank sort. Registered separately (same oracle as q52) after
-    * the sf10 measurement made the crossover concrete: the window-rank
-    * form's parallelism is GROUP-COUNT-bound — 9 (returnflag,
-    * linestatus) groups ⇒ 9 single-threaded sort tasks over 60M rows,
-    * 42 s solo at sf10 with zero spill — while bucket selection's
-    * per-task work is bounded by histogram rows, never group size.
-    * Keeping both registered makes the crossover a per-round benchmark
-    * row rather than a doc claim. */
+  /** q52's REGIME-PINNING twin: the same exact quartiles with the
+    * bucket-selection plan FORCED (no dispatch — q52 itself now
+    * stats-dispatches and takes this plan whenever the hottest group
+    * exceeds [[graft.ops.Percentiles.SortPathMaxGroupRows]]). Registered
+    * separately (same oracle as q52) so the bucket regime keeps its own
+    * per-round benchmark row at every sf — at sf0.1, where the dispatch
+    * correctly picks the sort form, this row is what keeps measuring the
+    * regime the dispatch would take at sf1+: window-rank is
+    * GROUP-COUNT-bound (3 l_returnflag groups ⇒ 3 single-threaded sort
+    * tasks over 60M rows, 42 s solo at sf10) while bucket selection's
+    * per-task work is bounded by histogram rows, never group size
+    * (8.4 s at sf10). */
   def q120PercentilesBuckets(spark: SparkSession, d: String): DataFrame =
     graft.ops.Percentiles.viaBucketSelection(
         Tables.lineitem(spark, d), "l_returnflag", "l_extendedprice",

@@ -229,6 +229,12 @@ object Similarity {
     // DataFrame twice and Spark executed each expensive subtree (the ANN
     // pipeline, the brute-force scan) twice per run — DataFrame reuse is
     // not common-subexpression elimination.
+    //
+    // LOAD-BEARING precondition: both sides must be DISTINCT on vec_id
+    // (a duplicate ann row would fan out the matching bf row and inflate
+    // n_hits past k). Holds: every ANN entry point is a top-k over
+    // distinct vec_ids and bruteForceTopK limits distinct rows;
+    // SimilaritySpec pins the neighbor lists duplicate-free.
     ann.select(col("vec_id")).withColumn("in_ann", lit(1))
       .join(bf.select(col("vec_id"), col("cos_sim"))
         .withColumn("in_bf", lit(1)), Seq("vec_id"), "full_outer")

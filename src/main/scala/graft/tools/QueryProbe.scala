@@ -29,8 +29,12 @@ object QueryProbe {
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit = synchronized {
       val si = e.stageInfo
       val wall = (for {a <- si.completionTime; b <- si.submissionTime} yield a - b).getOrElse(-1L)
-      val cpuMs = si.taskMetrics.executorCpuTime / 1000000
-      val runMs = si.taskMetrics.executorRunTime
+      // taskMetrics is null for skipped/failed stages; an NPE here would be
+      // swallowed by the listener bus (logged + dropped), silently losing
+      // the stage line. Emit -1 markers instead.
+      val tm = Option(si.taskMetrics)
+      val cpuMs = tm.map(_.executorCpuTime / 1000000).getOrElse(-1L)
+      val runMs = tm.map(_.executorRunTime).getOrElse(-1L)
       stages += f"    stage=${si.stageId}%-4d wall=${wall}ms cpu=${cpuMs}ms run=${runMs}ms tasks=${si.numTasks} ${si.name.takeWhile(_ != '\n').take(60)}"
     }
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {

@@ -46,10 +46,39 @@ class PatternsSpec extends SparkSpec {
   }
 
   test("q52 plan has no buffering percentile aggregate") {
+    // at test sf the hottest group is far below SortPathMaxGroupRows, so
+    // the dispatch must pick the window-rank regime
     val plan = Patterns.q52Percentiles(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("percentile("), "buffering percentile agg crept back in")
     assert(plan.contains("row_number"), "expected the sort-based rank formulation")
+  }
+
+  test("grouped dispatch routes on the hottest-group statistic") {
+    val li = Tables.lineitem(spark, sf)
+    def plan(hint: Long): String = Percentiles.grouped(
+        li, "l_returnflag", "l_extendedprice", Seq(0.5), bucketWidth = 100,
+        maxGroupRowsHint = Some(hint))
+      .queryExecution.executedPlan.toString
+    // below threshold → window-rank (ranks raw rows)
+    assert(plan(Percentiles.SortPathMaxGroupRows).contains("row_number"))
+    // above threshold → bucket selection (never ranks raw rows)
+    assert(!plan(Percentiles.SortPathMaxGroupRows + 1).contains("row_number"))
+    // the probe measures the hottest group exactly; empty input → 0
+    import spark.implicits._
+    val skewed = (Seq.fill(7)("hot") ++ Seq("cold", "cold")).zipWithIndex
+      .toDF("g", "v")
+    assert(Percentiles.probeMaxGroupRows(skewed, "g") == 7L)
+    assert(Percentiles.probeMaxGroupRows(skewed.filter(col("v") < 0), "g") == 0L)
+    // and the forced-bucket route is still value-correct (hint, no probe)
+    val forced = Percentiles.grouped(
+        li, "l_returnflag", "l_extendedprice", Seq(0.25, 0.5, 0.75),
+        bucketWidth = 100, maxGroupRowsHint = Some(Long.MaxValue))
+      .select(col("l_returnflag"), col("qi"),
+        round(col("quantile"), 4).as("quartile"), col("n"))
+      .orderBy("l_returnflag", "qi")
+      .collect().map(_.toString).toSeq
+    assert(forced == viaBufferingAgg())
   }
 
   test("bucket-selection plan sorts no raw rows: windows sit above aggregates") {

@@ -298,6 +298,17 @@ class PipelineOpsSpec extends SparkSpec {
       .winsorizedStatsViaBuckets(df, "g", "v", bucketWidth = 7.0)
       .collect().map(r => r.getString(0) -> r.toString).toMap
     assert(viaBuckets == out.map { case (k, r) => k -> r.toString })
+    // the dispatched entry point (registered q107) routes on the
+    // hottest-group statistic and is value-identical on both routes
+    def dispatched(hint: Long) = Analytics.winsorizedStatsDispatched(
+        df, "g", "v", maxGroupRowsHint = Some(hint))
+    assert(dispatched(1L).queryExecution.executedPlan.toString
+      .contains("row_number"), "small groups must take the sort regime")
+    val bucketPlan = dispatched(Long.MaxValue).queryExecution.executedPlan.toString
+    assert(!bucketPlan.contains("row_number"),
+      "hot groups must take the domain-bounded bucket regime")
+    assert(dispatched(Long.MaxValue).collect().map(r => r.getString(0) -> r.toString).toMap
+      == out.map { case (k, r) => k -> r.toString })
   }
 
   test("PII redaction replaces every pattern, leaves clean text intact") {

@@ -162,4 +162,18 @@ class SimilaritySpec extends SparkSpec {
       assert(got.sameElements(bf), s"q=$q got=${got.toSeq} bf=${bf.toSeq}")
     }
   }
+
+  test("contract precondition: ANN/brute-force neighbor lists are duplicate-free") {
+    // annContract's full-outer accounting needs both sides distinct on
+    // vec_id — a duplicate ann row would fan out the matching bf row and
+    // inflate n_hits past k. Pin it on every producer annContract consumes.
+    val emb = Tables.embeddings(spark, sf)
+    for ((name, df) <- Seq(
+        "bruteForceTopK" -> Similarity.bruteForceTopK(emb, 0L, 10),
+        "annTopK" -> Similarity.annTopK(emb, 0L, 10),
+        "ivfTopK" -> Similarity.ivfTopK(emb, 0L, 10))) {
+      val ids = df.select("vec_id").collect().map(_.getLong(0))
+      assert(ids.length == ids.distinct.length, s"$name emitted duplicate vec_ids")
+    }
+  }
 }
