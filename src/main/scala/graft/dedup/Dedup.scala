@@ -316,19 +316,9 @@ object Dedup {
   def similarityJoin(docs: DataFrame, tauNum: Long, tauDen: Long): DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum,
       s"similarityJoin: tau must be in (0, 1], got $tauNum/$tauDen")
-    val sets = docs
-      .withColumn("toks", Text.tokens)
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        graft.functions.exprs.gram3SetSorted(col("toks")).as("hs"))
-      .withColumn("n", size(col("hs")))
-      // materialization barrier (the q31 lesson): without an exchange,
-      // codegen defers the tokenize+shingle projection into the joins and
-      // re-evaluates it per candidate pair
-      .repartition(col("doc_id"))
-    val posting = sets.select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
     // Two exact regimes, dispatched on τ (both return the identical pair
-    // set — DedupSpec pins each against brute force):
+    // set — DedupSpec pins each against brute force AND against each
+    // other at the crossover τs):
     //
     //  - LOW τ (≤ 1/4) → POSTING-COUNT verification. At small τ the
     //    prefix is nearly the whole set (1 − τ + 1/n of it), so prefix
@@ -337,35 +327,69 @@ object Dedup {
     //    row. Measured at the sf1→sf10 decade (10× docs, candidate count
     //    itself linear at 11.8×): per-candidate array shipping grew
     //    shuffle write 158× (88 MB → 13.9 GB compressed) with 50 GB of
-    //    SMJ spill — wall 5.5 s → 160 s. The count plan never touches an
-    //    array after the explode: |A∩B| is the COUNT of posting rows the
-    //    pair shares, one posting self-join + one partial-agg'd groupBy
-    //    over 16-byte pair rows (Vernica et al., SIGMOD'10 shape), and
-    //    J = inter / (n_a + n_b − inter) needs only the carried set
-    //    sizes. Work is Σ_g df(g)² pair rows — at τ this low the prefix
-    //    join's candidate set costs the same Σ over ~95% of postings, so
-    //    skipping the df window + rarity sort is strictly less work.
-    //  - HIGH τ → PREFIX-FILTER + array verify (Chaudhuri/PPJoin, below):
+    //    SMJ spill — wall 5.5 s → 160 s.
+    //  - HIGH τ → PREFIX-FILTER + array verify (Chaudhuri/PPJoin):
     //    prefixes shrink to (1−τ)·n + 1 grams, candidates collapse to
     //    near-true pairs, and the per-candidate linear merge verify is
     //    cheap precisely because there are few candidates. The count
     //    plan would still pay the FULL Σ_g df(g)² join regardless of τ.
-    if (tauNum * 4 <= tauDen) {
-      return posting.as("a").join(posting.as("b"),
-          col("a.g") === col("b.g") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          // size-ratio prune (J ≥ τ ⇒ τ·|larger| ≤ |smaller|), integer math
-          col("a.n") * lit(tauDen) >= col("b.n") * lit(tauNum) &&
-          col("b.n") * lit(tauDen) >= col("a.n") * lit(tauNum))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.n").as("n_a"), col("b.n").as("n_b"))
-        .agg(count(lit(1)).as("inter"))
-        .filter(col("inter") * lit(tauDen) >=
-          (col("n_a") + col("n_b") - col("inter")) * lit(tauNum))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")))
-        .select("doc_a", "doc_b", "jaccard")
-    }
+    //
+    // The τ ≤ 1/4 boundary is MEASURED, not assumed (round-7 sweep at
+    // sf1, both regimes forced at τ ∈ {1/5, 1/4, 1/3, 2/5, 1/2} —
+    // BENCHMARKS.md "τ-dispatch crossover"): posting-count wins at
+    // τ ≤ 1/4, the prefix plan wins from τ = 1/3 up, so the true
+    // crossover sits in (1/4, 1/3) and the dispatch picks the winning
+    // side at every probed point.
+    if (tauNum * 4 <= tauDen) similarityJoinPostingCount(docs, tauNum, tauDen)
+    else similarityJoinPrefixVerify(docs, tauNum, tauDen)
+  }
+
+  /** Shared shingle-set prep for both [[similarityJoin]] regimes. */
+  private def shingleSets(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", Text.tokens)
+    .filter(size(col("toks")) >= 3)
+    .select(col("doc_id"),
+      graft.functions.exprs.gram3SetSorted(col("toks")).as("hs"))
+    .withColumn("n", size(col("hs")))
+    // materialization barrier (the q31 lesson): without an exchange,
+    // codegen defers the tokenize+shingle projection into the joins and
+    // re-evaluates it per candidate pair
+    .repartition(col("doc_id"))
+
+  /** [[similarityJoin]]'s LOW-τ regime, public so the crossover stays
+    * measurable per-round (TauProbe forces each regime at each τ): |A∩B|
+    * is the COUNT of posting rows the pair shares — one posting self-join
+    * + one partial-agg'd groupBy over 16-byte pair rows (Vernica et al.,
+    * SIGMOD'10 shape); J = inter / (n_a + n_b − inter) needs only the
+    * carried set sizes, so no hash array is ever shuffled after the
+    * explode. Work is Σ_g df(g)² pair rows regardless of τ. */
+  def similarityJoinPostingCount(docs: DataFrame, tauNum: Long,
+                                 tauDen: Long): DataFrame = {
+    val sets = shingleSets(docs)
+    val posting = sets.select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
+    posting.as("a").join(posting.as("b"),
+        col("a.g") === col("b.g") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        // size-ratio prune (J ≥ τ ⇒ τ·|larger| ≤ |smaller|), integer math
+        col("a.n") * lit(tauDen) >= col("b.n") * lit(tauNum) &&
+        col("b.n") * lit(tauDen) >= col("a.n") * lit(tauNum))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * lit(tauDen) >=
+        (col("n_a") + col("n_b") - col("inter")) * lit(tauNum))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** [[similarityJoin]]'s HIGH-τ regime (prefix filter + sorted-merge
+    * verify — the PPJoin shape documented on [[similarityJoin]]), public
+    * so the crossover stays measurable per-round. */
+  def similarityJoinPrefixVerify(docs: DataFrame, tauNum: Long,
+                                 tauDen: Long): DataFrame = {
+    val sets = shingleSets(docs)
+    val posting = sets.select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
     val dfreq = posting.groupBy("g").agg(count(lit(1)).as("df"))
     val prefix = posting.join(dfreq, "g")
       .withColumn("pos", row_number().over(
@@ -603,6 +627,15 @@ object Dedup {
     // whole prefix-filter join and the whole LSH pipeline each executed
     // TWICE per run (no common-subexpression elimination across
     // DataFrame reuse; exchange reuse doesn't span different parents).
+    //
+    // LOAD-BEARING precondition: both sides must be DISTINCT on
+    // (doc_a, doc_b). A duplicate row in `found` would fan out the
+    // matching `exact` row through the join and inflate n_exact_pairs
+    // (the pre-rewrite shape counted each side independently and had no
+    // such coupling). Holds today — similarityJoin's pair set is a
+    // groupBy/distinct output and minhashVerifyPairs starts from
+    // lshCandidates' distinct pairs — and DedupSpec pins it so a future
+    // pair-producer change can't silently corrupt the contract counts.
     exact.withColumn("in_exact", lit(1))
       .join(found.withColumn("in_found", lit(1)),
         Seq("doc_a", "doc_b"), "full_outer")

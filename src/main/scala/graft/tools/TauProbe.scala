@@ -1,0 +1,45 @@
+package graft.tools
+
+import graft.{Sessions, Tables}
+
+/** τ-dispatch crossover probe: run BOTH [[graft.dedup.Dedup.similarityJoin]]
+  * regimes — posting-count and prefix+verify — FORCED at each probed τ over
+  * the same documents table, printing wall seconds plus the deterministic
+  * task-metric totals (shuffle bytes, spill) that actually locate the
+  * crossover. The dispatch constant in `similarityJoin` (τ ≤ 1/4 →
+  * posting-count) is justified by this sweep's BENCHMARKS.md table, not by
+  * the endpoint measurements alone.
+  *
+  * Usage: runMain graft.tools.TauProbe <sfDir> [tauList] [reps]
+  *   tauList = comma list of num/den, default 1/5,1/4,1/3,2/5,1/2
+  */
+object TauProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("localdata/sf1")
+    val taus = args.lift(1).getOrElse("1/5,1/4,1/3,2/5,1/2").split(",")
+      .toSeq.map { s => val Array(n, dn) = s.split("/"); (n.toLong, dn.toLong) }
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val spark = Sessions.local("graft-tau-probe")
+    val metrics = new QueryProbe.TaskMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    val docs = Tables.documents(spark, d)
+    val regimes = Seq(
+      "posting_count" -> graft.dedup.Dedup.similarityJoinPostingCount _,
+      "prefix_verify" -> graft.dedup.Dedup.similarityJoinPrefixVerify _)
+    for ((tn, td) <- taus; (rname, fn) <- regimes; r <- 1 to reps) {
+      metrics.reset()
+      val t0 = System.nanoTime()
+      val cnt = fn(docs, tn, td).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener bus is async; poll until the task counter settles
+      var last = -1L
+      var cur = metrics.synchronized(metrics.tasks)
+      while (cur != last) {
+        last = cur; Thread.sleep(150)
+        cur = metrics.synchronized(metrics.tasks)
+      }
+      println(f"TAU $tn/$td $rname rep=$r pairs=$cnt sec=$sec%.2f ${metrics.line}")
+    }
+    spark.stop()
+  }
+}

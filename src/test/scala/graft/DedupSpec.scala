@@ -207,4 +207,40 @@ class DedupSpec extends SparkSpec {
     // the action removes exactly the ids the report flags
     assert(Dedup.contaminatedTrainIds(docs).as[Long].collect().toSet == Set(201L))
   }
+
+  test("similarityJoin regimes agree pairwise across the crossover taus") {
+    // the tau-dispatch constant is a PHYSICAL choice only: both regimes
+    // must return the identical pair set (same jaccard values) at every
+    // tau the round-7 crossover sweep probes, on either side of 1/4
+    val docs = Tables.documents(spark, sf)
+    for ((tn, td) <- Seq((1L, 5L), (1L, 4L), (1L, 3L), (2L, 5L))) {
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pc = pairs(Dedup.similarityJoinPostingCount(docs, tn, td))
+      val pv = pairs(Dedup.similarityJoinPrefixVerify(docs, tn, td))
+      assert(pc == pv, s"regimes disagree at tau=$tn/$td: " +
+        s"${(pc diff pv).take(3)} only-posting, ${(pv diff pc).take(3)} only-prefix")
+      // guard against vacuous agreement: the most permissive probed tau
+      // must actually produce pairs on the test corpus
+      if ((tn, td) == ((1L, 5L))) assert(pc.nonEmpty, "tau=1/5 found no pairs")
+    }
+  }
+
+  test("contract precondition: pair producers emit distinct (doc_a, doc_b)") {
+    // qMinhashVerify's full-outer accounting (and annContract's) silently
+    // corrupts if either side ever carries a duplicate pair — a dup in
+    // `found` fans out the matching exact row and inflates n_exact_pairs.
+    // Pin the precondition on every producer, on BOTH similarityJoin
+    // regimes (posting-count at low tau, prefix+verify at high tau).
+    def assertDistinctPairs(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val total = df.count()
+      val dist = df.select("doc_a", "doc_b").distinct().count()
+      assert(total == dist, s"$what emitted duplicate pairs: $total rows, $dist distinct")
+    }
+    assertDistinctPairs(
+      Dedup.similarityJoin(Tables.documents(spark, sf), 1, 20), "similarityJoin tau=1/20 (posting-count)")
+    assertDistinctPairs(
+      Dedup.similarityJoin(Tables.documents(spark, sf), 1, 2), "similarityJoin tau=1/2 (prefix+verify)")
+    assertDistinctPairs(Dedup.minhashVerifyPairs(spark, sf), "minhashVerifyPairs")
+  }
 }
