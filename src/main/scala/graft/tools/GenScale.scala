@@ -35,16 +35,27 @@ import org.apache.spark.sql.functions._
   *    range: 10× the event density per window, which is what a 10×
   *    traffic scale-up looks like to windowed/sessionized queries.
   *
-  * Usage: runMain graft.tools.GenScale [srcDir] [outDir] [factor]
+  * Usage: runMain graft.tools.GenScale [srcDir] [outDir] [factor] [plant]
   */
 object GenScale {
+
+  /** Fixed heavy-hitter plant token (letters-only → survives the `[a-z]+`
+    * tokenizer; ends in "qq" so no salted token — they end in "zz"+letter
+    * — can ever collide with it). */
+  val PlantToken = "heavyplantqq"
+
+  /** One plant injection per this many whitespace tokens (~3% of the token
+    * stream — comfortably above q71's φ = 1% threshold even after
+    * punctuation splits inflate the `[a-z]+` token count). */
+  val PlantEvery = 30
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "localdata/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val plant = args.length > 3 && args(3) == "plant"
     val spark = Sessions.local("graft-genscale")
-    val counts = scale(spark, src, out, factor)
+    val counts = scale(spark, src, out, factor, plantHeavy = plant)
     counts.foreach { case (t, n) => println(s"GENSCALE $t rows=$n") }
     spark.stop()
   }
@@ -53,7 +64,7 @@ object GenScale {
     * per-table row counts. Separated from [[main]] so ScaleLawSpec can run
     * the scaler inside the shared test session (main stops its session). */
   def scale(spark: org.apache.spark.sql.SparkSession, src: String, out: String,
-            factor: Int): Seq[(String, Long)] = {
+            factor: Int, plantHeavy: Boolean = false): Seq[(String, Long)] = {
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String, parts: Int): Unit =
@@ -87,12 +98,38 @@ object GenScale {
     rep("events", Seq("event_id", "user_id"), 8)
 
     // documents: token-salted replication (copy 0 unsalted)
+    //
+    // OPT-IN heavy-hitter plant (round 7): the per-copy salt deliberately
+    // makes copy vocabularies disjoint, which also dilutes EVERY token's
+    // relative frequency by the copy count — so q71's φ = 1% threshold
+    // correctly returns empty at sf1+ and the heavy-hitter path (and its
+    // oracle) never runs on non-empty output at scale. With `plantHeavy`,
+    // [[PlantToken]] is injected after every [[PlantEvery]]-th whitespace
+    // token of every SALTED copy (copy 0 stays verbatim, preserving the
+    // sfN ⊂ sf10N subset invariant):
+    //  - frequency invariant (ScaleLawSpec): whitespace structure is
+    //    salt-invariant, so plant occurrences = (factor − 1) ×
+    //    Σ_docs (ws_tokens div PlantEvery) EXACTLY, and the plant's share
+    //    of the token stream is scale-free (≈ (1 − 1/factor)/PlantEvery)
+    //    — it survives every rung of the decade ladder.
+    //  - no hot shingle: injections are isolated (never adjacent), so
+    //    every 3-gram containing the plant also contains ≥ 2 doc-local
+    //    salted tokens — gram df stays neighborhood-sized and the
+    //    similarity joins' Σ_g df(g)² stays linear in the copy count.
+    //    (Appending a RUN of plants at doc end would instead mint one
+    //    gram shared by every doc — a quadratic posting join.)
     val docs = read("documents")
     val maxDoc = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0) + 1L
+    val plantInject: Column => Column = text =>
+      array_join(transform(split(text, " "), (t, i) =>
+        when((i + 1) % lit(PlantEvery) === 0 && t =!= "",
+          concat(t, lit(" " + PlantToken))).otherwise(t)), " ")
     val docsOut = replicate(docs) { (d, i) =>
-      val text: Column =
+      val salted: Column =
         if (i == 0) col("text")
         else regexp_replace(col("text"), "([a-z]+)", "$1zz" + ('a' + i - 1).toChar)
+      val text: Column =
+        if (plantHeavy && i != 0) plantInject(salted) else salted
       d.select(
         (col("doc_id") + lit(i * maxDoc)).as("doc_id"),
         text.as("text"), col("lang"), col("source"), col("n_chars"))

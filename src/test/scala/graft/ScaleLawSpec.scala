@@ -84,6 +84,37 @@ class ScaleLawSpec extends SparkSpec {
     }
   }
 
+  test("opt-in heavy plant: exact count law, above phi, q71 non-empty, copy 0 clean") {
+    import graft.tools.GenScale
+    val out = Files.createTempDirectory("graft-plantlaw").toFile
+    out.deleteOnExit()
+    val d = out.getAbsolutePath
+    GenScale.scale(spark, sf, d, factor, plantHeavy = true)
+    // exact frequency law: whitespace structure is salt-invariant, so the
+    // plant count is (factor-1) x the base injection-point count
+    val injectable = spark.read.parquet(s"$sf/documents.parquet")
+      .select(sum(size(filter(split(col("text"), " "), (t, i) =>
+        (i + 1) % lit(GenScale.PlantEvery) === 0 && t =!= ""))).as("n"))
+      .head.getLong(0)
+    assert(injectable > 0, "base corpus must have injection points")
+    val toks = Tables.documents(spark, d)
+      .select(explode(graft.text.Text.tokens).as("t"))
+    val planted = toks.filter(col("t") === GenScale.PlantToken).count()
+    assert(planted == (factor - 1).toLong * injectable,
+      s"plant count law: $planted != ${factor - 1} * $injectable")
+    // the plant's share of the token stream clears q71's phi = 1% at any
+    // factor >= 2 (the share is scale-free, so this survives the ladder)
+    assert(planted * 100L > toks.count(), "plant must clear the phi threshold")
+    // ... and the registered heavy-hitter query actually surfaces it
+    val hh = q("q71_heavy_hitters", d).collect()
+    assert(hh.map(_.getString(0)).contains(GenScale.PlantToken))
+    // copy 0 stays verbatim: the subset invariant holds even when planting
+    val srcMax = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(max(col("doc_id"))).head.getLong(0)
+    assert(Tables.documents(spark, d).filter(col("doc_id") <= srcMax)
+      .filter(col("text").contains(GenScale.PlantToken)).count() == 0)
+  }
+
   test("contamination pairs: exactly factor x, rare-gram df cap unaffected") {
     // df of a salted gram equals the base gram's df (copies are disjoint),
     // so the dfCap filter selects the same grams per copy and the pair set
