@@ -1,8 +1,57 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Per-query JVM isolation (`SPARK_GRAFT_BENCH_FORK=1`): run every
+    * registry query in a FRESH child JVM and aggregate the children's
+    * JSON. In-suite numbers share one JVM across 242 executions, and
+    * ContextCleaner reclaims old broadcast/shuffle state only after GC —
+    * at sf≥1 that inflates late queries up to 8× vs solo (q71 35 s
+    * in-suite vs 4.3 s solo at sf10, BENCHMARKS.md). Forked numbers
+    * reproduce solo QueryProbe within noise, so regressions at big sf are
+    * attributable from the artifact alone. The default stays in-suite:
+    * at sf0.1 the distortion is ≤ noise and one JVM is ~10× cheaper than
+    * 121 session startups. */
+  private def runForked(sfDir: String): Unit = {
+    val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    // SPARK_GRAFT_BENCH_ONLY narrows the forked sweep the same way it
+    // narrows the in-suite pass (each child still gets exactly one name)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(ns) => SparkEntry.queries.keys.toSeq.filter(ns.split(",").toSet)
+      case None => SparkEntry.queries.keys.toSeq
+    }
+    val results = names.map { name =>
+      val cmd = (Seq(javaBin) ++ opens ++ Seq(
+        s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_FORK_MEM", "8g")}",
+        "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"), "graft.Bench"))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment.put("SPARK_GRAFT_BENCH_ONLY", name)
+      pb.environment.remove("SPARK_GRAFT_BENCH_FORK")
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      System.err.println(s"BENCH_FORK $name")
+      val p = pb.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+      p.waitFor()
+      // child emits {"..."queries":{"<name>":sec}...}; pull the one number
+      val pat = ("\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.]+)").r
+      val sec = pat.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse {
+        System.err.println(s"BENCH_FORK_FAIL $name (exit=${p.exitValue})"); -1.0
+      }
+      name -> sec
+    }
+    emit(results.toMap, sfDir)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("1")) return runForked(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // see Sessions.local: partition count should track shuffle volume;
     // the env knob is the local stand-in for that cluster-sizing rule
@@ -30,18 +79,26 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY=<name[,name]>: bench a subset (the fork
+    // children run exactly one query each)
+    val queries = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val keep = names.split(",").toSet
+        SparkEntry.queries.filter { case (n, _) => keep(n) }
+      case None => SparkEntry.queries
+    }
     // Warmup pass: JIT + codegen compilation + parquet footer caches. The
     // timed pass then measures steady-state query compute, which is what a
     // long-lived cluster session sees. Progress goes to stderr so a JVM
     // death (OOM → SparkUncaughtExceptionHandler exits) names its query.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       System.err.println(s"BENCH_WARM $name")
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // One explicit GC between passes: the timed pass starts from a clean
     // old gen instead of inheriting the warmup's garbage.
     System.gc()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       System.err.println(s"BENCH_RUN $name")
       val t0 = System.nanoTime()
       // stdout stays a single JSON line; failures go to stderr so a broken
@@ -51,13 +108,18 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Output layout matters: the driver's BENCH_r{N}.json retains only ~2 KB
-    // of this line (r4's capture kept the tail, cutting a front-placed
-    // total; r5's end-placed total survived). Per-query times are rounded
-    // to ms (halves the line), and the total/metadata fields appear at BOTH
-    // ends of the object — whichever end a truncated capture keeps, the
-    // total is in it. Duplicate JSON keys are identical, so any
-    // last-wins/first-wins parser reads the same numbers.
+    emit(results, sfDir)
+    spark.stop()
+  }
+
+  // Output layout matters: the driver's BENCH_r{N}.json retains only ~2 KB
+  // of this line (r4's capture kept the tail, cutting a front-placed
+  // total; r5's end-placed total survived). Per-query times are rounded
+  // to ms (halves the line), and the total/metadata fields appear at BOTH
+  // ends of the object — whichever end a truncated capture keeps, the
+  // total is in it. Duplicate JSON keys are identical, so any
+  // last-wins/first-wins parser reads the same numbers.
+  private def emit(results: Map[String, Double], sfDir: String): Unit = {
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
@@ -65,6 +127,5 @@ object Bench {
     val meta = s""""n_queries":${results.size},"unit":"sec",""" +
       s""""metric":"total","value":${ms(total)}"""
     println(s"""{$meta,"queries":$qs,"sf":"$sfDir",$meta}""")
-    spark.stop()
   }
 }
