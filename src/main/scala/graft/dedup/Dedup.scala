@@ -313,35 +313,75 @@ object Dedup {
     * doubles rounds UP at exact multiples of 1/τ, silently shortening the
     * prefix and dropping true pairs — violating the lossless contract
     * (DedupSpec pins τ = 1/20 against exact all-pairs). */
-  def similarityJoin(docs: DataFrame, tauNum: Long, tauDen: Long): DataFrame = {
+  /** High-τ dispatch threshold: the largest pair-rows-per-posting ratio
+    * (Σ_g df·(df−1)/2 over Σ_g df — the posting join's EXACT output size
+    * per input row) at which the posting-count plan is still preferred.
+    * Bracketed by the round-7 measurements (BENCHMARKS.md "τ-dispatch
+    * crossover"): every GenScale corpus sits at ratio 0.5–4.9 and there
+    * posting-count beats prefix+verify at EVERY τ ≤ 1/2 probed (sf1:
+    * 2.3 vs 3.4 s, 22 vs 91 MB shuffle; sf10: 25 vs 47+ s, 3.4 vs
+    * 9–11 GB shuffle, 2.5 vs 10–20 GB spill); one planted hot gram
+    * (df = corpus) pushes the ratio to 51.5 and there prefix wins 2.9×
+    * already at 5k docs, diverging as df² vs linear thereafter. */
+  val PostingMaxPairRowsPerPosting: Double = 16.0
+
+  /** One cheap scan answering "how heavy is the gram-df tail?" — the
+    * runtime statistic the high-τ [[similarityJoin]] dispatch keys on.
+    * Tokenize + shingle + one aggregation; no join, nothing data-sized
+    * collected. Callers that track corpus statistics skip it via the
+    * hint parameter. */
+  def probePairRowsPerPosting(docs: DataFrame): Double = {
+    val r = docs
+      .withColumn("toks", Text.tokens)
+      .filter(size(col("toks")) >= 3)
+      .select(explode(graft.functions.exprs.gram3SetSorted(col("toks"))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - 1) / 2).as("pair_rows"),
+        sum(col("df")).as("postings"))
+      .head
+    if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+    else r.getDouble(0) / r.getLong(1)
+  }
+
+  def similarityJoin(docs: DataFrame, tauNum: Long, tauDen: Long,
+                     pairRowsPerPostingHint: Option[Double] = None): DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum,
       s"similarityJoin: tau must be in (0, 1], got $tauNum/$tauDen")
-    // Two exact regimes, dispatched on τ (both return the identical pair
-    // set — DedupSpec pins each against brute force AND against each
-    // other at the crossover τs):
+    // Two exact regimes (both return the identical pair set — DedupSpec
+    // pins each against brute force AND against each other at every
+    // probed τ), dispatched in two steps:
     //
-    //  - LOW τ (≤ 1/4) → POSTING-COUNT verification. At small τ the
-    //    prefix is nearly the whole set (1 − τ + 1/n of it), so prefix
-    //    filtering prunes almost nothing while the array-shipping verify
-    //    attaches both docs' full ~n-long hash arrays to EVERY candidate
-    //    row. Measured at the sf1→sf10 decade (10× docs, candidate count
-    //    itself linear at 11.8×): per-candidate array shipping grew
-    //    shuffle write 158× (88 MB → 13.9 GB compressed) with 50 GB of
-    //    SMJ spill — wall 5.5 s → 160 s.
-    //  - HIGH τ → PREFIX-FILTER + array verify (Chaudhuri/PPJoin):
-    //    prefixes shrink to (1−τ)·n + 1 grams, candidates collapse to
-    //    near-true pairs, and the per-candidate linear merge verify is
-    //    cheap precisely because there are few candidates. The count
-    //    plan would still pay the FULL Σ_g df(g)² join regardless of τ.
-    //
-    // The τ ≤ 1/4 boundary is MEASURED, not assumed (round-7 sweep at
-    // sf1, both regimes forced at τ ∈ {1/5, 1/4, 1/3, 2/5, 1/2} —
-    // BENCHMARKS.md "τ-dispatch crossover"): posting-count wins at
-    // τ ≤ 1/4, the prefix plan wins from τ = 1/3 up, so the true
-    // crossover sits in (1/4, 1/3) and the dispatch picks the winning
-    // side at every probed point.
-    if (tauNum * 4 <= tauDen) similarityJoinPostingCount(docs, tauNum, tauDen)
-    else similarityJoinPrefixVerify(docs, tauNum, tauDen)
+    //  1. τ ≤ 1/4 → POSTING-COUNT unconditionally. At small τ a doc's
+    //     prefix is nearly its whole set ((1−τ)·n + 1 grams), so prefix
+    //     filtering prunes almost nothing and the prefix plan degenerates
+    //     into the posting join PLUS a df window, a rarity sort, and an
+    //     array-shipping verify. Measured at the sf1→sf10 decade (10×
+    //     docs): the array-shipping verify grew shuffle write 158×
+    //     (88 MB → 13.9 GB) with 50 GB of SMJ spill — wall 5.5 → 160 s —
+    //     while the posting plan shuffles only 16-byte pair rows
+    //     (Vernica et al., SIGMOD'10).
+    //  2. HIGH τ → dispatch on the MEASURED gram-df tail, not on τ (the
+    //     Percentiles.grouped precedent: one cheap probe picks the
+    //     physical regime). The posting join's cost is exactly
+    //     Σ_g df·(df−1)/2 pair rows REGARDLESS of τ; prefix filtering at
+    //     high τ sorts hot grams (huge df) to the end of every doc's
+    //     rare-first order so they never enter a prefix. On a
+    //     bounded-df corpus (every GenScale sf: ratio ≈ 0.5–4.9)
+    //     posting-count still wins at τ = 1/2 — measured 1.5–3× in wall
+    //     and 3–4× in shuffle at sf1/sf10 — but ONE gram shared by the
+    //     whole corpus (ratio 51.5 in the planted probe) makes the
+    //     posting join quadratic while prefix+verify stays linear
+    //     (2.9× faster already at 5k docs). τ > 1/4 is exactly where
+    //     prefix pruning becomes effective, so the heavy-tail escape
+    //     hatch exists only there.
+    if (tauNum * 4 <= tauDen)
+      similarityJoinPostingCount(docs, tauNum, tauDen)
+    else {
+      val ratio = pairRowsPerPostingHint.getOrElse(probePairRowsPerPosting(docs))
+      if (ratio <= PostingMaxPairRowsPerPosting)
+        similarityJoinPostingCount(docs, tauNum, tauDen)
+      else similarityJoinPrefixVerify(docs, tauNum, tauDen)
+    }
   }
 
   /** Shared shingle-set prep for both [[similarityJoin]] regimes. */

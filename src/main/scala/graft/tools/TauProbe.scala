@@ -10,8 +10,17 @@ import graft.{Sessions, Tables}
   * posting-count) is justified by this sweep's BENCHMARKS.md table, not by
   * the endpoint measurements alone.
   *
-  * Usage: runMain graft.tools.TauProbe <sfDir> [tauList] [reps]
+  * Usage: runMain graft.tools.TauProbe <sfDir> [tauList] [reps] [hotgram]
   *   tauList = comma list of num/den, default 1/5,1/4,1/3,2/5,1/2
+  *   hotgram = literal "hotgram": prepend one fixed 3-token phrase to
+  *     EVERY doc, minting a shingle with df = corpus size — the
+  *     heavy-tailed-df regime GenScale's salting deliberately excludes.
+  *     Posting-count pays df² pair rows for the hot gram regardless of τ;
+  *     prefix filtering at high τ sorts it to the end of every doc's
+  *     rare-first order, so it never enters a prefix. This is the
+  *     worst-case measurement behind keeping the high-τ side on the
+  *     prefix plan even though the bounded-df synthetic corpus mildly
+  *     favors posting-count at every τ.
   */
 object TauProbe {
   def main(args: Array[String]): Unit = {
@@ -19,10 +28,15 @@ object TauProbe {
     val taus = args.lift(1).getOrElse("1/5,1/4,1/3,2/5,1/2").split(",")
       .toSeq.map { s => val Array(n, dn) = s.split("/"); (n.toLong, dn.toLong) }
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val hot = args.lift(3).contains("hotgram")
     val spark = Sessions.local("graft-tau-probe")
     val metrics = new QueryProbe.TaskMetricsListener
     spark.sparkContext.addSparkListener(metrics)
-    val docs = Tables.documents(spark, d)
+    val base = Tables.documents(spark, d)
+    val docs = if (!hot) base else base.withColumn("text",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("aqa bqb cqc "),
+        org.apache.spark.sql.functions.col("text")))
     val regimes = Seq(
       "posting_count" -> graft.dedup.Dedup.similarityJoinPostingCount _,
       "prefix_verify" -> graft.dedup.Dedup.similarityJoinPrefixVerify _)

@@ -226,6 +226,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("high-tau similarityJoin dispatches on the measured gram-df tail") {
+    val docs = Tables.documents(spark, sf)
+    // bounded-df corpus (every GenScale sf sits at ratio ~0.5-4.9): the
+    // probe stays under the threshold and tau=1/2 takes the posting plan
+    // (no df-rank window in it)
+    assert(Dedup.probePairRowsPerPosting(docs) <=
+      Dedup.PostingMaxPairRowsPerPosting)
+    assert(!Dedup.similarityJoin(docs, 1, 2)
+      .queryExecution.executedPlan.toString.contains("row_number"))
+    // a corpus-wide hot gram (df = corpus size) drives the ratio over the
+    // threshold: replicate the corpus 12x and prepend one fixed phrase
+    val hot = (0 until 12).map(i => docs
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text", concat(lit("aqa bqb cqc "), col("text"))))
+      .reduce(_.unionAll(_))
+    assert(Dedup.probePairRowsPerPosting(hot) >
+      Dedup.PostingMaxPairRowsPerPosting)
+    // the hint bypasses the probe and forces the regime either way; the
+    // heavy-tail route is the prefix plan (df-rank window present)
+    assert(Dedup.similarityJoin(docs, 1, 2, Some(17.0))
+      .queryExecution.executedPlan.toString.contains("row_number"))
+    assert(!Dedup.similarityJoin(docs, 1, 2, Some(1.0))
+      .queryExecution.executedPlan.toString.contains("row_number"))
+    // low tau never probes: prefix pruning is ineffective there regardless
+    // of the tail, so posting-count is unconditional
+    assert(!Dedup.similarityJoin(docs, 1, 20, Some(1e9))
+      .queryExecution.executedPlan.toString.contains("row_number"))
+  }
+
   test("contract precondition: pair producers emit distinct (doc_a, doc_b)") {
     // qMinhashVerify's full-outer accounting (and annContract's) silently
     // corrupts if either side ever carries a duplicate pair — a dup in
