@@ -66,8 +66,13 @@ object StreamBench {
       val ops = progs.flatMap(_.stateOperators.toSeq)
       val rows = if (ops.isEmpty) -1L else ops.map(_.numRowsTotal).max
       val mem = if (ops.isEmpty) -1L else ops.map(_.memoryUsedBytes).max
-      val sst = ops.flatMap(o => Option(o.customMetrics.get("rocksdbTotalSstFilesBytes"))
-        .map(_.longValue)).sorted.lastOption.getOrElse(-1L)
+      // RocksDB on-disk footprint: sum every *sst* custom metric (the
+      // exact key differs across providers/versions)
+      val sst = ops.map { o =>
+        import scala.jdk.CollectionConverters._
+        o.customMetrics.asScala.collect {
+          case (k, v) if k.toLowerCase.contains("sst") => v.longValue }.sum
+      }.sorted.lastOption.getOrElse(-1L)
       (sec, batches, rows, mem, sst)
     }
 
