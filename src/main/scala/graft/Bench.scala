@@ -91,10 +91,14 @@ object Bench {
     // timed pass then measures steady-state query compute, which is what a
     // long-lived cluster session sees. Progress goes to stderr so a JVM
     // death (OOM → SparkUncaughtExceptionHandler exits) names its query.
-    queries.foreach { case (name, fn) =>
-      System.err.println(s"BENCH_WARM $name")
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
+    // SPARK_GRAFT_BENCH_NOWARM=1 skips it — for A/B sweeps of a config
+    // knob at big sf, where both arms are equally cold and a second full
+    // pass doubles the sweep's wall cost for no comparative signal.
+    if (!sys.env.get("SPARK_GRAFT_BENCH_NOWARM").contains("1"))
+      queries.foreach { case (name, fn) =>
+        System.err.println(s"BENCH_WARM $name")
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
     // One explicit GC between passes: the timed pass starts from a clean
     // old gen instead of inheriting the warmup's garbage.
     System.gc()

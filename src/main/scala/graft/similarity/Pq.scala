@@ -117,10 +117,25 @@ object Pq {
     *
     * For unit-norm vectors argmin L2 ≡ argmax cosine, so the shortlist
     * approximates [[Similarity.bruteForceTopK]]'s ranking and the re-rank
-    * restores exact ordering within it. */
+    * restores exact ordering within it.
+    *
+    * `refine ≤ 0` (the default) sizes the shortlist FROM THE CORPUS:
+    * k·max(10, n/2000) candidates, i.e. a fixed shortlist below 20k
+    * vectors and a fixed 0.5% FRACTION above. A constant shortlist is a
+    * scale bug the round-7 sf10 oracle run caught: quantization noise is
+    * scale-free, so the number of ADC near-ties competing with the true
+    * top-k grows linearly with the corpus, and at 200k vectors the fixed
+    * 100-row shortlist dropped single-query recall below the 0.6
+    * contract floor (0.8–0.9 at ≤ 20k). Proportional sizing
+    * restored recall_ok at sf10 while leaving every smaller sf's plan
+    * and output byte-identical; the re-rank stage still touches only
+    * shortlist rows (broadcast-sized: 0.5% of the corpus). */
   def adcTopK(emb: DataFrame, queryVecId: Long, k: Int,
-              m: Int = 16, km: Int = 16, refine: Int = 10): DataFrame = {
+              m: Int = 16, km: Int = 16, refine: Int = 0): DataFrame = {
     val books = trainCodebooks(emb, m, km)
+    val refine2 =
+      if (refine > 0) refine
+      else math.max(10L, emb.count() / 2000).toInt
     val sub = books.head.head.length
     val q = emb.filter(col("vec_id") === queryVecId)
       .select("embedding").head().getSeq[Float](0).toArray
@@ -144,7 +159,7 @@ object Pq {
       .filter(col("vec_id") =!= queryVecId)
       .withColumn("adc_dist", adc)
       .orderBy(col("adc_dist"), col("vec_id"))
-      .limit(k * refine)
+      .limit(k * refine2)
       .select("vec_id")
     emb.join(broadcast(shortlist), "vec_id")
       .crossJoin(broadcast(emb.filter(col("vec_id") === queryVecId)
