@@ -14,14 +14,37 @@ object Fasta {
   /** Render (id, desc, seq) columns as FASTA records — one row per record
     * with embedded newlines, sequence wrapped at 60 chars (the
     * conventional FASTA line width), written via the text sink. Writers
-    * parallelize per partition; `files` controls output fan-out. */
+    * parallelize per partition; `files` controls output fan-out.
+    *
+    * `files ≤ 0` (the default) sizes the fan-out FROM THE DATA:
+    * max(defaultParallelism, estimated bytes / 64 MB). The fan-out
+    * matters twice — it is the file count AND the render parallelism:
+    * Catalyst collapses the projection past the repartition, so the
+    * 60-char `regexp_replace` rewrap (CPU-heavy on MB-scale sequences)
+    * executes in the post-repartition tasks. The round-7 sf10 partitions
+    * sweep caught the old constant 4: the whole corpus rendered+wrote
+    * through 4 tasks on a 32-core box, making q101 the suite's slowest
+    * query (137 s); the sweep's p128 arm halved it purely by accident of
+    * fan-out. Sizing from plan stats gives full-box parallelism locally
+    * and, at cluster scale, file counts that track volume (100 TB /
+    * 64 MB ≈ 1.6M files — shard the path by a partition column before
+    * that point). */
   def write(df: DataFrame, idCol: String, descCol: String, seqCol: String,
-            path: String, files: Int = 4): Unit =
+            path: String, files: Int = 0): Unit = {
+    val fanout =
+      if (files > 0) files
+      else {
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val byVolume = (bytes / (64L << 20)).toLong
+        math.max(df.sparkSession.sparkContext.defaultParallelism.toLong,
+          math.min(byVolume, 1L << 20)).toInt
+      }
     df.select(concat(
         lit(">"), col(idCol), lit(" "), col(descCol), lit("\n"),
         regexp_replace(col(seqCol), "(.{60})", "$1\n")).as("value"))
-      .repartition(files)
+      .repartition(fanout)
       .write.mode("overwrite").text(path)
+  }
 
   /** Read through the V2 source. `splitSizeBytes` is deliberately small in
     * tests/queries so multiple byte-range readers cover each file — the
@@ -43,7 +66,21 @@ object Fasta {
     val docs = Tables.documents(spark, d)
       .withColumn("seq", regexp_replace(lower(col("text")), "[^a-z]", ""))
     write(docs, "doc_id", "lang", "seq", root)
-    read(spark, root, splitSizeBytes = 4096)
+    // Split size derives from the bytes actually written: ~8 byte-range
+    // splits per core, floored at 4 KB. The floor keeps the small-sf
+    // correctness shape (many splits per file → the split-boundary
+    // handoff is always exercised); the scaling fixes what a constant
+    // 4 KB did at sf10 — ~1 GB of FASTA / 4 KB ≈ 250k input partitions,
+    // pure task-launch overhead that made this the slowest query in the
+    // suite (137 s at the default partitions).
+    val written = new java.io.File(root).listFiles match {
+      case null => 0L
+      case fs => fs.filter(f => f.isFile && !f.getName.startsWith("_"))
+        .map(_.length).sum
+    }
+    val split = math.max(4096L,
+      written / (spark.sparkContext.defaultParallelism.toLong * 8))
+    read(spark, root, splitSizeBytes = split)
       .groupBy(col("desc").as("lang"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("seq_id")).as("n_distinct_ids"),
