@@ -92,13 +92,26 @@ object Extra {
   /** K6/S8/§4: hive-partitioned write + partition-pruned read-back.
     * Writes lineitem partitioned by ship year, reads back with a partition
     * filter (only the year=1997 directory is listed), aggregates by month.
-    * The oracle runs the equivalent query on the source table. */
+    * The oracle runs the equivalent query on the source table.
+    *
+    * The pre-write repartition is SALTED: `repartition(col(year))` alone
+    * pins write parallelism to the distinct-value count — lineitem has 7
+    * ship years, so at sf10 the whole 60M-row parquet encode ran in 6–7
+    * tasks (probed: 88 s CPU / 22 s wall in the write stage on a 32-core
+    * box). Hashing on (year, orderkey % filesPerDir) keeps dirs coarse
+    * (≤ cores/4 files per dir, not one) while letting every core encode.
+    * The cluster form of the rule: files-per-dir tracks cluster
+    * parallelism, total files = years × cores/4 — bounded both ways,
+    * no small-file explosion, no serialized dirs. */
   def q44PartitionPruning(spark: SparkSession, d: String): DataFrame = {
     // absolute scratch path: Verify/Bench may run from any cwd
     val root = sys.props("java.io.tmpdir") + "/graft_partition_demo"
+    val par = spark.sparkContext.defaultParallelism
+    val filesPerDir = math.max(1, par / 4)
     Tables.lineitem(spark, d)
       .withColumn("ship_year", year(col("l_shipdate")))
-      .repartition(col("ship_year"))
+      .repartition(par * 2, col("ship_year"),
+        pmod(col("l_orderkey"), lit(filesPerDir)))
       .write.mode("overwrite").partitionBy("ship_year").parquet(root)
     spark.read.parquet(root)
       .filter(col("ship_year") === 1997)

@@ -70,9 +70,23 @@ object Pq {
     * single posexplode aggregation per iteration: explode (dim, v), derive
     * (subspace = dim div sub, within = dim mod sub), group by
     * (subspace, code_of_that_subspace, within) → mean. */
+  /** `fanout > 0`: repartition the persisted training sample to that many
+    * partitions before the Lloyd iterations. Every iteration evaluates
+    * M×K argmin scorings per vector (CPU-dense, tiny payload), so on big
+    * corpora parallelism should come from cores, not the source file
+    * layout — at sf10 the embeddings parquet yields 14 read partitions
+    * and the training stages ran at 14/32 of the box (probed: ~9 s CPU
+    * per iteration squeezed through 14 tasks; 22.8→12.5 s steady with the
+    * fan-out). On SMALL corpora the exchange costs more than it buys
+    * (q104 at sf0.1 went 1.7× over its typical with an unconditional
+    * repartition), so the caller gates it by size — [[adcTopK]] turns it
+    * on from its corpus count. 0 keeps the source partitioning. */
   def trainCodebooks(emb: DataFrame, m: Int = 16, k: Int = 16, iters: Int = 2,
-                     fraction: Double = 0.5, seed: Long = 42L): Codebooks = {
-    val sample = emb.sample(fraction, seed).select("vec_id", "embedding").persist()
+                     fraction: Double = 0.5, seed: Long = 42L,
+                     fanout: Int = 0): Codebooks = {
+    val sampled = emb.sample(fraction, seed).select("vec_id", "embedding")
+    val sample = (if (fanout > 0) sampled.repartition(fanout) else sampled)
+      .persist()
     try {
       val init = sample
         .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
@@ -132,10 +146,17 @@ object Pq {
     * shortlist rows (broadcast-sized: 0.5% of the corpus). */
   def adcTopK(emb: DataFrame, queryVecId: Long, k: Int,
               m: Int = 16, km: Int = 16, refine: Int = 0): DataFrame = {
-    val books = trainCodebooks(emb, m, km)
+    // One corpus count drives BOTH size-adaptive decisions: the shortlist
+    // budget (scale-proportional, see Scaladoc) and whether the CPU-dense
+    // train/encode stages are worth a repartition to cores (≥ 64k vectors;
+    // below that the exchange overhead exceeds the fan-out gain).
+    val n = emb.count()
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val fanout = if (n >= 64 * 1024) par else 0
+    val books = trainCodebooks(emb, m, km, fanout = fanout)
     val refine2 =
       if (refine > 0) refine
-      else math.max(10L, emb.count() / 2000).toInt
+      else math.max(10L, n / 2000).toInt
     val sub = books.head.head.length
     val q = emb.filter(col("vec_id") === queryVecId)
       .select("embedding").head().getSeq[Float](0).toArray
@@ -155,7 +176,14 @@ object Pq {
     val adc = (0 until m).map(mi =>
         element_at(element_at(t, mi + 1), element_at(col("codes"), mi + 1) + 1))
       .reduce(_ + _)
-    val shortlist = encode(emb, books)
+    // The shortlist scan encodes + ADC-scores every vector (M×K argmin
+    // structs per row — CPU-dense, ~100 B/row payload); on big corpora
+    // fan it out to cores rather than the source file count (same gate as
+    // the training-sample fanout). In production the codes are
+    // PRE-ENCODED at ingest and this scan reads M bytes/vector at file
+    // parallelism; encode-on-the-fly is the demo-shape cost.
+    val embP = if (fanout > 0) emb.repartition(fanout) else emb
+    val shortlist = encode(embP, books)
       .filter(col("vec_id") =!= queryVecId)
       .withColumn("adc_dist", adc)
       .orderBy(col("adc_dist"), col("vec_id"))
