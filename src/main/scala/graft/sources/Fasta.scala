@@ -34,10 +34,17 @@ object Fasta {
     val fanout =
       if (files > 0) files
       else {
+        val par = df.sparkSession.sparkContext.defaultParallelism.toLong
         val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        val byVolume = (bytes / (64L << 20)).toLong
-        math.max(df.sparkSession.sparkContext.defaultParallelism.toLong,
-          math.min(byVolume, 1L << 20)).toInt
+        // Catalyst reports UNKNOWN size as the defaultSizeInBytes sentinel
+        // (Long.MaxValue; products of it can exceed Long). Any estimate
+        // ≥ 1 PiB from a single un-sharded write call is the sentinel in
+        // practice — fall back to core-count fan-out instead of planning
+        // millions of output files off a fiction.
+        val byVolume =
+          if (bytes >= BigInt(1L << 50)) par
+          else (bytes / (64L << 20)).toLong
+        math.max(par, math.min(byVolume, 1L << 20)).toInt
       }
     df.select(concat(
         lit(">"), col(idCol), lit(" "), col(descCol), lit("\n"),

@@ -197,7 +197,16 @@ object IO {
   def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
 
   /** K6: hive-partitioned parquet, exactly one file per partition dir —
-    * `repartition(cols)` first so every partition's rows land in one task. */
+    * `repartition(cols)` first so every partition's rows land in one task.
+    *
+    * SCALE WARNING: one-file-per-dir means write parallelism == the
+    * DISTINCT VALUE COUNT of `cols` — correct for this operator's
+    * contract (tidy demo layouts, dimension-sized data), wrong for fact
+    * tables. For volume writes use the salted form in
+    * [[graft.queries.Extra.q44PartitionPruning]]: hash(cols…, key %
+    * (cores/4)) keeps ≤ cores/4 files per dir at full fan-out (measured
+    * at sf10: the unsalted shape pushed a 60M-row encode through 7
+    * tasks — 88 s CPU serialized into 22 s wall). */
   def hivePartitionedParquet(df: DataFrame, path: String, cols: String*): Unit =
     df.repartition(cols.map(col): _*)
       .write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)

@@ -88,4 +88,35 @@ class FastaSourceSpec extends SparkSpec {
     assert(back.exceptAll(src).count() === 0)
     assert(src.exceptAll(back).count() === 0)
   }
+
+  private def partFileCount(root: String): Int =
+    new java.io.File(root).listFiles.count(f =>
+      f.isFile && f.getName.startsWith("part-"))
+
+  test("auto fan-out: small file-backed input writes core-count files") {
+    val root = sys.props("java.io.tmpdir") + "/graft_fasta_spec_auto"
+    val docs = Tables.documents(spark, sf)
+      .withColumn("seq", regexp_replace(lower(col("text")), "[^a-z]", ""))
+    graft.sources.Fasta.write(docs, "doc_id", "lang", "seq", root)
+    // tiny input → byVolume 0 → fan-out = defaultParallelism, never fewer
+    assert(partFileCount(root) === spark.sparkContext.defaultParallelism)
+  }
+
+  test("auto fan-out: unknown-size (RDD-backed) input falls back to cores") {
+    // An RDD-backed plan reports the defaultSizeInBytes sentinel (~Long.Max)
+    // as its size estimate; the writer must fall back to core-count fan-out
+    // instead of planning bytes/64MB ≈ millions of output files.
+    import spark.implicits._
+    val mem = spark.sparkContext
+      .parallelize(Seq(("a", "x", "acgtacgt"), ("b", "y", "ttttgggg")))
+      .toDF("id", "d", "s")
+    val sentinel = mem.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sentinel >= BigInt(1L << 50), s"precondition: $sentinel is a real estimate")
+    val root = sys.props("java.io.tmpdir") + "/graft_fasta_spec_sentinel"
+    graft.sources.Fasta.write(mem, "id", "d", "s", root)
+    // fan-out = cores; with 2 rows some of the round-robin partitions are
+    // empty and the sink may skip them — bound, don't pin
+    val n = partFileCount(root)
+    assert(n >= 1 && n <= spark.sparkContext.defaultParallelism, s"files=$n")
+  }
 }
