@@ -106,13 +106,10 @@ object Extra {
   def q44PartitionPruning(spark: SparkSession, d: String): DataFrame = {
     // absolute scratch path: Verify/Bench may run from any cwd
     val root = sys.props("java.io.tmpdir") + "/graft_partition_demo"
-    val par = spark.sparkContext.defaultParallelism
-    val filesPerDir = math.max(1, par / 4)
-    Tables.lineitem(spark, d)
-      .withColumn("ship_year", year(col("l_shipdate")))
-      .repartition(par * 2, col("ship_year"),
-        pmod(col("l_orderkey"), lit(filesPerDir)))
-      .write.mode("overwrite").partitionBy("ship_year").parquet(root)
+    graft.sources.IO.hivePartitionedParquetSalted(
+      Tables.lineitem(spark, d)
+        .withColumn("ship_year", year(col("l_shipdate"))),
+      root, saltKey = "l_orderkey", "ship_year")
     spark.read.parquet(root)
       .filter(col("ship_year") === 1997)
       .groupBy(month(col("l_shipdate")).as("ship_month"))

@@ -93,6 +93,28 @@ class IOSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"), "partition filters must reach the scan")
   }
 
+  test("salted hive-partitioned write: bounded files per dir, full fan-out, data identical") {
+    val src = Tables.lineitem(spark, sf)
+      .withColumn("ship_year", year(col("l_shipdate")))
+    IO.hivePartitionedParquetSalted(src, s"$tmp/salted", "l_orderkey", "ship_year")
+    val cap = math.max(1, spark.sparkContext.defaultParallelism / 4)
+    val yearDirs = new java.io.File(s"$tmp/salted").listFiles
+      .filter(d => d.isDirectory && d.getName.startsWith("ship_year="))
+    assert(yearDirs.nonEmpty)
+    yearDirs.foreach { d =>
+      val n = d.listFiles.count(_.getName.endsWith(".parquet"))
+      assert(n >= 1 && n <= cap, s"${d.getName}: $n files, cap $cap")
+    }
+    val back = IO.partitionedRead(spark, s"$tmp/salted")
+    assert(back.count() === src.count())
+    // per-partition-value row counts survive the salting exactly
+    val a = src.groupBy("ship_year").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val b = back.groupBy("ship_year").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("write modes: ignore keeps, error throws (K8)") {
     val df = IO.csvInfer(spark, res("employees.csv"))
     IO.parquetSink(df, s"$tmp/modes")
