@@ -148,11 +148,15 @@ object Pq {
               m: Int = 16, km: Int = 16, refine: Int = 0): DataFrame = {
     // One corpus count drives BOTH size-adaptive decisions: the shortlist
     // budget (scale-proportional, see Scaladoc) and whether the CPU-dense
-    // train/encode stages are worth a repartition to cores (≥ 64k vectors;
-    // below that the exchange overhead exceeds the fan-out gain).
+    // train/encode stages are worth a repartition to cores. The threshold
+    // is set by three measured points (fork-isolated, local[32]): at 20k
+    // vectors the exchange made the query 1.7× of typical, at 100k still
+    // ~1.2× (the count job + two exchanges are fixed overhead a 4-second
+    // query can't amortize), at 200k it wins 1.7× (22.8→13.5 s steady).
+    // 128k splits the measured regimes.
     val n = emb.count()
     val par = emb.sparkSession.sparkContext.defaultParallelism
-    val fanout = if (n >= 64 * 1024) par else 0
+    val fanout = if (n >= 128 * 1024) par else 0
     val books = trainCodebooks(emb, m, km, fanout = fanout)
     val refine2 =
       if (refine > 0) refine
