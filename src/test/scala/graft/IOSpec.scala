@@ -115,6 +115,29 @@ class IOSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("salted hive-partitioned write: multi-column dirs nest, counts exact") {
+    val src = Tables.lineitem(spark, sf)
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .withColumn("ship_q", quarter(col("l_shipdate")))
+    IO.hivePartitionedParquetSalted(src, s"$tmp/salted2", "l_orderkey",
+      "ship_year", "ship_q")
+    val cap = math.max(1, spark.sparkContext.defaultParallelism / 4)
+    val leafDirs = new java.io.File(s"$tmp/salted2").listFiles
+      .filter(d => d.isDirectory && d.getName.startsWith("ship_year="))
+      .flatMap(_.listFiles.filter(d => d.isDirectory && d.getName.startsWith("ship_q=")))
+    assert(leafDirs.nonEmpty)
+    leafDirs.foreach { d =>
+      val n = d.listFiles.count(_.getName.endsWith(".parquet"))
+      assert(n >= 1 && n <= cap, s"${d.getParentFile.getName}/${d.getName}: $n files")
+    }
+    val back = IO.partitionedRead(spark, s"$tmp/salted2")
+    val a = src.groupBy("ship_year", "ship_q").count().collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val b = back.groupBy("ship_year", "ship_q").count().collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(a === b)
+  }
+
   test("write modes: ignore keeps, error throws (K8)") {
     val df = IO.csvInfer(spark, res("employees.csv"))
     IO.parquetSink(df, s"$tmp/modes")
