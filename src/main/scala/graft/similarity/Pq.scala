@@ -161,7 +161,35 @@ object Pq {
     val refine2 =
       if (refine > 0) refine
       else math.max(10L, n / 2000).toInt
+    // The shortlist scan encodes + ADC-scores every vector (M×K argmin
+    // structs per row — CPU-dense, ~100 B/row payload); on big corpora
+    // fan it out to cores rather than the source file count (same gate as
+    // the training-sample fanout). In production the codes are
+    // PRE-ENCODED at ingest ([[adcTopKOnCodes]], q122) and the scan reads
+    // M bytes/vector at file parallelism; encode-on-the-fly is the
+    // demo-shape cost.
+    val embP = if (fanout > 0) emb.repartition(fanout) else emb
+    adcTopKOnCodes(encode(embP, books).select("vec_id", "codes"),
+      emb, queryVecId, k, books, refine2)
+  }
+
+  /** ADC query over a PRE-ENCODED codes table — the production hot path.
+    * [[adcTopK]] encodes on the fly (demo shape); at 10^11 vectors the
+    * codes are computed once at ingest ([[encode]] → parquet) and every
+    * query is: build the M×K distance table from the query vector
+    * (driver-side, plan literals), scan M-byte codes summing table
+    * lookups, TakeOrdered the proportional shortlist, then touch float
+    * vectors only for the shortlist re-rank. Nothing in this plan reads
+    * an embedding outside the k·refine broadcast — scan payload is the
+    * codes column, 32× smaller than the vectors. */
+  def adcTopKOnCodes(codes: DataFrame, emb: DataFrame, queryVecId: Long,
+                     k: Int, books: Codebooks,
+                     refine: Int = 0): DataFrame = {
+    val m = books.length
     val sub = books.head.head.length
+    val refine2 =
+      if (refine > 0) refine
+      else math.max(10L, codes.count() / 2000).toInt
     val q = emb.filter(col("vec_id") === queryVecId)
       .select("embedding").head().getSeq[Float](0).toArray
     val table: Seq[Seq[Double]] = books.zipWithIndex.map { case (cents, mi) =>
@@ -180,14 +208,7 @@ object Pq {
     val adc = (0 until m).map(mi =>
         element_at(element_at(t, mi + 1), element_at(col("codes"), mi + 1) + 1))
       .reduce(_ + _)
-    // The shortlist scan encodes + ADC-scores every vector (M×K argmin
-    // structs per row — CPU-dense, ~100 B/row payload); on big corpora
-    // fan it out to cores rather than the source file count (same gate as
-    // the training-sample fanout). In production the codes are
-    // PRE-ENCODED at ingest and this scan reads M bytes/vector at file
-    // parallelism; encode-on-the-fly is the demo-shape cost.
-    val embP = if (fanout > 0) emb.repartition(fanout) else emb
-    val shortlist = encode(embP, books)
+    val shortlist = codes
       .filter(col("vec_id") =!= queryVecId)
       .withColumn("adc_dist", adc)
       .orderBy(col("adc_dist"), col("vec_id"))
@@ -213,9 +234,33 @@ object Pq {
       adcTopK(emb, queryVecId = 0L, k = 10), emb, 0L, 10, minRecall = 0.6)
   }
 
+  /** q122: the ingest-then-scan split made real — codes encoded once,
+    * persisted to parquet, re-read, and queried via [[adcTopKOnCodes]];
+    * the same recall contract as q104 holds because the codes are
+    * byte-identical to the in-flight encode (PqSpec pins encode
+    * determinism). The write is the ingest-time cost a standing index
+    * amortizes over every query. */
+  def qPqScan(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val root = sys.props("java.io.tmpdir") + "/graft_pq_codes"
+    val n = emb.count()
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val fanout = if (n >= 128 * 1024) par else 0
+    val books = trainCodebooks(emb, fanout = fanout)
+    val embP = if (fanout > 0) emb.repartition(fanout) else emb
+    encode(embP, books).select("vec_id", "codes")
+      .write.mode("overwrite").parquet(root)
+    val codes = spark.read.parquet(root)
+    graft.similarity.Similarity.annContract(
+      adcTopKOnCodes(codes, emb, queryVecId = 0L, k = 10, books),
+      emb, 0L, 10, minRecall = 0.6)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q104_pq_ann" -> (qPqAnn _))
+    "q104_pq_ann" -> (qPqAnn _),
+    "q122_pq_scan" -> (qPqScan _))
 
   val oracles: Map[String, String] = Map(
-    "q104_pq_ann" -> Similarity.annContractOracle)
+    "q104_pq_ann" -> Similarity.annContractOracle,
+    "q122_pq_scan" -> Similarity.annContractOracle)
 }

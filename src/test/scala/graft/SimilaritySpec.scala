@@ -95,6 +95,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"PQ recall@10 $recall < 0.7 — shortlist too lossy")
   }
 
+  test("PQ: pre-encoded codes-table query equals the on-the-fly plan") {
+    import graft.similarity.Pq
+    val emb = Tables.embeddings(spark, sf)
+    val books = Pq.trainCodebooks(emb)
+    // the ingest-then-scan split (q122) must rank identically to the
+    // in-flight encode: same books → byte-identical codes → same ADC
+    // shortlist → same re-rank
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_codes_spec")
+      .toString + "/codes"
+    Pq.encode(emb, books).select("vec_id", "codes")
+      .write.mode("overwrite").parquet(root)
+    val codes = spark.read.parquet(root)
+    val onCodes = Pq.adcTopKOnCodes(codes, emb, 0L, 10, books)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = Pq.adcTopK(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(onCodes === inline)
+  }
+
   test("k-means training: deterministic, unit-norm, improves over init") {
     val emb = Tables.embeddings(spark, sf)
     val a = Similarity.trainCentroids(emb, k = 8, iters = 2)

@@ -42,6 +42,11 @@ TYPICAL = {
     "q89_pagerank": 1.5,          # 10 chained iterations, stage-latency
     "q104_pq_ann": 3.0,           # k-means jobs + 256-kernel encode
                                   # (codegen compile dominates at toy SF)
+    "q122_pq_scan": 3.5,          # q104's training + the ingest-then-scan
+                                  # split: codes written to parquet and
+                                  # re-read (probed steady 2.5-2.7 at
+                                  # cpus=8; extra write/read jobs over
+                                  # q104)
     "q101_fasta_roundtrip": 1.0,  # write-bound: renders + rewrites corpus
     "q44_partition_pruning": 1.5, # write-bound by design
     "q114_bm25_rerank": 1.2,      # BM25 shortlist + pruned LM stage
