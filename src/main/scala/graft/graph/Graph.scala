@@ -97,6 +97,50 @@ object Graph {
   def trianglesCapped(edges: DataFrame, maxDegree: Long): DataFrame =
     triangles(capDegrees(edges, maxDegree))
 
+  /** EXACT triangles at supernode scale: orientation by degree (Suri &
+    * Vassilvitskii, "Counting Triangles and the Curse of the Last
+    * Reducer", WWW 2011). Each undirected edge is directed from its
+    * lower (degree, id) endpoint to the higher; under that total order
+    * every triangle has a UNIQUE minimum vertex whose two out-edges form
+    * its wedge, and the closing edge always runs low→high — so one
+    * wedge self-join plus ONE equi-join enumerates each triangle exactly
+    * once. The scale property [[triangles]] lacks: out-degree under
+    * degree orientation is O(√E) for EVERY vertex — a degree-d hub has
+    * huge in-degree but tiny out-degree (its edges orient toward it), so
+    * no join key fans out by d. [[trianglesCapped]] buys the same bound
+    * by DROPPING supernodes; this plan has it by construction,
+    * losslessly — GraphSpec pins set-equality with [[triangles]].
+    * Same output contract: one row per triangle, corners sorted a<b<c. */
+  def trianglesOriented(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+              greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    // (s → t) with π(s) < π(t); carry t's degree so wedge generation can
+    // order out-neighbors by π without another join
+    val oriented = und
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(lower, col("u")).otherwise(col("v")).as("s"),
+        when(lower, col("v")).otherwise(col("u")).as("t"),
+        when(lower, col("dv")).otherwise(col("du")).as("td"))
+    oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") &&
+        struct(col("e1.td"), col("e1.t")) < struct(col("e2.td"), col("e2.t")))
+      .select(col("e1.s").as("ctr"), col("e1.t").as("x"), col("e2.t").as("y"))
+      .join(oriented.as("e3"),
+        col("x") === col("e3.s") && col("y") === col("e3.t"))
+      .select(array_sort(array(col("ctr"), col("x"), col("y"))).as("tri"))
+      .select(element_at(col("tri"), 1).as("a"),
+              element_at(col("tri"), 2).as("b"),
+              element_at(col("tri"), 3).as("c"))
+  }
+
   /** Connected components by iterative min-label propagation: every
     * vertex starts labeled with its own id; each round every vertex takes
     * the min of its own label and its neighbors' labels; fixpoint = the

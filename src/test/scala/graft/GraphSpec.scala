@@ -54,6 +54,28 @@ class GraphSpec extends SparkSpec {
     assert(tris == Set(("alice", "bob", "carol"), ("bob", "carol", "dave")))
   }
 
+  test("oriented triangles: set-equal to the triple self-join, hub included") {
+    def triSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // fixture graph: both formulations enumerate the same triangles
+    assert(triSet(Graph.trianglesOriented(social)) == triSet(Graph.triangles(social)))
+    // seeded random graph WITH a deliberate supernode ("hub" touches every
+    // vertex) — the case trianglesCapped must drop and this plan must keep
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val base = (1 to 260).map { _ =>
+      (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}")
+    }.filter(e => e._1 != e._2)
+    val hub = (0 until n).map(i => ("hub", s"v$i"))
+    val edges = (base ++ hub).toDF("src", "dst")
+    val a = triSet(Graph.trianglesOriented(edges))
+    val b = triSet(Graph.triangles(edges))
+    assert(a == b, s"oriented ${a.size} vs reference ${b.size}")
+    assert(a.exists(t => t._1 == "hub" || t._2 == "hub" || t._3 == "hub"),
+      "fixture must actually exercise the supernode")
+  }
+
   test("supernode cap: capped triangles are a subset avoiding hot vertices") {
     def triSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
