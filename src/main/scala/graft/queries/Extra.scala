@@ -206,6 +206,28 @@ object Extra {
       .orderBy("n_nationkey")
   }
 
+  /** q123/J3-at-scale: exact triangle census of the co-order graph.
+    * Vertices are parts; an undirected edge joins two parts that share
+    * at least one order (q07's relationship AS a graph — the same
+    * key-local pair expansion, bounded by order size); triangles are
+    * enumerated with the degree-ORIENTED plan
+    * ([[graft.graph.Graph.trianglesOriented]] — every vertex's
+    * out-degree is O(√E), so popular parts never fan out a join key)
+    * and reduced to an exact census the DuckDB triple join recomputes:
+    * triangle count + corner-id checksum. */
+  def q123Triangles(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    graft.graph.Graph.trianglesOriented(edges)
+      .agg(count(lit(1)).as("n_triangles"),
+        sum(col("a") + col("b") + col("c")).cast("long").as("corner_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_split_stats"      -> (q55SplitStats _),
     "q65_split_balance"    -> (q65SplitBalance _),
@@ -218,6 +240,7 @@ object Extra {
     "q44_partition_pruning" -> (q44PartitionPruning _),
     "q45_approx_distinct"  -> (q45ApproxDistinct _),
     "q89_pagerank"         -> (q89PageRank _),
+    "q123_triangles"       -> (q123Triangles _),
   )
 
   /** DuckDB twin of the 10-iteration fixed-point PageRank: the recursive
@@ -259,6 +282,21 @@ object Extra {
 
   val oracles: Map[String, String] = Map(
     "q89_pagerank" -> pageRankOracle,
+    // q123: DuckDB enumerates the same triangles with the canonical
+    // a<b<c triple join over u<v edges — each triangle matched exactly
+    // once as (a,b)+(b,c)+(a,c); compares count and corner checksum.
+    "q123_triangles" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT COUNT(*) AS n_triangles,
+             CAST(SUM(a + b + c) AS BIGINT) AS corner_sum
+      FROM t""",
     // q45/q55: exactness contracts — the engine-specific value (HLL
     // estimate / hash assignment) is reduced to a deterministic boolean
     // the oracle pins as TRUE, alongside fully exact counts.

@@ -39,6 +39,14 @@ TYPICAL = {
     "q31_ngram_jaccard": 1.8,
     "q73_dedup_clusters": 4.5,    # pair join + star-CC rounds
     "q81_edit_distance": 2.2,
+    "q123_triangles": 10.0,       # exact triangle census of the dense
+                                  # co-order graph (degree-oriented plan;
+                                  # 412 MB wedge shuffle is the workload).
+                                  # Solo steady 5.5-6.4 at cpus=8; the
+                                  # IN-SUITE number this table calibrates
+                                  # against runs ~2x that (measured 12.7
+                                  # at box 0.76) — heaviest query in the
+                                  # suite, pays the accumulation tax
     "q89_pagerank": 1.5,          # 10 chained iterations, stage-latency
     "q104_pq_ann": 3.0,           # k-means jobs + 256-kernel encode
                                   # (codegen compile dominates at toy SF)
