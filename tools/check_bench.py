@@ -1,11 +1,20 @@
 #!/usr/bin/env python3
-"""Bench regression guard: feed it a graft.Bench JSON line (file or stdin)
+"""Bench regression guard: feed it graft.Bench output (file or stdin)
 and it checks per-query and total budgets.
 
-Usage:  python3 tools/check_bench.py [bench.json]
-        ... runMain graft.Bench | grep '"metric"' | python3 tools/check_bench.py
+Accepted inputs, tried in order:
+  1. the driver's BENCH_r{N}.json artifact ({"tail": "<last 2000 chars of
+     stdout>", ...}) — the tail is scanned like raw stdout;
+  2. raw Bench stdout: the last parseable JSON line wins — Bench emits a
+     verbose line ({"queries":{full_name:sec}}) then a compact line
+     ({"qms":{short_id:millis}}) sized to survive the driver's capture;
+  3. regex fallback for a truncated capture: "qNN":<millis> pairs plus the
+     trailing "value":<total> metadata.
 
-Exit 0 = within budget, exit 1 = regression.
+Usage:  python3 tools/check_bench.py [BENCH_rN.json | bench.log]
+        ... runMain graft.Bench | python3 tools/check_bench.py
+
+Exit 0 = within budget, exit 1 = regression (or any failed query).
 
 Calibration: budgets derive from per-query TYPICAL times (measured sf0.1
 local[32] steady state) scaled by a BOX FACTOR computed at run time — the
@@ -16,6 +25,7 @@ suite median (no lost sensitivity — the failure mode of hard-coding
 doubled constants, which left ~2.5x headroom on a fast box).
 """
 import json
+import re
 import sys
 
 # Per-query typical seconds (sf0.1 steady state, reference box = the round-5
@@ -23,6 +33,12 @@ import sys
 # pasting a quiet-box bench run: the VALUES matter only relatively — the box
 # factor rescales the whole table to the current machine.
 TYPICAL = {
+    "q01_pricing_summary": 1.6,   # r8: the flagship runs collect()+observe,
+                                  # which executes the REAL query — count()
+                                  # let Catalyst prune all seven decimal
+                                  # aggregates out of the timed plan (see
+                                  # BENCHMARKS "What count() actually
+                                  # times"); 0.5 was the pruned number
     "q07_selfjoin_2hop": 2.4,     # slowest core query; see BENCHMARKS.md
     "q103_simjoin_prefix": 2.1,   # df window + prefix join + verify join
     "q108_bpe_train": 3.0,        # 8 driver-coordinated batched rounds:
@@ -47,6 +63,13 @@ TYPICAL = {
                                   # against runs ~2x that (measured 12.7
                                   # at box 0.76) — heaviest query in the
                                   # suite, pays the accumulation tax
+    "q124_triangles_sampled": 13.0,  # q123's exact census IN-PLAN (the
+                                  # error bound is checked, not assumed)
+                                  # plus the p=1/2 sampled census (~p^2 of
+                                  # the wedge stream) — budget tracks q123
+                                  # plus a quarter; the sampled-only
+                                  # production path is measured solo in
+                                  # BENCHMARKS.md "DOULION"
     "q89_pagerank": 1.5,          # 10 chained iterations, stage-latency
     "q104_pq_ann": 3.0,           # k-means jobs + 256-kernel encode
                                   # (codegen compile dominates at toy SF)
@@ -103,11 +126,72 @@ TOTAL_HEADROOM = 1.6    # suite total: tighter than per-query (noise
                         # averages out across ~114 queries)
 
 
+# Short id ("q07") -> full registry name, for readable reports when only
+# the compact line survived. Budgets key off the same prefix either way.
+_SHORT_TO_NAME = {name.split("_")[0]: name for name in TYPICAL}
+
+
+def _normalize(bench):
+    """-> (queries {name: sec}, total sec or None, failed [name])."""
+    failed = bench.get("failed", [])
+    if "queries" in bench:
+        return dict(bench["queries"]), bench.get("value"), failed
+    qs = {_SHORT_TO_NAME.get(sid, sid): ms / 1000.0
+          for sid, ms in bench["qms"].items()}
+    return qs, bench.get("value"), failed
+
+
+def load_bench(raw):
+    """Parse any of the accepted inputs (see module doc) into
+    (queries, total, failed). Raises SystemExit with a message if nothing
+    parseable is found."""
+    text = raw
+    try:
+        outer = json.loads(raw)
+        if isinstance(outer, dict) and "tail" in outer:
+            if isinstance(outer.get("parsed"), dict) and (
+                    "queries" in outer["parsed"] or "qms" in outer["parsed"]):
+                return _normalize(outer["parsed"])
+            text = outer["tail"]
+        elif isinstance(outer, dict) and ("queries" in outer or "qms" in outer):
+            return _normalize(outer)
+    except ValueError:
+        pass
+    # raw stdout / tail capture: last parseable bench line wins (Bench
+    # prints the compact line last precisely so it is the one that parses)
+    for line in reversed(text.splitlines()):
+        start = line.find("{")
+        if start < 0:
+            continue
+        try:
+            bench = json.loads(line[start:])
+        except ValueError:
+            continue
+        if isinstance(bench, dict) and ("queries" in bench or "qms" in bench):
+            return _normalize(bench)
+    # regex fallback: a capture that cut even the compact line mid-object
+    # still carries "qNN":millis pairs and the trailing metadata; pre-r8
+    # artifacts only have verbose "qNN_name":sec pairs — recover those too
+    qs = {_SHORT_TO_NAME.get(sid, sid): int(ms) / 1000.0
+          for sid, ms in re.findall(r'"(q\d+)":(\d+)[,}]', text)}
+    qs.update({name: float(sec) for name, sec in
+               re.findall(r'"(q\d+_[a-z0-9_]+)":([0-9.]+)', text)})
+    if qs:
+        totals = re.findall(r'"value":([0-9.]+)', text)
+        nq = re.findall(r'"n_queries":(\d+)', text)
+        # the captured total spans ALL queries; only compare it against the
+        # typical-sum when every per-query row was recovered
+        complete = bool(nq) and int(nq[-1]) == len(qs)
+        total = float(totals[-1]) if totals and complete else None
+        print(f"NOTE: truncated capture — regex fallback recovered "
+              f"{len(qs)} per-query entries (remaining rows are lost)")
+        return qs, total, []
+    raise SystemExit("check_bench: no parseable bench line in input")
+
+
 def main() -> int:
     raw = open(sys.argv[1]).read() if len(sys.argv) > 1 else sys.stdin.read()
-    line = next(l for l in raw.splitlines() if '"queries"' in l or '"metric"' in l)
-    bench = json.loads(line[line.index("{"):])
-    queries = bench["queries"]
+    queries, total, failed_queries = load_bench(raw)
 
     # Box factor: median observed/typical over the whole suite, clamped —
     # a broken box claim can at most 4x the budgets, never erase the gate.
@@ -117,6 +201,8 @@ def main() -> int:
     box = max(0.5, min(4.0, box))
 
     failures, warns = [], []
+    for name in failed_queries:
+        failures.append(f"FAIL {name}: query failed (excluded from total)")
     for name, sec in sorted(queries.items()):
         budget = max(FLOOR_SEC * box,
                      TYPICAL.get(name, DEFAULT_TYPICAL) * HEADROOM * box)
@@ -124,7 +210,8 @@ def main() -> int:
             failures.append(f"FAIL {name}: {sec:.2f}s > budget {budget:.1f}s "
                             f"(typical {TYPICAL.get(name, DEFAULT_TYPICAL):.1f}s"
                             f" x box {box:.2f})")
-    total = bench["value"]
+    if total is None:
+        total = sum(queries.values())
     typ_total = sum(TYPICAL.get(n, DEFAULT_TYPICAL) for n in queries)
     total_budget = typ_total * TOTAL_HEADROOM * box
     if total > total_budget:
