@@ -39,8 +39,8 @@ object Sessions {
       // skewed gram join into an executor OOM. 64k rows ≈ single-digit MB
       // for our widest buffered rows — negligible for normal keys, disk
       // (not heap) for pathological ones.
-      .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "65536")
-      .config("spark.sql.cartesianProductExec.buffer.in.memory.threshold", "65536")
+      .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", graft.Tuning.JoinBufferSpillRows.toString)
+      .config("spark.sql.cartesianProductExec.buffer.in.memory.threshold", graft.Tuning.JoinBufferSpillRows.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -1,0 +1,71 @@
+package graft
+
+/** The engine's measured dispatch/sizing constants, hoisted to ONE
+  * surface. Every value here was set by a box measurement (the "where
+  * measured" pointer on each constant; the full table lives in SCALING.md
+  * §"Tuning constants"), and every one of them is the kind of number that
+  * needs RETUNING when the hardware changes — a 100× cluster re-derives
+  * them from its own probes, which should be an env override
+  * (`GRAFT_<NAME>`), never a five-file source edit.
+  *
+  * The constants stay REFERENCED from their algorithm's scaladoc (the
+  * measurement story reads best next to the dispatch it drives); this
+  * object is the single point of truth for the values.
+  */
+object Tuning {
+  private def envLong(name: String, dflt: Long): Long =
+    sys.env.get(name).map(_.toLong).getOrElse(dflt)
+  private def envDouble(name: String, dflt: Double): Double =
+    sys.env.get(name).map(_.toDouble).getOrElse(dflt)
+
+  /** Corpus size (vectors) above which PQ training-sample collection and
+    * the encode scan repartition to core count instead of inheriting file
+    * parallelism. Measured fork points (BENCHMARKS.md round-7 "PQ fan-out
+    * gate", sf-ladder solo probes): 20k vectors −1.7×, 100k −1.2× (fan-out
+    * loses — repartition overhead beats the extra cores), 200k +1.7×
+    * (wins); 128k sits between the measured arms. Used by
+    * [[graft.similarity.Pq]]. */
+  val PqFanoutGateVectors: Long =
+    envLong("GRAFT_PQ_FANOUT_GATE_VECTORS", 128L * 1024)
+
+  /** Largest per-group row count the window-rank (single-task-per-group
+    * sort) exact-percentile form may handle before bucket selection takes
+    * over. Measured crossover ~1M rows/group (q52 shape, QueryProbe solo:
+    * sort wins at 0.3M, loses 3× at 3M, 5× at 30M — BENCHMARKS.md round-7
+    * percentile table); 512k sits just under it and is also a comfortable
+    * single-task sort memory-wise. Used by [[graft.ops.Percentiles]]. */
+  val SortPathMaxGroupRows: Long =
+    envLong("GRAFT_SORT_PATH_MAX_GROUP_ROWS", 512L * 1024)
+
+  /** Largest pair-rows-per-posting ratio (Σ df·(df−1)/2 over Σ df) at
+    * which the posting-count similarity-join regime is still preferred
+    * over prefix-filter+verify. Bracketed (BENCHMARKS.md round-7
+    * "τ-dispatch crossover"): GenScale corpora sit at 0.5–4.9 where
+    * posting-count wins 1.5–3× at every probed τ; one planted hot gram
+    * pushes the ratio to 51.5 where prefix wins 2.9× at 5k docs and
+    * diverges df² vs linear beyond. Used by [[graft.dedup.Dedup]]. */
+  val PostingMaxPairRowsPerPosting: Double =
+    envDouble("GRAFT_POSTING_MAX_PAIR_ROWS_PER_POSTING", 16.0)
+
+  /** Target bytes per FASTA output file; write fan-out = max(cores,
+    * estimated bytes / this). The round-7 sf10 sweep caught the constant
+    * fan-out this replaced (whole corpus rendered through 4 tasks → q101
+    * at 137 s; volume-derived fan-out → 2.9 s steady). 64 MB matches the
+    * parquet-side maxPartitionBytes convention — big enough that file
+    * count tracks volume, small enough that one file is one task's write.
+    * Used by [[graft.sources.Fasta.write]]. */
+  val FastaWriteTargetBytes: Long =
+    envLong("GRAFT_FASTA_WRITE_TARGET_BYTES", 64L << 20)
+
+  /** Row count past which SMJ/cartesian per-key match buffers switch from
+    * an on-heap ArrayBuffer to a spillable UnsafeExternalSorter
+    * (`spark.sql.{sortMergeJoinExec,cartesianProductExec}.buffer.in.memory
+    * .threshold`). Spark's default is effectively infinite, which turned
+    * one skewed gram-join key into an executor OOM at sf10 (stage-1030
+    * smj_findNextJoinRows — BENCHMARKS.md round-6). 64k rows ≈ single-digit
+    * MB for the widest buffered rows here: negligible for normal keys,
+    * disk instead of heap for pathological ones. Used by
+    * [[graft.Sessions]] and [[graft.Bench]]. */
+  val JoinBufferSpillRows: Long =
+    envLong("GRAFT_JOIN_BUFFER_SPILL_ROWS", 65536L)
+}

@@ -50,7 +50,7 @@ object Percentiles {
     * crossing, and a single-task sort of 512k rows is also comfortably
     * within one executor's memory at cluster scale — above it,
     * parallelism (not memory) is what the bucket form buys. */
-  val SortPathMaxGroupRows: Long = 512L * 1024
+  val SortPathMaxGroupRows: Long = graft.Tuning.SortPathMaxGroupRows
 
   /** One cheap scan answering "how hot is the hottest group?" — the
     * runtime statistic the [[grouped]] dispatch keys on (plan-time stats

@@ -43,7 +43,7 @@ object Fasta {
         // millions of output files off a fiction.
         val byVolume =
           if (bytes >= BigInt(1L << 50)) par
-          else (bytes / (64L << 20)).toLong
+          else (bytes / BigInt(graft.Tuning.FastaWriteTargetBytes)).toLong
         math.max(par, math.min(byVolume, 1L << 20)).toInt
       }
     df.select(concat(
