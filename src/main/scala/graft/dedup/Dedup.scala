@@ -323,7 +323,7 @@ object Dedup {
     * 9–11 GB shuffle, 2.5 vs 10–20 GB spill); one planted hot gram
     * (df = corpus) pushes the ratio to 51.5 and there prefix wins 2.9×
     * already at 5k docs, diverging as df² vs linear thereafter. */
-  val PostingMaxPairRowsPerPosting: Double = 16.0
+  val PostingMaxPairRowsPerPosting: Double = graft.Tuning.PostingMaxPairRowsPerPosting
 
   /** One cheap scan answering "how heavy is the gram-df tail?" — the
     * runtime statistic the high-τ [[similarityJoin]] dispatch keys on.
@@ -643,9 +643,11 @@ object Dedup {
     * LSH candidate set is hash-dependent, but the pipeline's CONTRACT is
     * not — every pair it reports at exact Jaccard ≥ τ must be a member of
     * the true τ-pair set, and it must find at least a floor fraction of
-    * that set. The true set is computed by [[similarityJoin]], the
-    * lossless prefix-filter join whose own oracle is exact all-pairs SQL
-    * (q103) — so the exact side is DuckDB-recomputable. Theory puts the
+    * that set. The true set is computed by [[similarityJoin]] —
+    * stats-dispatched between the posting-count and prefix-filter
+    * regimes, both exact and pairwise-identical (DedupSpec pins it) —
+    * whose own oracle is exact all-pairs SQL (q103), so the exact side
+    * is DuckDB-recomputable whichever regime the stats pick. Theory puts the
     * per-pair detection probability at 1−(1−J²)^8 ≥ 0.90 for J ≥ 0.5
     * (8 bands × 2 rows); the floor of 0.7 leaves noise-free margin
     * (seeds are fixed, so measured recall is deterministic per dataset:
