@@ -141,6 +141,49 @@ object Graph {
               element_at(col("tri"), 3).as("c"))
   }
 
+  /** Deterministic DOULION sparsifier (Tsourakakis, Kang, Miller,
+    * Faloutsos — "DOULION: Counting Triangles in Massive Graphs with a
+    * Coin", KDD 2009): canonicalize to undirected u<v edges, then keep
+    * each edge iff its content-hash bucket falls under keepNum/keepDen.
+    * The "coin" is the ops.Splits portable md5 bucket, NOT a random
+    * number: the sample is a pure function of the edge set, so the
+    * estimate is reproducible across runs, engines (the q124 oracle
+    * recomputes the identical sample in DuckDB SQL), partitionings, and
+    * retries — the ops.Splits reproducibility contract applied to graph
+    * sampling. Map-only over the canonical edge set. */
+  def sparsifyUndirected(edges: DataFrame, keepNum: Int, keepDen: Int): DataFrame = {
+    require(keepNum > 0 && keepDen >= keepNum,
+      s"sparsifyUndirected: keep fraction must be in (0, 1], got $keepNum/$keepDen")
+    edges
+      .select(least(col("src"), col("dst")).as("src"),
+              greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .filter(conv(substring(
+          md5(concat_ws("|", col("src"), col("dst"))), 1, 8), 16, 10)
+        .cast("long") % keepDen < keepNum)
+  }
+
+  /** DOULION triangle-count estimate: census the sparsified graph with
+    * the same exact oriented plan ([[trianglesOriented]]), scale the
+    * count by (keepDen/keepNum)³ in exact integer arithmetic. Keeping
+    * each edge w.p. p keeps a triangle w.p. p³ (unbiased after 1/p³
+    * scaling); the WORK shrinks faster than the estimate degrades — the
+    * wedge stream (the measured cost of the dense census, SCALING.md) is
+    * Σ out-deg², which contracts ~p², and the closing-edge join input by
+    * p. Variance ≈ T·(1/p³ − 1) + correlated-wedge terms (Tsourakakis et
+    * al. §4), so the RELATIVE error falls as 1/√T: the bigger the graph,
+    * the tighter the same p — exactly the regime where the exact census
+    * is a batch job. Returns one row: (n_sampled, est). */
+  def trianglesSampled(edges: DataFrame, keepNum: Int, keepDen: Int): DataFrame = {
+    val num3 = keepNum.toLong * keepNum * keepNum
+    val den3 = keepDen.toLong * keepDen * keepDen
+    trianglesOriented(sparsifyUndirected(edges, keepNum, keepDen))
+      .agg(count(lit(1)).as("n_sampled"))
+      .select(col("n_sampled"),
+        expr(s"n_sampled * $den3 div $num3").as("est"))
+  }
+
   /** Connected components by iterative min-label propagation: every
     * vertex starts labeled with its own id; each round every vertex takes
     * the min of its own label and its neighbors' labels; fixpoint = the

@@ -228,6 +228,38 @@ object Extra {
         sum(col("a") + col("b") + col("c")).cast("long").as("corner_sum"))
   }
 
+  /** q124: q123's interactive twin — DOULION edge-sampled triangle count
+    * ([[graft.graph.Graph.trianglesSampled]], p = 1/2 here) next to the
+    * exact census, with the q45/q69 exactness-contract shape: the
+    * engine-specific part (the estimate) is itself deterministic (md5
+    * coin), so the oracle recomputes BOTH censuses and the estimate
+    * exactly in SQL and pins `within_bound` at literal TRUE — the
+    * correctness gate enforces the error bound, not just the arithmetic.
+    * The production use is p ≤ 1/10 WITHOUT the exact side (the sampled
+    * census is the whole job — wedge work contracts ~p², measured in
+    * SCALING.md); the registered query keeps the exact census in-plan
+    * because a bound you never check is a bound you don't have. */
+  def q124TrianglesSampled(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val exact = graft.graph.Graph.trianglesOriented(edges)
+      .agg(count(lit(1)).as("n_exact"))
+    val sampled = graft.graph.Graph.trianglesSampled(edges, 1, 2)
+    exact.crossJoin(sampled)
+      .select(col("n_exact"), col("n_sampled"), col("est"),
+        // 20% relative bound in exact integer math; measured relative
+        // error of the md5-fixed sample on the co-order graph is ≤ 8%
+        // across sf0.001–sf10 (GraphSpec pins concentration on a planted
+        // graph; SCALING.md records the per-sf errors)
+        (abs(col("est") - col("n_exact")) * 5 <= col("n_exact"))
+          .as("within_bound"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_split_stats"      -> (q55SplitStats _),
     "q65_split_balance"    -> (q65SplitBalance _),
@@ -241,6 +273,7 @@ object Extra {
     "q45_approx_distinct"  -> (q45ApproxDistinct _),
     "q89_pagerank"         -> (q89PageRank _),
     "q123_triangles"       -> (q123Triangles _),
+    "q124_triangles_sampled" -> (q124TrianglesSampled _),
   )
 
   /** DuckDB twin of the 10-iteration fixed-point PageRank: the recursive
@@ -297,6 +330,30 @@ object Extra {
       SELECT COUNT(*) AS n_triangles,
              CAST(SUM(a + b + c) AS BIGINT) AS corner_sum
       FROM t""",
+    // q124: the DOULION sample is a pure function of the edge set (md5
+    // coin), so DuckDB recomputes the identical sparsified graph, both
+    // censuses, and the integer-exact estimate; within_bound is pinned
+    // at literal TRUE — the oracle enforces the error bound itself.
+    "q124_triangles_sampled" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      es AS (SELECT u, v FROM e
+             WHERE CAST(('0x' || substring(md5(
+                     CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 2 < 1),
+      t AS (SELECT COUNT(*) AS n_exact
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      ts AS (SELECT COUNT(*) AS n_sampled
+             FROM es e1
+             JOIN es e2 ON e1.v = e2.u
+             JOIN es e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT n_exact, n_sampled, CAST(n_sampled * 8 AS BIGINT) AS est,
+             TRUE AS within_bound
+      FROM t CROSS JOIN ts""",
     // q45/q55: exactness contracts — the engine-specific value (HLL
     // estimate / hash assignment) is reduced to a deterministic boolean
     // the oracle pins as TRUE, alongside fully exact counts.

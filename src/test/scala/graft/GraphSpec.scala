@@ -76,6 +76,49 @@ class GraphSpec extends SparkSpec {
       "fixture must actually exercise the supernode")
   }
 
+  test("DOULION: deterministic md5 sparsifier + concentrated estimate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    // triangle-rich seeded graph with a hub (the q123 fixture, denser):
+    // enough triangles that p=1/2 concentration is testable, small enough
+    // to census exactly in-test
+    val rnd = new scala.util.Random(11)
+    val n = 60
+    val base = (1 to 1400).map { _ =>
+      (s"v%02d".format(rnd.nextInt(n)), s"v%02d".format(rnd.nextInt(n)))
+    }.filter(e => e._1 != e._2)
+    val hub = (0 until n).map(i => ("hub", s"v%02d".format(i)))
+    val edges = (base ++ hub).toDF("src", "dst")
+    // sparsified set: subset of the canonical undirected edges, u<v form,
+    // deterministic across invocations, roughly half kept
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("src"),
+              greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val kept = edgeSet(Graph.sparsifyUndirected(edges, 1, 2))
+    val all = edgeSet(canon)
+    assert(kept.subsetOf(all))
+    assert(kept == edgeSet(Graph.sparsifyUndirected(edges, 1, 2)),
+      "md5 coin must be deterministic")
+    assert(math.abs(kept.size.toDouble / all.size - 0.5) < 0.1,
+      s"kept ${kept.size}/${all.size}, expected ~half")
+    // keep=1/1 is the identity sample
+    assert(edgeSet(Graph.sparsifyUndirected(edges, 1, 1)) == all)
+    // estimate: exact integer scaling of the sampled census, and within
+    // the q124 bound (20%) of the exact count on this triangle-rich graph
+    val exact = Graph.trianglesOriented(edges).count()
+    val r = Graph.trianglesSampled(edges, 1, 2).collect().head
+    val (nSampled, est) = (r.getLong(0), r.getLong(1))
+    assert(est == nSampled * 8, "p=1/2 scale-up must be exact integer 8x")
+    assert(math.abs(est - exact) * 5 <= exact,
+      s"estimate $est vs exact $exact out of the 20% bound")
+    // the sampled census is the exact census of the sparsified graph
+    assert(nSampled == Graph.trianglesOriented(
+      Graph.sparsifyUndirected(edges, 1, 2)).count())
+  }
+
   test("supernode cap: capped triangles are a subset avoiding hot vertices") {
     def triSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
