@@ -4,7 +4,7 @@ import graft.Sessions
 import graft.streaming.Streams
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryListener}
 
 /** Streaming-at-scale measurement rig (NOT part of the query library):
   * drives the two ingest pipelines StreamingSpec pins for correctness —
@@ -19,6 +19,49 @@ import org.apache.spark.sql.streaming.OutputMode
   * Usage: runMain graft.tools.StreamBench [sfDir] [workDir] [filesPerTrigger]
   */
 object StreamBench {
+
+  /** Push-style progress accumulator: `recentProgress` retains only the
+    * last ~100 updates, so with filesPerTrigger=1 at larger sf the
+    * batch count and max-state metrics silently undercounted once a run
+    * crossed 100 micro-batches. A listener sees EVERY progress event.
+    * Keyed by runId, not query id — a checkpoint-recovered query keeps
+    * its id across restarts, and the two waves must not share maxima. */
+  private final class ProgressAccumulator extends StreamingQueryListener {
+    final class Acc {
+      var batches = 0
+      var maxStateRows = -1L
+      var maxStateMem = -1L
+      var maxSst = -1L
+    }
+    private val byRun =
+      scala.collection.concurrent.TrieMap.empty[java.util.UUID, Acc]
+    def acc(runId: java.util.UUID): Acc = byRun.getOrElseUpdate(runId, new Acc)
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      val a = acc(p.runId)
+      a.synchronized {
+        if (p.numInputRows > 0) a.batches += 1
+        val ops = p.stateOperators.toSeq
+        if (ops.nonEmpty) {
+          a.maxStateRows = math.max(a.maxStateRows, ops.map(_.numRowsTotal).max)
+          a.maxStateMem = math.max(a.maxStateMem, ops.map(_.memoryUsedBytes).max)
+          // RocksDB on-disk footprint: sum every *sst* custom metric per
+          // operator (the exact key differs across providers/versions)
+          val sst = ops.map { o =>
+            import scala.jdk.CollectionConverters._
+            o.customMetrics.asScala.collect {
+              case (k, v) if k.toLowerCase.contains("sst") => v.longValue }.sum
+          }.max
+          a.maxSst = math.max(a.maxSst, sst)
+        }
+      }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("localdata/sf1")
@@ -49,8 +92,13 @@ object StreamBench {
       try spark.read.parquet(out).count()
       catch { case _: org.apache.spark.sql.AnalysisException => 0L }
 
+    val progress = new ProgressAccumulator
+    spark.streams.addListener(progress)
+
     /** poll the sink until `expect` rows arrive; return (seconds, batches,
-      * max state rows, max state bytes, rocksdb sst bytes) */
+      * max state rows, max state bytes, rocksdb sst bytes) — the state
+      * metrics come from the push-style accumulator (every micro-batch),
+      * not `recentProgress` (last ~100 only). */
     def drive(q: org.apache.spark.sql.streaming.StreamingQuery, out: String,
               expect: Long): (Double, Int, Long, Long, Long) = {
       val t0 = System.nanoTime()
@@ -61,19 +109,11 @@ object StreamBench {
       q.exception.foreach(e => sys.error(s"stream failed: $e"))
       require(sinkCount(out) == expect,
         s"sink has ${sinkCount(out)} rows, expected $expect")
-      val progs = q.recentProgress.toSeq
-      val batches = progs.count(_.numInputRows > 0)
-      val ops = progs.flatMap(_.stateOperators.toSeq)
-      val rows = if (ops.isEmpty) -1L else ops.map(_.numRowsTotal).max
-      val mem = if (ops.isEmpty) -1L else ops.map(_.memoryUsedBytes).max
-      // RocksDB on-disk footprint: sum every *sst* custom metric (the
-      // exact key differs across providers/versions)
-      val sst = ops.map { o =>
-        import scala.jdk.CollectionConverters._
-        o.customMetrics.asScala.collect {
-          case (k, v) if k.toLowerCase.contains("sst") => v.longValue }.sum
-      }.sorted.lastOption.getOrElse(-1L)
-      (sec, batches, rows, mem, sst)
+      // listener delivery is async; give the bus a moment to drain the
+      // final progress event before reading the accumulator
+      Thread.sleep(1000)
+      val a = progress.acc(q.runId)
+      a.synchronized { (sec, a.batches, a.maxStateRows, a.maxStateMem, a.maxSst) }
     }
 
     // ---- pipeline 1: RocksDB TTL dedup, two waves + checkpoint recovery
