@@ -702,6 +702,51 @@ object Dedup {
       .orderBy(col("shared_grams").desc, col("eval_doc"), col("train_doc"))
       .limit(20)
 
+  /** Distinct n-gram POSTINGS per document: (doc_id, source, g), one row
+    * per (doc, distinct gram). This is the single tokenize+shingle
+    * definition every gram consumer in the family builds on —
+    * contamination report (q62), decontamination (q119), dup coverage
+    * (q87), and the persisted index (q125) — so the gram rule cannot
+    * drift between them. Docs under n tokens carry no postings. */
+  def gramPostings(docs: DataFrame, n: Int = 8): DataFrame =
+    docs.withColumn("toks", Text.tokens)
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.exprs.gramNSetSorted(col("toks"), n)).as("g"))
+
+  /** INGEST half of the standing gram index (the q122 ingest/scan
+    * discipline applied to the gram-join family): tokenize + shingle the
+    * corpus ONCE, persist the postings table. Every downstream gram
+    * query then scans postings — three 8-gram consumers in the registry
+    * each re-derived this from text per run, which at 100 TB means
+    * re-tokenizing the corpus three times per curation pass instead of
+    * zero. At cluster scale write with `bucketBy(g)` so the df
+    * aggregation and all gram joins are exchange-free; plain parquet
+    * here keeps the demo portable. */
+  def gramIndexIngest(docs: DataFrame, root: String, n: Int = 8): Unit =
+    gramPostings(docs, n).write.mode("overwrite").parquet(root)
+
+  /** SCAN half: the standing postings table. */
+  def gramIndex(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(root)
+
+  /** [[contaminationPairs]] over an existing postings frame (from
+    * [[gramPostings]] or the persisted [[gramIndex]]). */
+  def contaminationPairsFrom(postings: DataFrame, dfCap: Int = 20,
+                             minShared: Int = 3,
+                             evalSource: String = "src0"): DataFrame = {
+    val evalG = postings.filter(col("source") === evalSource)
+      .select(col("doc_id").as("eval_doc"), col("g"))
+    val trainG = postings.filter(col("source") =!= evalSource)
+      .select(col("doc_id").as("train_doc"), col("g"))
+    val rare = trainG.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("g")
+    evalG.join(trainG.join(rare, Seq("g"), "left_semi"), "g")
+      .groupBy("eval_doc", "train_doc")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+  }
+
   /** The single gram pipeline behind contamination detection — the REPORT
     * (q62) and the ACTION (q119 / [[decontaminate]]) are both views over
     * this one definition, so the rule cannot drift between them. Returns
@@ -710,21 +755,8 @@ object Dedup {
     * eval doc. */
   def contaminationPairs(docs: DataFrame, n: Int = 8, dfCap: Int = 20,
                          minShared: Int = 3,
-                         evalSource: String = "src0"): DataFrame = {
-    val toks = docs.withColumn("toks", Text.tokens)
-      .filter(size(col("toks")) >= n)
-    def grams(df: DataFrame, idCol: String) = df
-      .select(col("doc_id").as(idCol),
-        explode(graft.functions.exprs.gramNSetSorted(col("toks"), n)).as("g"))
-    val evalG  = grams(toks.filter(col("source") === evalSource), "eval_doc")
-    val trainG = grams(toks.filter(col("source") =!= evalSource), "train_doc")
-    val rare = trainG.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select("g")
-    evalG.join(trainG.join(rare, Seq("g"), "left_semi"), "g")
-      .groupBy("eval_doc", "train_doc")
-      .agg(count(lit(1)).as("shared_grams"))
-      .filter(col("shared_grams") >= minShared)
-  }
+                         evalSource: String = "src0"): DataFrame =
+    contaminationPairsFrom(gramPostings(docs, n), dfCap, minShared, evalSource)
 
   /** Training-doc ids flagged as contaminated by [[contaminationPairs]]. */
   def contaminatedTrainIds(docs: DataFrame, n: Int = 8, dfCap: Int = 20,
@@ -828,14 +860,10 @@ object Dedup {
     * one join back — the same bounded explode-join-aggregate shape as
     * [[qContamination]]; never pairwise. dup_frac derives from two exact
     * BIGINTs with a single rounded division, so the oracle is exact. */
-  def dupCoverage(docs: DataFrame, n: Int = 8): DataFrame = {
-    val grams = docs
-      .withColumn("toks", Text.tokens)
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), col("source"),
-        explode(graft.functions.exprs.gramNSetSorted(col("toks"), n)).as("g"))
-    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    grams.join(df, "g")
+  /** [[dupCoverage]] over an existing postings frame. */
+  def dupCoverageFrom(postings: DataFrame): DataFrame = {
+    val df = postings.groupBy("g").agg(count(lit(1)).as("df"))
+    postings.join(df, "g")
       .groupBy("source")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
@@ -844,8 +872,36 @@ object Dedup {
       .orderBy("source")
   }
 
+  def dupCoverage(docs: DataFrame, n: Int = 8): DataFrame =
+    dupCoverageFrom(gramPostings(docs, n))
+
   def qDupCoverage(spark: SparkSession, d: String): DataFrame =
     dupCoverage(Tables.documents(spark, d))
+
+  /** q125: the standing gram index made real — postings written once
+    * ([[gramIndexIngest]]), then BOTH heavy gram consumers answered from
+    * the index without touching document text: per-source duplication
+    * coverage (q87's semantics) and the count of contaminated training
+    * docs (q62/q119's rule). The oracle recomputes everything from the
+    * raw documents, so "index-derived == from-scratch" is itself the
+    * correctness contract; the doc→source map comes from the postings
+    * (contaminated docs always hold postings), keeping the query
+    * index-only. The write is the one-time cost a curation pass
+    * amortizes over every gram query it runs. */
+  def qGramIndex(spark: SparkSession, d: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") + "/graft_gram_index"
+    gramIndexIngest(Tables.documents(spark, d), root)
+    val postings = gramIndex(spark, root)
+    val cov = dupCoverageFrom(postings)
+    val docSource = postings.select(col("doc_id"), col("source")).distinct()
+    val contaminated = contaminationPairsFrom(postings)
+      .select(col("train_doc").as("doc_id")).distinct()
+      .join(docSource, "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
+    cov.join(contaminated, Seq("source"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .orderBy("source")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_contamination"  -> (qContamination _),
@@ -862,6 +918,7 @@ object Dedup {
     "q103_simjoin_prefix" -> (qSimJoinPrefix _),
     "q115_repeated_spans" -> (qRepeatedSpans _),
     "q119_decontaminate" -> (qDecontaminate _),
+    "q125_gram_index"    -> (qGramIndex _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -996,6 +1053,45 @@ object Dedup {
                    / COUNT(*), 6) AS dup_frac
       FROM grams JOIN df USING (g)
       GROUP BY source ORDER BY source""",
+    // q125: the oracle recomputes BOTH index consumers from raw text, so
+    // the persisted-postings round trip is value-checked end to end
+    "q125_gram_index" -> s"""
+      WITH toks AS (
+        SELECT doc_id, source, ${Text.duckTokens} AS toks FROM documents),
+      grams AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+                 i -> array_to_string(toks[i:i+7], ' ')))) AS g
+        FROM toks WHERE len(toks) >= 8),
+      df AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+      cov AS (
+        SELECT source, COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_grams,
+               ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS dup_frac
+        FROM grams JOIN df USING (g)
+        GROUP BY source),
+      train AS (SELECT doc_id, g FROM grams WHERE source <> 'src0'),
+      eval_g AS (SELECT doc_id, g FROM grams WHERE source = 'src0'),
+      rare_train AS (
+        SELECT t.doc_id, t.g FROM train t
+        JOIN (SELECT g FROM train GROUP BY g HAVING COUNT(*) <= 20) r
+          USING (g)),
+      pairs AS (
+        SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc
+        FROM eval_g e JOIN rare_train t USING (g)
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      ccnt AS (
+        SELECT d.source, COUNT(*) AS n_contaminated
+        FROM (SELECT DISTINCT train_doc AS doc_id FROM pairs) c
+        JOIN documents d USING (doc_id)
+        GROUP BY d.source)
+      SELECT cov.source, cov.n_grams, cov.n_dup_grams, cov.dup_frac,
+             CAST(COALESCE(ccnt.n_contaminated, 0) AS BIGINT)
+               AS n_contaminated
+      FROM cov LEFT JOIN ccnt USING (source)
+      ORDER BY cov.source""",
     "q94_bloom_dedup" -> """
       WITH corpus AS (
         SELECT DISTINCT md5(text) AS fp FROM documents WHERE source <> 'src0'),

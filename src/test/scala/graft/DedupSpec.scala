@@ -208,6 +208,38 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.contaminatedTrainIds(docs).as[Long].collect().toSet == Set(201L))
   }
 
+  test("gram index round trip: persisted postings answer both consumers " +
+       "identically to from-scratch") {
+    // fixture mixes the decontaminate shapes: an eval doc with a
+    // contaminated train copy, boilerplate above dfCap, a unique doc,
+    // and a sub-n doc that must carry no postings
+    val evalTxt = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val boiler = "shared boilerplate header text that occurs across very many training pages verbatim"
+    val docs = (Seq(
+      (1L, evalTxt, "src0"),
+      (201L, evalTxt, "src1"),
+      (202L, "one two three four five six seven eight nine ten eleven twelve", "src1"),
+      (203L, "tiny doc", "src1")) ++
+      (300L until 325L).map(i => (i, boiler, "src2")))
+      .toDF("doc_id", "text", "source")
+    val root = java.nio.file.Files
+      .createTempDirectory("gram_index_spec").toString + "/postings"
+    Dedup.gramIndexIngest(docs, root)
+    val idx = Dedup.gramIndex(spark, root)
+    // postings survive the parquet round trip exactly
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(idx) == rows(Dedup.gramPostings(docs)))
+    // sub-n doc has no postings
+    assert(idx.filter(col("doc_id") === 203L).count() == 0)
+    // both consumers: index-derived == from-scratch
+    assert(rows(Dedup.dupCoverageFrom(idx)) == rows(Dedup.dupCoverage(docs)))
+    assert(rows(Dedup.contaminationPairsFrom(idx)) ==
+      rows(Dedup.contaminationPairs(docs)))
+    assert(Dedup.contaminationPairsFrom(idx)
+      .select("train_doc").as[Long].collect().toSet == Set(201L))
+  }
+
   test("similarityJoin regimes agree pairwise across the crossover taus") {
     // the tau-dispatch constant is a PHYSICAL choice only: both regimes
     // must return the identical pair set (same jaccard values) at every

@@ -104,6 +104,8 @@ TYPICAL = {
                                   # single-task sort)
     "q93_ntile_curriculum": 1.5,  # per-lang quartile windows
     "q87_dup_coverage": 1.3,      # 8-gram explode + df join
+    "q125_gram_index": 1.8,       # writes the postings index, then answers
+                                  # q87+q62 from it (ingest-then-scan)
     "q68_boilerplate": 1.2,       # gram expansion + per-lang window top-k
     "q82_regional_revenue": 1.1,  # six-table broadcast chain
     "q62_contamination": 1.2,
