@@ -71,8 +71,14 @@ TYPICAL = {
                                   # production path is measured solo in
                                   # BENCHMARKS.md "DOULION"
     "q89_pagerank": 1.5,          # 10 chained iterations, stage-latency
-    "q104_pq_ann": 3.0,           # k-means jobs + 256-kernel encode
-                                  # (codegen compile dominates at toy SF)
+    "q104_pq_ann": 3.5,           # k-means jobs + 256-kernel encode
+                                  # (codegen compile dominates at toy SF).
+                                  # r9 adjudication of the r8 breach
+                                  # (5.21s vs 5.2s budget): solo QueryProbe
+                                  # 5 reps steady 2.2-2.7s with BYTE-
+                                  # IDENTICAL volume (shuffle 50KB, zero
+                                  # spill) — in-suite accumulation/jitter,
+                                  # the q92 class; 3.0 left zero margin
     "q122_pq_scan": 3.5,          # q104's training + the ingest-then-scan
                                   # split: codes written to parquet and
                                   # re-read (probed steady 2.5-2.7 at
@@ -83,7 +89,9 @@ TYPICAL = {
     "q114_bm25_rerank": 1.2,      # BM25 shortlist + pruned LM stage
     "q66_unigram_lm": 0.7,        # measured steady state 0.7-1.2s (tf
                                   # exchange reuse); 2.2s one-off was GC
-    "q96_dataset_build": 0.8,
+    "q96_dataset_build": 1.0,     # r9: recalibrated under the r8
+                                  # collect()+observe action (r8 in-suite
+                                  # 1.01 at box 0.69; solo 0.75-0.84)
     "q71_heavy_hitters": 1.0,     # probed steady state 1.0-1.3s at cpus=32
     "q56_curation": 0.7,
     # r5: q59 became the recall contract — it runs the FULL lossless
@@ -107,7 +115,9 @@ TYPICAL = {
     "q125_gram_index": 1.8,       # writes the postings index, then answers
                                   # q87+q62 from it (ingest-then-scan)
     "q68_boilerplate": 1.2,       # gram expansion + per-lang window top-k
-    "q82_regional_revenue": 1.1,  # six-table broadcast chain
+    "q82_regional_revenue": 1.2,  # six-table broadcast chain (r9: +0.1
+                                  # for the collect()+observe action —
+                                  # r8 in-suite 1.13 at box 0.69)
     "q62_contamination": 1.2,
     "q119_decontaminate": 1.3,    # q62's gram workload + the kept/dropped
                                   # rollup — budget with q62, not DEFAULT
