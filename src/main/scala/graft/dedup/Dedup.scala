@@ -889,7 +889,8 @@ object Dedup {
     * index-only. The write is the one-time cost a curation pass
     * amortizes over every gram query it runs. */
   def qGramIndex(spark: SparkSession, d: String): DataFrame = {
-    val root = sys.props("java.io.tmpdir") + "/graft_gram_index"
+    // collision-free (dataset, app id)-keyed root — see ops.Scratch
+    val root = graft.ops.Scratch.root(spark, d, "gram_index")
     gramIndexIngest(Tables.documents(spark, d), root)
     val postings = gramIndex(spark, root)
     val cov = dupCoverageFrom(postings)

@@ -104,8 +104,8 @@ object Extra {
     * parallelism, total files = years × cores/4 — bounded both ways,
     * no small-file explosion, no serialized dirs. */
   def q44PartitionPruning(spark: SparkSession, d: String): DataFrame = {
-    // absolute scratch path: Verify/Bench may run from any cwd
-    val root = sys.props("java.io.tmpdir") + "/graft_partition_demo"
+    // absolute (dataset, app id)-keyed scratch path — see ops.Scratch
+    val root = graft.ops.Scratch.root(spark, d, "partition_demo")
     graft.sources.IO.hivePartitionedParquetSalted(
       Tables.lineitem(spark, d)
         .withColumn("ship_year", year(col("l_shipdate"))),
@@ -199,7 +199,7 @@ object Extra {
     * read back; the oracle reads the SOURCE table, so any row lost or
     * mangled by the ORC writer/reader fails the hash. */
   def q117OrcRoundtrip(spark: SparkSession, d: String): DataFrame = {
-    val root = sys.props("java.io.tmpdir") + "/graft_orc_demo"
+    val root = graft.ops.Scratch.root(spark, d, "orc_demo")
     graft.sources.IO.orcSink(Tables.nation(spark, d), root)
     graft.sources.IO.orc(spark, root)
       .select("n_nationkey", "n_name", "n_regionkey")

@@ -261,8 +261,11 @@ object Pq {
     * hot path) regression inside training noise; tools.PqBench times each
     * side, BENCHMARKS.md records them. */
   def pqIngest(spark: SparkSession, d: String,
-               root: String = sys.props("java.io.tmpdir") + "/graft_pq_codes")
-      : (Codebooks, Long, String) = {
+               root0: String = null): (Codebooks, Long, String) = {
+    // collision-free default: keyed by (dataset, app id) — a fixed name
+    // let two concurrent drivers cross-read each other's codes (r8 flag)
+    val root =
+      if (root0 != null) root0 else graft.ops.Scratch.root(spark, d, "pq_codes")
     val emb = Tables.embeddings(spark, d)
     val n = emb.count()
     val par = emb.sparkSession.sparkContext.defaultParallelism

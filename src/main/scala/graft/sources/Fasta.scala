@@ -69,7 +69,7 @@ object Fasta {
     * Distinct-sequence counting goes through md5 fingerprints so the
     * distinct shuffle carries 16-byte keys, not document bodies. */
   def qFastaRoundtrip(spark: SparkSession, d: String): DataFrame = {
-    val root = sys.props("java.io.tmpdir") + "/graft_fasta_demo"
+    val root = graft.ops.Scratch.root(spark, d, "fasta_demo")
     val docs = Tables.documents(spark, d)
       .withColumn("seq", regexp_replace(lower(col("text")), "[^a-z]", ""))
     write(docs, "doc_id", "lang", "seq", root)

@@ -240,6 +240,30 @@ class DedupSpec extends SparkSpec {
       .select("train_doc").as[Long].collect().toSet == Set(201L))
   }
 
+  test("scratch index roots are (dataset, session)-keyed; interleaved " +
+       "ingests against different datasets don't cross-read") {
+    import graft.ops.Scratch
+    // distinct per dataset and per kind; stable for the same pair — the
+    // r8 fixed-name roots let a second driver's ingest silently replace
+    // this driver's index between its ingest and its query
+    val rootA = Scratch.root(spark, sf, "gram_ix_spec")
+    val rootB = Scratch.root(spark, "/root/testdata/sf0.01", "gram_ix_spec")
+    assert(rootA != rootB, "dataset must key the root")
+    assert(rootA == Scratch.root(spark, sf, "gram_ix_spec"), "root must be stable")
+    assert(rootA != Scratch.root(spark, sf, "pq_ix_spec"), "kind must key the root")
+    // interleave the qGramIndex lifecycle of two runs: A ingests, B
+    // ingests (mid-flight), A queries — A must still see ITS postings
+    val docsA = Tables.documents(spark, sf)
+    val docsB = Tables.documents(spark, "/root/testdata/sf0.01")
+    Dedup.gramIndexIngest(docsA, rootA)
+    Dedup.gramIndexIngest(docsB, rootB)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Dedup.dupCoverageFrom(Dedup.gramIndex(spark, rootA))) ==
+      rows(Dedup.dupCoverage(docsA)),
+      "interleaved ingest corrupted the standing index")
+  }
+
   test("similarityJoin regimes agree pairwise across the crossover taus") {
     // the tau-dispatch constant is a PHYSICAL choice only: both regimes
     // must return the identical pair set (same jaccard values) at every
