@@ -164,22 +164,44 @@ object Dedup {
     * anti-join. Result ≡ plain anti-join (DedupSpec pins equality).
     *
     * At 100 TB: the corpus fingerprint table never shuffles against the
-    * full batch — only the ~fpp-sized candidate slice joins. The bloom
-    * here is a driver-built `stat.bloomFilter` (one aggregation pass,
-    * O(bits) driver memory); at lake scale you build per-bucket blooms
-    * alongside a bucketed fingerprint table and broadcast per-bucket. */
+    * full batch — only the ~fpp-sized candidate slice joins. The bloom is
+    * built with Spark's `bloom_filter_agg` AGGREGATE (one pass, O(bits)
+    * driver memory) and tested with the `might_contain` EXPRESSION — both
+    * native Catalyst, so the membership probe stays inside whole-stage
+    * codegen instead of a serialized Scala closure per row (the r8 UDF
+    * shape; PlanAuditSpec pins no-ScalaUDF). At lake scale you build
+    * per-bucket blooms alongside a bucketed fingerprint table and
+    * broadcast per-bucket.
+    *
+    * One-pass routing: `might` is computed as a COLUMN and carried into
+    * the join condition, so the incoming batch is scanned once — the r8
+    * `definiteNew`/`candidates` branch pair referenced the batch twice
+    * (DataFrames get no CSE across reuse, the q59 pitfall) and scanned it
+    * twice. Bloom-rejected rows keep their real fp as join key (no
+    * null-key skew) but can never match: the `might` conjunct rejects
+    * them before the probe, and the bloom's no-false-negative guarantee
+    * makes that rejection lossless — result ≡ plain anti-join (DedupSpec
+    * pins equality). */
   def bloomDedup(incoming: DataFrame, corpusFps: DataFrame,
                  expectedItems: Long = 100000L, fpp: Double = 0.01): DataFrame = {
-    val bf = corpusFps.stat.bloomFilter("fp", expectedItems, fpp)
-    val might = udf((s: String) => bf.mightContain(s))
-    val keyed = incoming.withColumn("fp", md5(col("text")))
-    val definiteNew = keyed.filter(!might(col("fp")))
-    val candidates = keyed.filter(might(col("fp")))
-    definiteNew.withColumn("is_dup", lit(false))
-      .unionByName(candidates
-        .join(corpusFps.select(col("fp"), lit(true).as("is_dup")),
-          Seq("fp"), "left")
-        .withColumn("is_dup", coalesce(col("is_dup"), lit(false))))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    // md5 strings enter the sketch through xxhash64: bloom_filter_agg /
+    // might_contain key on longs, and any deterministic string→long map
+    // preserves "no false negatives" as long as BOTH sides use it
+    val bfBytes = corpusFps
+      .agg(graft.functions.exprs.bloomFilterAgg(xxhash64(col("fp")),
+        expectedItems, numBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val might =
+      if (bfBytes == null) lit(false) // empty corpus: everything is new
+      else graft.functions.exprs.bloomMightContain(bfBytes, xxhash64(col("fp")))
+    incoming.withColumn("fp", md5(col("text")))
+      .withColumn("bloom_might", might)
+      .join(corpusFps.select(col("fp").as("corpus_fp"), lit(true).as("hit")),
+        col("fp") === col("corpus_fp") && col("bloom_might"), "left")
+      .withColumn("is_dup", coalesce(col("hit"), lit(false)))
+      .drop("corpus_fp", "hit", "bloom_might")
   }
 
   /** Bloom-dedup classification report: src0 as the incoming batch vs the

@@ -155,4 +155,23 @@ object exprs {
     GraftBridge.column(FloatVecDot(e(a), e(b)))
   def zorder2(a: Column, b: Column): Column =
     GraftBridge.column(ZOrder2(e(a), e(b)))
+
+  /** Spark's native bloom sketch pair (the expressions behind the
+    * optimizer's runtime join filters), exposed as Columns — they are not
+    * in the public FunctionRegistry, but they ARE the codegen'd
+    * replacement for a per-row `udf(bf.mightContain)` closure on the
+    * ingest path. `bloomFilterAgg` builds the sketch as one aggregation
+    * over a LONG column; `bloomMightContain` tests a long against the
+    * collected sketch bytes as a foldable plan literal. */
+  def bloomFilterAgg(value: Column, expectedItems: Long, numBits: Long): Column =
+    GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        e(value),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+  def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        e(org.apache.spark.sql.functions.lit(bloomBytes)), e(value)))
 }

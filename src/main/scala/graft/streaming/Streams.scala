@@ -164,12 +164,21 @@ object Streams {
     import graft.dedup.Dedup
     val keys = Dedup.corpusBandKeys(corpusDocs).persist()
     val n = if (expectedItems > 0) expectedItems else math.max(keys.count(), 1L)
-    val bf = keys.stat.bloomFilter("band_key", n, fpp)
+    // native bloom_filter_agg / might_contain (band keys are already
+    // longs): the per-row membership probe is a Catalyst expression, not
+    // a serialized Scala closure — the same r9 change as Dedup.bloomDedup
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    val bfBytes = keys
+      .agg(graft.functions.exprs.bloomFilterAgg(col("band_key"), n, numBits)
+        .as("bf"))
+      .head.getAs[Array[Byte]](0)
     keys.unpersist()
-    val might = udf((k: Long) => bf.mightContain(k))
+    val flag =
+      if (bfBytes == null) lit(false) // empty corpus: no candidates
+      else exists(col("band_keys"),
+        k => graft.functions.exprs.bloomMightContain(bfBytes, k))
     Dedup.withBandKeys(docs)
-      .withColumn("near_dup_candidate",
-        col("has_sig") && exists(col("band_keys"), k => might(k)))
+      .withColumn("near_dup_candidate", col("has_sig") && flag)
       .drop("band_keys", "has_sig")
   }
 

@@ -287,6 +287,26 @@ class PlanAuditSpec extends SparkSpec {
       "centroid assignment must be a map-only narrow projection")
   }
 
+  test("bloomDedup: ONE scan of the incoming batch, codegen might_contain, " +
+       "no ScalaUDF") {
+    import spark.implicits._
+    // incoming from parquet so scans are countable; corpus in-memory so
+    // its side prints as LocalTableScan, not a second parquet scan
+    val incoming = Tables.documents(spark, sf).filter(col("source") === "src0")
+    val corpus = Tables.documents(spark, sf).filter(col("source") =!= "src0")
+      .select(md5(col("text")).as("fp")).distinct()
+      .as[String].collect().toSeq.toDF("fp")
+    val out = graft.dedup.Dedup.bloomDedup(incoming, corpus)
+    val p = plan(out)
+    assert(p.contains("might_contain"),
+      s"bloom membership must be the native might_contain expression:\n$p")
+    assert(!p.contains("ScalaUDF"),
+      s"no serialized closure on the ingest path:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1,
+      s"incoming batch must be scanned exactly once, found $scans scans:\n$p")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     val conf = spark.conf
     val saved = Seq(
