@@ -178,10 +178,15 @@ object Graph {
   def trianglesSampled(edges: DataFrame, keepNum: Int, keepDen: Int): DataFrame = {
     val num3 = keepNum.toLong * keepNum * keepNum
     val den3 = keepDen.toLong * keepDen * keepDen
+    // round-half-up integer scaling: floor division biased the estimate
+    // DOWN by up to (num3-1)/num3 triangles whenever num3 ∤ n·den3 (any
+    // keepNum > 1 — e.g. keep 2/3 scales by 27/8); adding num3/2 before
+    // the divide keeps the arithmetic exact-integer (engine-portable)
+    // and the estimator unbiased after 1/p³ scaling
     trianglesOriented(sparsifyUndirected(edges, keepNum, keepDen))
       .agg(count(lit(1)).as("n_sampled"))
       .select(col("n_sampled"),
-        expr(s"n_sampled * $den3 div $num3").as("est"))
+        expr(s"(n_sampled * $den3 + ${num3 / 2}) div $num3").as("est"))
   }
 
   /** Connected components by iterative min-label propagation: every

@@ -109,10 +109,21 @@ object StreamBench {
       q.exception.foreach(e => sys.error(s"stream failed: $e"))
       require(sinkCount(out) == expect,
         s"sink has ${sinkCount(out)} rows, expected $expect")
-      // listener delivery is async; give the bus a moment to drain the
-      // final progress event before reading the accumulator
-      Thread.sleep(1000)
+      // listener delivery is async: a fixed sleep is a race on a loaded
+      // box (the final micro-batch's progress event can arrive later and
+      // silently understate batches/max-state). Poll the accumulator
+      // until its batch count stops moving for a grace period — the
+      // QueryProbe quiescence pattern, capped at 10 s as a safety valve.
       val a = progress.acc(q.runId)
+      var last = -1
+      var stableMs = 0
+      var waitedMs = 0
+      while (stableMs < 600 && waitedMs < 10000) {
+        val cur = a.synchronized(a.batches)
+        if (cur == last) stableMs += 150 else { stableMs = 0; last = cur }
+        Thread.sleep(150)
+        waitedMs += 150
+      }
       a.synchronized { (sec, a.batches, a.maxStateRows, a.maxStateMem, a.maxSst) }
     }
 

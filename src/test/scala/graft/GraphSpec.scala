@@ -119,6 +119,21 @@ class GraphSpec extends SparkSpec {
       Graph.sparsifyUndirected(edges, 1, 2)).count())
   }
 
+  test("trianglesSampled scales by round-half-up, not floor, for keepNum > 1") {
+    import spark.implicits._
+    // keep 2/3 scales by 27/8 — floor division biased every non-multiple
+    // DOWN (the r8 ADVICE find); est must equal round-half-up(n·27/8)
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 900)
+      .map(_ => (s"v%02d".format(rnd.nextInt(40)), s"v%02d".format(rnd.nextInt(40))))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val r = Graph.trianglesSampled(edges, 2, 3).collect().head
+    val (n, est) = (r.getLong(0), r.getLong(1))
+    assert(n > 0, "sampled census must be non-trivial on this graph")
+    assert(est == (n * 27 + 4) / 8,
+      s"expected round-half-up (n=$n → ${(n * 27 + 4) / 8}), got $est")
+  }
+
   test("supernode cap: capped triangles are a subset avoiding hot vertices") {
     def triSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
