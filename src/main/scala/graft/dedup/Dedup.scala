@@ -752,6 +752,56 @@ object Dedup {
   def gramIndex(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(root)
 
+  /** BUCKETED ingest — the exchange-free cluster form the plain-parquet
+    * scaladoc promised: postings saved as a bucketed+sorted table on `g`,
+    * so the df aggregation (`groupBy(g)`) and every gram join whose both
+    * sides read this table (eval⋈train contamination, postings⋈df) start
+    * from HashPartitioning(g, buckets) and plan with NO shuffle exchange
+    * on g (PlanAuditSpec pins it; BENCHMARKS.md records the shuffle-bytes
+    * delta vs the plain index). The trade is write-side: bucketBy
+    * shuffles the postings once at ingest — paid once, saved by every
+    * consumer of the index thereafter. Read back with [[gramIndexBucketed]]. */
+  def gramIndexIngestBucketed(docs: DataFrame, table: String, n: Int = 8,
+                              buckets: Int = 32): Unit =
+    graft.ops.Scale.writeBucketed(gramPostings(docs, n), table, "g", buckets)
+
+  /** The bucketed standing index (metastore table, bucket-aware scan). */
+  def gramIndexBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** Mergeable df state of ONE postings batch — the gram-index twin of
+    * [[graft.ops.Incremental.aggState]]: df counts are a sum, so partial
+    * per-batch counts merged by SUM equal the from-scratch aggregate for
+    * ANY batch split (commutative monoid; DedupSpec property-pins a
+    * random split). */
+  def gramDfState(postings: DataFrame): DataFrame =
+    postings.groupBy("g").agg(count(lit(1)).as("df_part"))
+
+  /** Incremental index maintenance: append one batch's postings to the
+    * standing index PARTITION-WISE (a parquet file append — the batch's
+    * postings never shuffle) and append its df partial state to the
+    * `<root>_df` sidecar (aggregating ONLY the delta — the
+    * ops.Incremental discipline). A daily curation pass thus pays
+    * O(batch), never O(corpus): the full postings re-tokenize and the
+    * full df re-aggregation both disappear. Appending to empty roots
+    * bootstraps the index, so ingest == first append. Consumers are
+    * unchanged: [[gramIndex]] reads the union of appended batches;
+    * [[gramIndexDf]] merges the sidecar partials by sum. */
+  def gramIndexAppend(newDocs: DataFrame, root: String, n: Int = 8): Unit = {
+    val p = gramPostings(newDocs, n).persist() // one tokenize pass, two sinks
+    try {
+      p.write.mode("append").parquet(root)
+      gramDfState(p).write.mode("append").parquet(root + "_df")
+    } finally { p.unpersist(); () }
+  }
+
+  /** The maintained df aggregate: merge the appended partials by sum —
+    * equals `gramPostings(allDocs).groupBy(g).count()` exactly, without
+    * touching the postings (or the text) of any prior batch. */
+  def gramIndexDf(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(root + "_df")
+      .groupBy("g").agg(sum(col("df_part")).as("df"))
+
   /** [[contaminationPairs]] over an existing postings frame (from
     * [[gramPostings]] or the persisted [[gramIndex]]). */
   def contaminationPairsFrom(postings: DataFrame, dfCap: Int = 20,

@@ -230,6 +230,94 @@ object Pq {
       .limit(k)
   }
 
+  /** Batched ADC: ONE codes scan answers a whole query batch — the
+    * production retrieval shape ([[adcTopK]]/[[adcTopKOnCodes]] answer a
+    * single query per scan; real serving amortizes the scan, which at
+    * 10^11 vectors is the entire cost, over every query in the batch).
+    *
+    * Plan: all Q per-query M×K distance tables ride the plan as ONE 3-D
+    * literal (Q·M·K doubles — model-sized); each codes row computes its Q
+    * ADC distances in a single projection (fixed subspace order → sums
+    * bit-identical to the single-query plan) and posexplodes to
+    * (query, dist) pairs MAP-SIDE; per-query shortlists come from the
+    * bounded [[graft.functions.TopKByScore]] aggregate, so the only
+    * shuffle after the scan is O(Q × k·refine) buffer rows — never the
+    * N×Q scored pairs (a window row_number here would sort all of them:
+    * the knnJoin anti-pattern note). The exact re-rank then touches float
+    * vectors for the Q·k·refine shortlist rows only, with both the
+    * shortlist and the Q query vectors broadcast.
+    *
+    * Per query, the output is IDENTICAL to [[adcTopKOnCodes]] — same
+    * shortlist set (TopKByScore's (score desc, id asc) == (adc_dist asc,
+    * vec_id asc)), same re-rank order — PqSpec pins batch == Q
+    * single-query runs row-for-row. Returns (q_id, rk, vec_id, cos_sim). */
+  def adcTopKBatch(codes: DataFrame, emb: DataFrame, queryIds: Seq[Long],
+                   k: Int, books: Codebooks, refine: Int = 0,
+                   corpusSize: Long = -1L): DataFrame = {
+    require(queryIds.nonEmpty, "adcTopKBatch: empty query batch")
+    val m = books.length
+    val sub = books.head.head.length
+    val refine2 =
+      if (refine > 0) refine
+      else math.max(10L,
+        (if (corpusSize >= 0L) corpusSize else codes.count()) / 2000).toInt
+    val qIds = queryIds.distinct.sorted
+    // the Q query vectors: a model-sized driver pull (the query BATCH is
+    // small by definition; the corpus never leaves the executors)
+    val qVecs = emb.filter(col("vec_id").isInCollection(qIds))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    require(qVecs.size == qIds.size,
+      s"adcTopKBatch: missing query vectors for ${qIds.filterNot(qVecs.contains)}")
+    val tables: Seq[Seq[Seq[Double]]] = qIds.map { id =>
+      val q = qVecs(id)
+      books.zipWithIndex.map { case (cents, mi) =>
+        cents.map { c =>
+          var s = 0.0
+          var i = 0
+          while (i < sub) {
+            val dlt = q(mi * sub + i).toDouble - c(i)
+            s += dlt * dlt
+            i += 1
+          }
+          s
+        }.toSeq
+      }.toSeq
+    }
+    val t = typedlit(tables)
+    val qIdsLit = typedlit(qIds)
+    def adcFor(qi: Int): Column = (0 until m).map { mi =>
+      element_at(element_at(element_at(t, qi + 1), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+    val shortTopK = udaf(new graft.functions.TopKByScore(k * refine2))
+    val shortlist = codes
+      .select(col("vec_id"),
+        posexplode(array(qIds.indices.map(adcFor): _*)).as(Seq("qi", "adc_dist")))
+      .filter(element_at(qIdsLit, col("qi") + 1) =!= col("vec_id"))
+      .groupBy("qi")
+      // negated distance: TopKByScore keeps (score desc, id asc) ==
+      // (adc_dist asc, vec_id asc), the single-query shortlist order
+      .agg(shortTopK(-col("adc_dist"), col("vec_id")).as("top"))
+      .select(element_at(qIdsLit, col("qi") + 1).as("q_id"),
+        explode(col("top")).as("entry"))
+      .select(col("q_id"), col("entry._2").as("vec_id"))
+    val qSide = emb.filter(col("vec_id").isInCollection(qIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val finalTopK = udaf(new graft.functions.TopKByScore(k))
+    emb.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qSide), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.cosCol(col("embedding"), col("q_embedding")), 6)
+          .as("cos_sim"))
+      .groupBy("q_id")
+      .agg(finalTopK(col("cos_sim"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("entry._2").as("vec_id"), col("entry._1").as("cos_sim"))
+      .orderBy("q_id", "rk")
+  }
+
   /** PQ-ANN top-10 for query vec_id=0, as its oracle-checkable contract
     * ([[graft.similarity.Similarity.annContract]], floor calibrated from
     * measured 0.8–0.9 single-query recall); the raw neighbor list and
@@ -290,11 +378,81 @@ object Pq {
       emb, 0L, 10, minRecall = 0.6)
   }
 
+  /** Per-query [[Similarity.annContract]] over a batched ANN result — one
+    * contract row per query, same columns/convention as the single-query
+    * contract (the exact side KEEPS the query itself, as bruteForceTopK
+    * does; the recall floors are calibrated against that). The exact side
+    * is one corpus scan for the whole batch (broadcast query side +
+    * bounded top-k aggregate — the knnJoin shape), so the oracle check
+    * itself scales the way the engine does. */
+  def annContractBatch(ann: DataFrame, emb: DataFrame, queryIds: Seq[Long],
+                       k: Int, minRecall: Double): DataFrame = {
+    val qIds = queryIds.distinct.sorted
+    val qSide = emb.filter(col("vec_id").isInCollection(qIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val topK = udaf(new graft.functions.TopKByScore(k))
+    val bf = emb.crossJoin(broadcast(qSide))
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.cosCol(col("embedding"), col("q_embedding")), 6)
+          .as("cos_sim"))
+      .groupBy("q_id").agg(topK(col("cos_sim"), col("vec_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("entry"))
+      .select(col("q_id"), col("entry._2").as("vec_id"),
+        col("entry._1").as("cos_sim"))
+    ann.select(col("q_id"), col("vec_id")).withColumn("in_ann", lit(1))
+      .join(bf.withColumn("in_bf", lit(1)), Seq("q_id", "vec_id"), "full_outer")
+      .groupBy("q_id")
+      .agg(count(col("in_ann")).as("n_ann"),
+        count(when(col("in_ann").isNotNull &&
+          col("in_bf").isNotNull, 1)).as("n_hits"),
+        min(col("cos_sim")).as("exact_topk_min_cos"))
+      .select(col("q_id"), lit(k).as("k"), col("n_ann"),
+        col("exact_topk_min_cos"),
+        (col("n_hits").cast("double") / k >= minRecall).as("recall_ok"))
+      .orderBy("q_id")
+  }
+
+  /** q126: batched ADC over the standing codes table — one index scan
+    * answers four queries, each held to the same recall contract as the
+    * single-query q104/q122 (floor 0.5: measured per-query recall of the
+    * md5-seeded codebooks on the synthetic vectors is 0.6–0.9 across
+    * sf0.001–0.1 for vec_ids 0–3; single-query recall on near-random
+    * vectors is intrinsically modest — annContract scaladoc). */
+  def qPqBatch(spark: SparkSession, d: String): DataFrame = {
+    val (books, n, root) = pqIngest(spark, d)
+    val emb = Tables.embeddings(spark, d)
+    val codes = spark.read.parquet(root)
+    val qIds = Seq(0L, 1L, 2L, 3L)
+    annContractBatch(
+      adcTopKBatch(codes, emb, qIds, k = 10, books, corpusSize = n),
+      emb, qIds, 10, minRecall = 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_pq_ann" -> (qPqAnn _),
-    "q122_pq_scan" -> (qPqScan _))
+    "q122_pq_scan" -> (qPqScan _),
+    "q126_pq_batch" -> (qPqBatch _))
+
+  /** q126's oracle: the per-query exact top-k contract — DuckDB
+    * recomputes each query's brute-force top-10 min cosine and pins
+    * n_ann = k and recall_ok TRUE for every query in the batch. */
+  private val annContractBatchOracle: String = s"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_embedding
+               FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+    ranked AS (
+      SELECT q.q_id, e.vec_id,
+             ROUND(${Similarity.duckCos("e.embedding", "q_embedding")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY ROUND(${Similarity.duckCos("e.embedding", "q_embedding")}, 6) DESC,
+                        e.vec_id) AS rn
+      FROM embeddings e CROSS JOIN q)
+    SELECT q_id, 10 AS k, CAST(10 AS BIGINT) AS n_ann,
+           MIN(cos_sim) AS exact_topk_min_cos, TRUE AS recall_ok
+    FROM ranked WHERE rn <= 10 GROUP BY q_id ORDER BY q_id"""
 
   val oracles: Map[String, String] = Map(
     "q104_pq_ann" -> Similarity.annContractOracle,
-    "q122_pq_scan" -> Similarity.annContractOracle)
+    "q122_pq_scan" -> Similarity.annContractOracle,
+    "q126_pq_batch" -> annContractBatchOracle)
 }

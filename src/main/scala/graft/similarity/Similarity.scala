@@ -376,7 +376,7 @@ object Similarity {
 
   // DuckDB twin of the sequential-fold cosine. list_inner_product sums in
   // a possibly different order; round(6) absorbs the ulp difference.
-  private def duckCos(a: String, b: String) =
+  private[similarity] def duckCos(a: String, b: String) =
     s"list_inner_product($a::DOUBLE[], $b::DOUBLE[]) / " +
     s"(sqrt(list_inner_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_inner_product($b::DOUBLE[], $b::DOUBLE[])))"
 

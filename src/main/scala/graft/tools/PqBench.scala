@@ -32,11 +32,31 @@ object PqBench {
       time(Pq.pqQuery(spark, sfDir, root, books, n).count())._2
     }
     val querySec = queryTimes.sum / reps
+    // batched amortization: ONE codes scan answering Q queries vs Q
+    // single-query scans — the number that justifies adcTopKBatch (q126).
+    // Timed over the same standing codes table, same warm JVM.
+    val qIds = Seq(0L, 1L, 2L, 3L)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val codes = spark.read.parquet(root)
+    Pq.adcTopKBatch(codes, emb, qIds, 10, books, corpusSize = n).count() // warm
+    val batchTimes = (1 to reps).map { _ =>
+      time(Pq.adcTopKBatch(codes, emb, qIds, 10, books, corpusSize = n)
+        .count())._2
+    }
+    val singlesTimes = (1 to reps).map { _ =>
+      time(qIds.foreach(q =>
+        Pq.adcTopKOnCodes(codes, emb, q, 10, books, corpusSize = n)
+          .count()))._2
+    }
+    val batchSec = batchTimes.sum / reps
+    val singlesSec = singlesTimes.sum / reps
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
     println(s"""{"metric":"pq_split","sf":"$sfDir","n_vectors":$n,""" +
       s""""pq_ingest_sec":${ms(ingestSec)},"pq_query_sec":${ms(querySec)},""" +
       s""""query_reps":$reps,"query_min_sec":${ms(queryTimes.min)},""" +
-      s""""query_max_sec":${ms(queryTimes.max)}}""")
+      s""""query_max_sec":${ms(queryTimes.max)},""" +
+      s""""batch_q":${qIds.size},"batch_sec":${ms(batchSec)},""" +
+      s""""singles_sec":${ms(singlesSec)}}""")
     spark.stop()
   }
 }

@@ -264,6 +264,30 @@ class DedupSpec extends SparkSpec {
       "interleaved ingest corrupted the standing index")
   }
 
+  test("gram index append: incremental == from-scratch on a random split; " +
+       "df sidecar merges by sum") {
+    val docs = Tables.documents(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("gram_append_spec").toString + "/postings"
+    // arbitrary hash split — the monoid property must hold for ANY split;
+    // appending to empty roots bootstraps the index (ingest == append #1)
+    val a = docs.filter(abs(xxhash64(col("doc_id"))) % 3 === 0)
+    val b = docs.filter(abs(xxhash64(col("doc_id"))) % 3 =!= 0)
+    Dedup.gramIndexAppend(a, root)
+    Dedup.gramIndexAppend(b, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // appended postings == one-shot postings of the union
+    assert(rows(Dedup.gramIndex(spark, root)) == rows(Dedup.gramPostings(docs)))
+    // maintained df (sum of per-batch partials) == from-scratch df
+    assert(rows(Dedup.gramIndexDf(spark, root)) ==
+      rows(Dedup.gramPostings(docs).groupBy("g")
+        .agg(sum(lit(1L)).as("df"))))
+    // consumers unchanged over the appended index
+    assert(rows(Dedup.dupCoverageFrom(Dedup.gramIndex(spark, root))) ==
+      rows(Dedup.dupCoverage(docs)))
+  }
+
   test("similarityJoin regimes agree pairwise across the crossover taus") {
     // the tau-dispatch constant is a PHYSICAL choice only: both regimes
     // must return the identical pair set (same jaccard values) at every

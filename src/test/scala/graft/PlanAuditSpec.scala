@@ -287,6 +287,37 @@ class PlanAuditSpec extends SparkSpec {
       "centroid assignment must be a map-only narrow projection")
   }
 
+  test("bucketed gram index: df aggregation and eval⋈train gram join run " +
+       "with NO shuffle exchange") {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, sf)
+    Dedup.gramIndexIngestBucketed(docs, "gram_bucketed_spec")
+    val idx = Dedup.gramIndexBucketed(spark, "gram_bucketed_spec")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the shuffle-join shape (tiny SF would broadcast and prove
+    // nothing); at index scale SMJ is what the planner picks anyway
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dfAgg = idx.groupBy("g").agg(count(lit(1)).as("df"))
+      dfAgg.collect()
+      assert(Scale.countExchanges(dfAgg) == 0,
+        s"bucketed df aggregation must not exchange:\n${plan(dfAgg)}")
+      val evalG = idx.filter(col("source") === "src0")
+        .select(col("doc_id").as("eval_doc"), col("g"))
+      val trainG = idx.filter(col("source") =!= "src0")
+        .select(col("doc_id").as("train_doc"), col("g"))
+      val joined = evalG.join(trainG, "g")
+      joined.collect()
+      assert(Scale.countExchanges(joined) == 0,
+        s"bucketed eval⋈train gram join must not exchange:\n${plan(joined)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // and the bucketed index answers the consumers identically
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Dedup.dupCoverageFrom(idx.select("doc_id", "source", "g"))) ==
+      rows(Dedup.dupCoverage(docs)))
+  }
+
   test("bloomDedup: ONE scan of the incoming batch, codegen might_contain, " +
        "no ScalaUDF") {
     import spark.implicits._

@@ -114,6 +114,28 @@ class SimilaritySpec extends SparkSpec {
     assert(onCodes === inline)
   }
 
+  test("PQ: batched ADC == the Q single-query runs, row-for-row") {
+    import graft.similarity.Pq
+    val emb = Tables.embeddings(spark, sf)
+    val books = Pq.trainCodebooks(emb)
+    val codes = Pq.encode(emb, books).select("vec_id", "codes")
+    val qIds = Seq(0L, 1L, 2L, 3L)
+    val batch = Pq.adcTopKBatch(codes, emb, qIds, 10, books)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // the amortized one-scan batch must reproduce each single-query plan
+    // exactly: same shortlist order (TopKByScore == orderBy+limit), same
+    // re-rank — any divergence means the batch is a different algorithm
+    for (q <- qIds) {
+      val single = Pq.adcTopKOnCodes(codes, emb, q, 10, books)
+        .collect().zipWithIndex
+        .map { case (r, i) => (q, i + 1, r.getLong(0), r.getDouble(1)) }
+        .toSeq
+      assert(batch.filter(_._1 == q) == single, s"batch diverges for query $q")
+    }
+  }
+
   test("k-means training: deterministic, unit-norm, improves over init") {
     val emb = Tables.embeddings(spark, sf)
     val a = Similarity.trainCentroids(emb, k = 8, iters = 2)
