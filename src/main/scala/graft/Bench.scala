@@ -23,6 +23,15 @@ object Bench {
       sum(col("n_chunks")).as("chunks"),
       sum(col("chunk_tokens")).as("chunk_tokens"))))
 
+  /** Queries whose plans already carry IN-PLAN `observe` nodes (wedge
+    * count, sampled-edge count, PQ shortlist size, CC rounds — the five
+    * expensive-tail queries where a budget breach needs its volume
+    * context, r9). They are collect()ed so the metrics land on the
+    * acted-on QueryExecution, and every named observation row is
+    * harvested — no wrapper needed. */
+  private val observedInPlan = Set("q123_triangles", "q124_triangles_sampled",
+    "q104_pq_ann", "q122_pq_scan", "q73_dedup_clusters")
+
   /** Per-query JVM isolation (`SPARK_GRAFT_BENCH_FORK=1`): run every
     * registry query in a FRESH child JVM and aggregate the children's
     * JSON. In-suite numbers share one JVM across 242 executions, and
@@ -134,15 +143,22 @@ object Bench {
       // stdout stays a single JSON line; failures go to stderr so a broken
       // query is visible instead of silently benching as wall-clock-to-throw
       try {
-        observes.get(name) match {
-          case Some(wrap) =>
-            val df = wrap(fn(spark, sfDir))
+        val wrapped = observes.get(name).map(w => w(fn(spark, sfDir)))
+          .orElse(if (observedInPlan(name)) Some(fn(spark, sfDir)) else None)
+        wrapped match {
+          case Some(df) =>
             df.collect()
-            graft.ops.Observed.metrics(df, "obs").foreach { row =>
-              observedOut(name) = row.schema.fieldNames.zip(row.toSeq)
+            // harvest EVERY named observation in the executed plan (the
+            // "obs" wrapper and any in-plan nodes), merged flat — field
+            // names are chosen unique across a query's observe calls
+            val fields = df.queryExecution.observedMetrics.toSeq
+              .sortBy(_._1)
+              .flatMap { case (_, row) =>
+                row.schema.fieldNames.zip(row.toSeq) }
+            if (fields.nonEmpty)
+              observedOut(name) = fields
                 .map { case (f, v) => "\"" + f + "\":" + v }
                 .mkString("{", ",", "}")
-            }
           case None => fn(spark, sfDir).count()
         }
       } catch {

@@ -499,10 +499,16 @@ object Dedup {
     // large/small-star CC (O(log n) rounds), not min-label propagation
     // (O(diameter)): a 100 TB near-dup graph has long drift chains, and
     // the star rounds also do half the per-round driver actions
-    graft.graph.Graph.connectedComponentsFast(edges, vertices)._1
+    val (labels, rounds) = graft.graph.Graph.connectedComponentsFast(edges, vertices)
+    labels
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("component")
+      // rounds-to-fixpoint is the O(log n) claim this query rides on; the
+      // star loop runs eagerly above, so the counter is a plan literal —
+      // zero extra passes, surfaces in the bench artifact (ops.Observed)
+      .observe("cc", max(lit(rounds)).as("cc_rounds"),
+        count(lit(1)).as("n_components"))
   }
 
   /** Edit-distance verification of near-dup candidates: the top Jaccard

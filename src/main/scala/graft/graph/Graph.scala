@@ -110,8 +110,15 @@ object Graph {
     * no join key fans out by d. [[trianglesCapped]] buys the same bound
     * by DROPPING supernodes; this plan has it by construction,
     * losslessly — GraphSpec pins set-equality with [[triangles]].
-    * Same output contract: one row per triangle, corners sorted a<b<c. */
-  def trianglesOriented(edges: DataFrame): DataFrame = {
+    * Same output contract: one row per triangle, corners sorted a<b<c.
+    *
+    * `observeAs` (optional): attach a zero-extra-pass `observe` counter
+    * named `observeAs` with field `wedges` to the wedge stream — Σ
+    * out-deg² is THE cost of this plan (SCALING.md), so a bench artifact
+    * carrying it can tell a volume change from scheduler noise. Names
+    * must be unique per plan; callers composing two censuses in one
+    * query (q124) pass distinct names or null. */
+  def trianglesOriented(edges: DataFrame, observeAs: String = null): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
               greatest(col("src"), col("dst")).as("v"))
@@ -129,10 +136,13 @@ object Graph {
         when(lower, col("u")).otherwise(col("v")).as("s"),
         when(lower, col("v")).otherwise(col("u")).as("t"),
         when(lower, col("dv")).otherwise(col("du")).as("td"))
-    oriented.as("e1").join(oriented.as("e2"),
+    val wedges0 = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") &&
         struct(col("e1.td"), col("e1.t")) < struct(col("e2.td"), col("e2.t")))
       .select(col("e1.s").as("ctr"), col("e1.t").as("x"), col("e2.t").as("y"))
+    val wedges = if (observeAs == null) wedges0
+      else wedges0.observe(observeAs, count(lit(1)).as("wedges"))
+    wedges
       .join(oriented.as("e3"),
         col("x") === col("e3.s") && col("y") === col("e3.t"))
       .select(array_sort(array(col("ctr"), col("x"), col("y"))).as("tri"))
@@ -175,7 +185,8 @@ object Graph {
     * al. §4), so the RELATIVE error falls as 1/√T: the bigger the graph,
     * the tighter the same p — exactly the regime where the exact census
     * is a batch job. Returns one row: (n_sampled, est). */
-  def trianglesSampled(edges: DataFrame, keepNum: Int, keepDen: Int): DataFrame = {
+  def trianglesSampled(edges: DataFrame, keepNum: Int, keepDen: Int,
+                       observeAs: String = null): DataFrame = {
     val num3 = keepNum.toLong * keepNum * keepNum
     val den3 = keepDen.toLong * keepDen * keepDen
     // round-half-up integer scaling: floor division biased the estimate
@@ -183,7 +194,14 @@ object Graph {
     // keepNum > 1 — e.g. keep 2/3 scales by 27/8); adding num3/2 before
     // the divide keeps the arithmetic exact-integer (engine-portable)
     // and the estimator unbiased after 1/p³ scaling
-    trianglesOriented(sparsifyUndirected(edges, keepNum, keepDen))
+    val spars0 = sparsifyUndirected(edges, keepNum, keepDen)
+    // `observeAs`: counters for the two volumes the DOULION claim rides
+    // on — the kept-edge count (contracts ~p) and the sampled wedge
+    // stream (contracts ~p²); zero extra passes, see trianglesOriented
+    val spars = if (observeAs == null) spars0
+      else spars0.observe(observeAs, count(lit(1)).as("sampled_edges"))
+    trianglesOriented(spars,
+        if (observeAs == null) null else observeAs + "_w")
       .agg(count(lit(1)).as("n_sampled"))
       .select(col("n_sampled"),
         expr(s"(n_sampled * $den3 + ${num3 / 2}) div $num3").as("est"))

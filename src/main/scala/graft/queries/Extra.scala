@@ -223,7 +223,7 @@ object Extra {
         col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
-    graft.graph.Graph.trianglesOriented(edges)
+    graft.graph.Graph.trianglesOriented(edges, observeAs = "census")
       .agg(count(lit(1)).as("n_triangles"),
         sum(col("a") + col("b") + col("c")).cast("long").as("corner_sum"))
   }
@@ -249,7 +249,8 @@ object Extra {
       .distinct()
     val exact = graft.graph.Graph.trianglesOriented(edges)
       .agg(count(lit(1)).as("n_exact"))
-    val sampled = graft.graph.Graph.trianglesSampled(edges, 1, 2)
+    val sampled = graft.graph.Graph.trianglesSampled(edges, 1, 2,
+      observeAs = "sample")
     exact.crossJoin(sampled)
       .select(col("n_exact"), col("n_sampled"), col("est"),
         // 20% relative bound in exact integer math; measured relative

@@ -220,6 +220,10 @@ object Pq {
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(k * refine2)
       .select("vec_id")
+      // zero-extra-pass volume counter: the shortlist size IS the scale
+      // dial of this plan (proportional sizing, r7) — the bench artifact
+      // carries it so a q104/q122 wall-time flag arrives with its volume
+      .observe("pq", count(lit(1)).as("shortlist_rows"))
     emb.join(broadcast(shortlist), "vec_id")
       .crossJoin(broadcast(emb.filter(col("vec_id") === queryVecId)
         .select(col("embedding").as("q_embedding"))))
