@@ -308,4 +308,26 @@ object Streams {
     q.processAllAvailable()
     q
   }
+
+  /** Streaming maintenance of the standing gram index: every micro-batch
+    * of incoming documents appends its postings partition-wise and its df
+    * PARTIAL to the sidecar via [[graft.dedup.Dedup.gramIndexAppend]] —
+    * the ingest-side twin of the batch curation pass, so the index the
+    * gram consumers (q62/q87/q119/q125 shapes) read is never more than
+    * one trigger stale. `foreachBatch` is the right operator here (not a
+    * parquet sink): one batch feeds TWO sinks (postings + df sidecar)
+    * from one tokenize pass, which a single-sink stream can't express.
+    * Exactly-once hinges on the df partial being a commutative monoid:
+    * a replayed batch after recovery re-appends the same partial, so use
+    * checkpointed sources in production and dedupe batch ids — here the
+    * spec pins stream-built index == batch-built index on a clean run
+    * (the same differential discipline as streamStaticDedup). */
+  def streamingGramIngest(docs: DataFrame, root: String,
+                          checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.dedup.Dedup.gramIndexAppend(batch, root)
+      }
+      .start()
 }

@@ -182,6 +182,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gram ingest: micro-batch-maintained index == batch index") {
+    import org.apache.spark.sql.types._
+    import graft.dedup.Dedup
+    val dir = "target/tmp/stream_gram"
+    if (new java.io.File(dir).exists) rmRf(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    val t1 = "one two three four five six seven eight nine ten eleven twelve"
+    val t2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Seq((1L, t1, "srcA"), (2L, t2, "srcB")).toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$dir/w1")
+    Seq((3L, t1, "srcB"), (4L, "tiny doc", "srcA"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$dir/w2")
+    Seq("w1", "w2").foreach { sub =>
+      new java.io.File(s"$dir/$sub").listFiles.filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$dir/$sub-$i.parquet")) }
+      rmRf(new java.io.File(s"$dir/$sub"))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val base = java.nio.file.Files.createTempDirectory("stream_gram_idx").toString
+    val root = s"$base/postings"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.streamingGramIngest(stream, root, s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val allDocs = spark.read.parquet(dir)
+    // two micro-batch appends == one batch ingest of the union, postings
+    // AND the monoid-merged df sidecar (doc 4 is sub-n: no postings)
+    assert(rows(Dedup.gramIndex(spark, root)) == rows(Dedup.gramPostings(allDocs)))
+    assert(rows(Dedup.gramIndexDf(spark, root)) ==
+      rows(Dedup.gramPostings(allDocs).groupBy("g").agg(sum(lit(1L)).as("df"))))
+  }
+
   test("stream-static dedup: streamed docs anti-join the historical corpus") {
     import org.apache.spark.sql.types._
     val dir = "target/tmp/stream_static_dedup"

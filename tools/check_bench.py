@@ -79,6 +79,11 @@ TYPICAL = {
                                   # IDENTICAL volume (shuffle 50KB, zero
                                   # spill) — in-suite accumulation/jitter,
                                   # the q92 class; 3.0 left zero margin
+    "q126_pq_batch": 4.5,         # q122's ingest (train+encode+write) plus
+                                  # the 4-query batched ADC + per-query
+                                  # exact contract (solo steady 3.5-5.5,
+                                  # cold 20 — codegen compile of 4 distance
+                                  # tables + 256-kernel encode)
     "q122_pq_scan": 3.5,          # q104's training + the ingest-then-scan
                                   # split: codes written to parquet and
                                   # re-read (probed steady 2.5-2.7 at
