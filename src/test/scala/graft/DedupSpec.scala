@@ -288,6 +288,24 @@ class DedupSpec extends SparkSpec {
       rows(Dedup.dupCoverage(docs)))
   }
 
+  test("shingle index: persisted (doc_id, hs, n) answers both regimes " +
+       "identically to from-scratch") {
+    val docs = Tables.documents(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("shingle_index_spec").toString + "/shingles"
+    Dedup.shingleIndexIngest(docs, root)
+    val sets = Dedup.shingleIndex(spark, root)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(Dedup.similarityJoinPostingCountFromShingles(sets, 1, 20)) ==
+      pairs(Dedup.similarityJoinPostingCount(docs, 1, 20)))
+    assert(pairs(Dedup.similarityJoinPrefixVerifyFromShingles(sets, 1, 2)) ==
+      pairs(Dedup.similarityJoinPrefixVerify(docs, 1, 2)))
+    // the probe statistic off the index equals the from-text probe
+    assert(Dedup.probePairRowsPerPostingFromShingles(sets) ==
+      Dedup.probePairRowsPerPosting(docs))
+  }
+
   test("similarityJoin regimes agree pairwise across the crossover taus") {
     // the tau-dispatch constant is a PHYSICAL choice only: both regimes
     // must return the identical pair set (same jaccard values) at every

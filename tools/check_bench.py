@@ -119,6 +119,10 @@ TYPICAL = {
     "q87_dup_coverage": 1.3,      # 8-gram explode + df join
     "q125_gram_index": 1.8,       # writes the postings index, then answers
                                   # q87+q62 from it (ingest-then-scan)
+    "q127_shingle_index": 2.2,    # writes the shingle index, then answers
+                                  # q31's tau=1/20 top-20 AND q103's
+                                  # tau=1/2 join from it (solo steady
+                                  # 2.0-2.7 at cpus=32)
     "q68_boilerplate": 1.2,       # gram expansion + per-lang window top-k
     "q82_regional_revenue": 1.2,  # six-table broadcast chain (r9: +0.1
                                   # for the collect()+observe action —
