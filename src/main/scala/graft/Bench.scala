@@ -30,7 +30,7 @@ object Bench {
     * acted-on QueryExecution, and every named observation row is
     * harvested — no wrapper needed. */
   private val observedInPlan = Set("q123_triangles", "q124_triangles_sampled",
-    "q104_pq_ann", "q122_pq_scan", "q73_dedup_clusters")
+    "q104_pq_ann", "q122_pq_scan", "q73_dedup_clusters", "q126_pq_batch")
 
   /** Per-query JVM isolation (`SPARK_GRAFT_BENCH_FORK=1`): run every
     * registry query in a FRESH child JVM and aggregate the children's

@@ -306,6 +306,9 @@ object Pq {
       .select(element_at(qIdsLit, col("qi") + 1).as("q_id"),
         explode(col("top")).as("entry"))
       .select(col("q_id"), col("entry._2").as("vec_id"))
+      // zero-extra-pass volume counter (the q104/q122 discipline): total
+      // shortlist pairs across the batch = Q × k·refine when healthy
+      .observe("pq_batch", count(lit(1)).as("shortlist_pairs"))
     val qSide = emb.filter(col("vec_id").isInCollection(qIds))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
     val finalTopK = udaf(new graft.functions.TopKByScore(k))
