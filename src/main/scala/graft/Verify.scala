@@ -19,6 +19,16 @@ object Verify {
       // directly as TIMESTAMP via the two configs below.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Spill, don't die (parity with Sessions.local/Bench): without the
+      // row threshold, SMJ buffers one join key's rows in an on-heap
+      // ArrayBuffer; at sf10 the census exhausts the heap and even the
+      // spill() call can't allocate (SPILL_OUT_OF_MEMORY, stage 43 —
+      // seen r9 dumping q123 at sf10 through Verify, which was the one
+      // session builder missing these).
+      .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold",
+        graft.Tuning.JoinBufferSpillRows.toString)
+      .config("spark.sql.cartesianProductExec.buffer.in.memory.threshold",
+        graft.Tuning.JoinBufferSpillRows.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
