@@ -118,7 +118,12 @@ object Graph {
     * carrying it can tell a volume change from scheduler noise. Names
     * must be unique per plan; callers composing two censuses in one
     * query (q124) pass distinct names or null. */
-  def trianglesOriented(edges: DataFrame, observeAs: String = null): DataFrame = {
+  /** The degree-oriented edge frame (s, t, td): each undirected edge
+    * directed from its lower (degree, id) endpoint to the higher, with
+    * t's degree carried so wedge generation can order out-neighbors by
+    * π without another join. Shared by [[trianglesOriented]] and the
+    * disk-bounded K-pass census (tools.TriangleCensusDump). */
+  def orientedEdges(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
               greatest(col("src"), col("dst")).as("v"))
@@ -127,15 +132,59 @@ object Graph {
     val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("d"))
     val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-    // (s → t) with π(s) < π(t); carry t's degree so wedge generation can
-    // order out-neighbors by π without another join
-    val oriented = und
+    und
       .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
       .select(
         when(lower, col("u")).otherwise(col("v")).as("s"),
         when(lower, col("v")).otherwise(col("u")).as("t"),
         when(lower, col("dv")).otherwise(col("du")).as("td"))
+  }
+
+  /** Disk-bounded exact census: the triangle set is PARTITIONED by a
+    * hash bucket of the closing edge (x, y), and each of the `passes`
+    * rounds broadcasts only bucket-k closing edges and streams the wedge
+    * stream MAP-SIDE against them — no wedge shuffle, no external sort,
+    * so peak spill is O(|E|/passes) instead of O(wedges). Each triangle
+    * has exactly one closing edge, so the bucket censuses sum to the
+    * exact census (GraphSpec pins equality with [[trianglesOriented]]).
+    * The compute trade: wedge GENERATION re-runs per pass (K× a join of
+    * |E|-row inputs — cheap next to the wedge stream it feeds).
+    *
+    * This is the single-node validation shape for graphs whose wedge
+    * shuffle exceeds local disk (the sf10 census needs ~90 GB of spill
+    * through the shuffled plan — r9 measured it into ENOSPC three rigs
+    * in a row); ON A CLUSTER the registered q123 plan (shuffled SMJ) is
+    * right — aggregate shuffle capacity scales with executors, and one
+    * pass beats K. Vertex ids must be numeric (the corner sum is an
+    * arithmetic checksum — q123's partkeys are). Returns
+    * (n_triangles, corner_sum). */
+  def trianglesCensusBucketed(edges: DataFrame, passes: Int): (Long, Long) = {
+    require(passes > 0, "trianglesCensusBucketed: passes must be positive")
+    val oriented = orientedEdges(edges)
+    var n = 0L
+    var cs = 0L
+    for (k <- 0 until passes) {
+      val closing = oriented
+        .filter(pmod(xxhash64(col("s"), col("t")), lit(passes)) === k)
+        .select(col("s").as("cx"), col("t").as("cy"))
+      val row = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.s") === col("e2.s") &&
+          struct(col("e1.td"), col("e1.t")) < struct(col("e2.td"), col("e2.t")))
+        .select(col("e1.s").as("ctr"), col("e1.t").as("x"), col("e2.t").as("y"))
+        .join(broadcast(closing),
+          col("x") === col("cx") && col("y") === col("cy"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ctr") + col("x") + col("y")).cast("long").as("cs"))
+        .collect().head
+      n += row.getLong(0)
+      cs += (if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+    (n, cs)
+  }
+
+  def trianglesOriented(edges: DataFrame, observeAs: String = null): DataFrame = {
+    val oriented = orientedEdges(edges)
     val wedges0 = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") &&
         struct(col("e1.td"), col("e1.t")) < struct(col("e2.td"), col("e2.t")))

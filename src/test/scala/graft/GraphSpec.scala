@@ -119,6 +119,26 @@ class GraphSpec extends SparkSpec {
       Graph.sparsifyUndirected(edges, 1, 2)).count())
   }
 
+  test("K-pass bucketed census == trianglesOriented (count and corner sum)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    // numeric ids incl. a hub vertex (id 999): the corner-sum contract
+    // needs numeric vertices (q123's shape — partkeys)
+    val numEdges = ((1 to 900)
+      .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2) ++ (0L until 40L).map(i => (999L, i)))
+      .toDF("src", "dst")
+    val exact = Graph.trianglesOriented(numEdges)
+      .agg(count(lit(1)), sum(col("a") + col("b") + col("c")).cast("long"))
+      .collect().head
+    for (passes <- Seq(1, 4)) {
+      val (n, cs) = Graph.trianglesCensusBucketed(numEdges, passes)
+      assert(n == exact.getLong(0) && cs == exact.getLong(1),
+        s"passes=$passes: ($n, $cs) != (${exact.getLong(0)}, ${exact.getLong(1)})")
+    }
+  }
+
   test("trianglesSampled scales by round-half-up, not floor, for keepNum > 1") {
     import spark.implicits._
     // keep 2/3 scales by 27/8 — floor division biased every non-multiple
