@@ -161,10 +161,15 @@ object Graph {
     * (n_triangles, corner_sum). */
   def trianglesCensusBucketed(edges: DataFrame, passes: Int): (Long, Long) = {
     require(passes > 0, "trianglesCensusBucketed: passes must be positive")
+    // K passes reference the oriented frame 3K times; its derivation
+    // (canonicalize + distinct + two degree joins over the raw edge
+    // build) is minutes at sf10, so persist it to LOCAL DISK once —
+    // O(|E|) bytes, the one thing this rig is allowed to spill
     val oriented = orientedEdges(edges)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     var n = 0L
     var cs = 0L
-    for (k <- 0 until passes) {
+    try for (k <- 0 until passes) {
       val closing = oriented
         .filter(pmod(xxhash64(col("s"), col("t")), lit(passes)) === k)
         .select(col("s").as("cx"), col("t").as("cy"))
@@ -179,7 +184,7 @@ object Graph {
         .collect().head
       n += row.getLong(0)
       cs += (if (row.isNullAt(1)) 0L else row.getLong(1))
-    }
+    } finally { oriented.unpersist(); () }
     (n, cs)
   }
 
