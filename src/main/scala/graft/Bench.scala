@@ -24,13 +24,14 @@ object Bench {
       sum(col("chunk_tokens")).as("chunk_tokens"))))
 
   /** Queries whose plans already carry IN-PLAN `observe` nodes (wedge
-    * count, sampled-edge count, PQ shortlist size, CC rounds — the five
-    * expensive-tail queries where a budget breach needs its volume
-    * context, r9). They are collect()ed so the metrics land on the
-    * acted-on QueryExecution, and every named observation row is
-    * harvested — no wrapper needed. */
+    * count, sampled-edge count, PQ shortlist size, CC rounds, index
+    * ingest volumes — the expensive-tail and standing-index queries where
+    * a budget breach needs its volume context, r9/r10). They are
+    * collect()ed so the metrics land on the acted-on QueryExecution, and
+    * every named observation row is harvested — no wrapper needed. */
   private val observedInPlan = Set("q123_triangles", "q124_triangles_sampled",
-    "q104_pq_ann", "q122_pq_scan", "q73_dedup_clusters", "q126_pq_batch")
+    "q104_pq_ann", "q122_pq_scan", "q73_dedup_clusters", "q126_pq_batch",
+    "q125_gram_index", "q127_shingle_index", "q128_shingle_bucketed")
 
   /** Per-query JVM isolation (`SPARK_GRAFT_BENCH_FORK=1`): run every
     * registry query in a FRESH child JVM and aggregate the children's
@@ -157,7 +158,7 @@ object Bench {
                 row.schema.fieldNames.zip(row.toSeq) }
             if (fields.nonEmpty)
               observedOut(name) = fields
-                .map { case (f, v) => "\"" + f + "\":" + v }
+                .map { case (f, v) => "\"" + f + "\":" + jsonValue(v) }
                 .mkString("{", ",", "}")
           case None => fn(spark, sfDir).count()
         }
@@ -168,6 +169,33 @@ object Bench {
     }
     emit(results, sfDir, observed = observedOut.toSeq)
     spark.stop()
+  }
+
+  /** Render one observed-metric value as VALID JSON regardless of its
+    * runtime type: current counters are longs and SQL nulls, but a future
+    * Double observation can carry NaN/Infinity (invalid JSON bare) and a
+    * string-typed one needs quoting+escaping — raw toString would emit a
+    * silently-broken artifact line. */
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case d: Double if d.isNaN || d.isInfinite => "null"
+    case f: Float if f.isNaN || f.isInfinite => "null"
+    case n: Byte => n.toString
+    case n: Short => n.toString
+    case n: Int => n.toString
+    case n: Long => n.toString
+    case n: Float => n.toString
+    case n: Double => n.toString
+    case n: java.math.BigDecimal => n.toString
+    case n: BigDecimal => n.toString
+    case b: Boolean => b.toString
+    case other => // strings and anything exotic: quoted, escaped
+      "\"" + other.toString.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
   }
 
   // Output layout matters: the driver's BENCH_r{N}.json retains only the

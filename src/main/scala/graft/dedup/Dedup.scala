@@ -368,8 +368,14 @@ object Dedup {
   /** [[probePairRowsPerPosting]] from a prepped shingle frame — same
     * statistic (Σ df·(df−1)/2 per posting), computed off the index
     * instead of re-tokenizing text. */
-  def probePairRowsPerPostingFromShingles(sets: DataFrame): Double = {
-    val r = sets.select(explode(col("hs")).as("g"))
+  def probePairRowsPerPostingFromShingles(sets: DataFrame): Double =
+    probePairRowsPerPostingFromPostings(shinglePostings(sets))
+
+  /** The same probe off a POSTING frame ([[shinglePostings]] or the
+    * bucketed standing table) — over a bucketed table the groupBy(g)
+    * plans exchange-free. */
+  def probePairRowsPerPostingFromPostings(posting: DataFrame): Double = {
+    val r = posting
       .groupBy("g").agg(count(lit(1)).as("df"))
       .agg(sum(col("df") * (col("df") - 1) / 2).as("pair_rows"),
         sum(col("df")).as("postings"))
@@ -383,17 +389,31 @@ object Dedup {
     * running off the index. */
   def similarityJoinFromShingles(sets: DataFrame, tauNum: Long, tauDen: Long,
                                  pairRowsPerPostingHint: Option[Double] = None)
+      : DataFrame =
+    similarityJoinFromPostings(shinglePostings(sets), sets, tauNum, tauDen,
+      pairRowsPerPostingHint)
+
+  /** The dispatcher over the index's POSTING + SETS halves — the entry
+    * point for the BUCKETED standing index ([[shingleIndexIngestBucketed]]):
+    * everything g-keyed (the df-tail probe, the posting-count self-join,
+    * the prefix regime's df window input) reads `posting` and, when that
+    * frame is the bucketed table, plans WITHOUT an exchange on g
+    * (PlanAuditSpec pins it); only the prefix regime's verify step reads
+    * the doc-keyed `sets` sidecar for its hash arrays. */
+  def similarityJoinFromPostings(posting: DataFrame, sets: DataFrame,
+                                 tauNum: Long, tauDen: Long,
+                                 pairRowsPerPostingHint: Option[Double] = None)
       : DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum,
       s"similarityJoin: tau must be in (0, 1], got $tauNum/$tauDen")
     if (tauNum * 4 <= tauDen)
-      similarityJoinPostingCountFromShingles(sets, tauNum, tauDen)
+      similarityJoinPostingCountFromPostings(posting, tauNum, tauDen)
     else {
       val ratio = pairRowsPerPostingHint
-        .getOrElse(probePairRowsPerPostingFromShingles(sets))
+        .getOrElse(probePairRowsPerPostingFromPostings(posting))
       if (ratio <= PostingMaxPairRowsPerPosting)
-        similarityJoinPostingCountFromShingles(sets, tauNum, tauDen)
-      else similarityJoinPrefixVerifyFromShingles(sets, tauNum, tauDen)
+        similarityJoinPostingCountFromPostings(posting, tauNum, tauDen)
+      else similarityJoinPrefixVerifyFromPostings(posting, sets, tauNum, tauDen)
     }
   }
 
@@ -456,13 +476,81 @@ object Dedup {
     * each re-derived it from text per run. Persisting (doc_id, hs, n)
     * once means every similarity query thereafter reads 8-byte hashes,
     * never document bytes — and the parquet scan IS the materialization
-    * barrier the in-memory path needs an exchange for. */
-  def shingleIndexIngest(docs: DataFrame, root: String): Unit =
-    shingleSets(docs).write.mode("overwrite").parquet(root)
+    * barrier the in-memory path needs an exchange for. Returns
+    * (indexed docs, posting rows) — ingest-volume counters observed on
+    * the write itself (zero extra pass), the first numbers a regression
+    * hunt over an index query wants (r9 task). */
+  def shingleIndexIngest(docs: DataFrame, root: String): (Long, Long) = {
+    val obs = shingleSets(docs).observe("shingle_ingest",
+      count(lit(1)).as("docs"), sum(col("n").cast("long")).as("postings"))
+    // a write executes its own QE, not obs.queryExecution — harvest the
+    // counters through the listener bridge (GraftBridge scaladoc)
+    val (_, m0) = org.apache.spark.sql.GraftBridge.observedFromAction(
+      docs.sparkSession, "shingle_ingest") {
+      obs.write.mode("overwrite").parquet(root)
+    }
+    val m = m0.get
+    (m.getLong(0), if (m.isNullAt(1)) 0L else m.getLong(1))
+  }
 
-  /** SCAN half: the standing shingle table (doc_id, hs, n). */
+  /** SCAN half: the standing shingle table (doc_id, hs, n) — flat ingest
+    * layout or [[shingleIndexAppend]] batch subdirectories. */
   def shingleIndex(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(root)
+    spark.read.option("recursiveFileLookup", "true").parquet(root)
+
+  /** Incremental maintenance of the standing shingle index: one batch's
+    * (doc_id, hs, n) rows land in their own `batch_<id>` subdirectory,
+    * written with OVERWRITE — idempotent per `batchId` exactly like
+    * [[gramIndexAppend]] (single sink here: no df sidecar, so a replayed
+    * micro-batch simply rewrites its directory). `batchId < 0`
+    * auto-assigns max-existing + 1. Appending to an empty root
+    * bootstraps; consumers ([[shingleIndex]] and everything downstream
+    * of it) are unchanged. */
+  def shingleIndexAppend(newDocs: DataFrame, root: String,
+                         batchId: Long = -1L): Unit = {
+    val id = if (batchId >= 0) batchId else nextBatchId(root)
+    val dir = s"$root/batch_$id"
+    if (new java.io.File(s"$dir/_SUCCESS").exists) return // committed: no-op
+    shingleSets(newDocs).write.mode("overwrite").parquet(dir)
+  }
+
+  /** BUCKETED ingest of the standing shingle index — the q125 bucketBy
+    * treatment (measured there: consumer-side gram shuffle 1.26 GB →
+    * 1.2 MB at sf10) applied to the similarity family's dominant
+    * shuffle, the posting self-join on `g`. Two halves, one tokenize
+    * pass: the POSTING table (doc_id, n, g) saved bucketed+sorted on g —
+    * the df-tail probe, the posting-count self-join, and the prefix
+    * regime's df aggregation all start from HashPartitioning(g, buckets)
+    * and plan with NO exchange on g (PlanAuditSpec pins it) — plus the
+    * doc-keyed SETS sidecar (doc_id, hs, n) the prefix-verify step reads
+    * for its hash arrays. Key `table` by [[graft.ops.Scratch.bucketedTable]].
+    * Returns (indexed docs, posting rows) — ingest-volume counters read
+    * from the write itself (zero extra pass, ops.Observed). */
+  def shingleIndexIngestBucketed(docs: DataFrame, table: String,
+                                 buckets: Int = 32): (Long, Long) = {
+    val setsPath = graft.ops.Scale.bucketPath(table) + "_sets"
+    graft.ops.Scratch.track(setsPath)
+    val sets = shingleSets(docs).persist()
+    try {
+      val obs = sets.observe("shingle_ingest",
+        count(lit(1)).as("docs"), sum(col("n").cast("long")).as("postings"))
+      val (_, m0) = org.apache.spark.sql.GraftBridge.observedFromAction(
+        docs.sparkSession, "shingle_ingest") {
+        obs.write.mode("overwrite").parquet(setsPath)
+      }
+      graft.ops.Scale.writeBucketed(shinglePostings(sets), table, "g", buckets)
+      val m = m0.get
+      (m.getLong(0), if (m.isNullAt(1)) 0L else m.getLong(1))
+    } finally { sets.unpersist(); () }
+  }
+
+  /** The bucketed POSTING half (metastore table, bucket-aware scan). */
+  def shinglePostingsBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** The doc-keyed SETS sidecar of the bucketed index. */
+  def shingleSetsSidecar(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(graft.ops.Scale.bucketPath(table) + "_sets")
 
   /** [[similarityJoin]]'s LOW-τ regime, public so the crossover stays
     * measurable per-round (TauProbe forces each regime at each τ): |A∩B|
@@ -475,11 +563,25 @@ object Dedup {
                                  tauDen: Long): DataFrame =
     similarityJoinPostingCountFromShingles(shingleSets(docs), tauNum, tauDen)
 
+  /** POSTING form of a shingle frame: one row per (doc, distinct shingle
+    * hash) with the set size carried — the join currency of both
+    * similarity regimes, and the layout the BUCKETED standing index
+    * persists (bucketBy(g) makes every g-keyed join/aggregation over it
+    * exchange-free). */
+  def shinglePostings(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
+
   /** [[similarityJoinPostingCount]] over a prepped/persisted shingle
     * frame ([[shingleSets]] or [[shingleIndex]]). */
   def similarityJoinPostingCountFromShingles(sets: DataFrame, tauNum: Long,
+                                             tauDen: Long): DataFrame =
+    similarityJoinPostingCountFromPostings(shinglePostings(sets), tauNum, tauDen)
+
+  /** [[similarityJoinPostingCount]] over the POSTING half of the standing
+    * index — on the bucketed table the g-keyed self-join below starts
+    * from HashPartitioning(g, buckets) and plans with no exchange on g. */
+  def similarityJoinPostingCountFromPostings(posting: DataFrame, tauNum: Long,
                                              tauDen: Long): DataFrame = {
-    val posting = sets.select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
     posting.as("a").join(posting.as("b"),
         col("a.g") === col("b.g") &&
         col("a.doc_id") < col("b.doc_id") &&
@@ -506,8 +608,17 @@ object Dedup {
   /** [[similarityJoinPrefixVerify]] over a prepped/persisted shingle
     * frame. */
   def similarityJoinPrefixVerifyFromShingles(sets: DataFrame, tauNum: Long,
+                                             tauDen: Long): DataFrame =
+    similarityJoinPrefixVerifyFromPostings(shinglePostings(sets), sets,
+      tauNum, tauDen)
+
+  /** [[similarityJoinPrefixVerify]] over the index's two halves: the
+    * g-keyed stages (df aggregation, prefix candidate join) read
+    * `posting`; the verify step reads the doc-keyed `sets` for its hash
+    * arrays. */
+  def similarityJoinPrefixVerifyFromPostings(posting: DataFrame,
+                                             sets: DataFrame, tauNum: Long,
                                              tauDen: Long): DataFrame = {
-    val posting = sets.select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
     val dfreq = posting.groupBy("g").agg(count(lit(1)).as("df"))
     val prefix = posting.join(dfreq, "g")
       .withColumn("pos", row_number().over(
@@ -806,13 +917,30 @@ object Dedup {
     * re-tokenizing the corpus three times per curation pass instead of
     * zero. At cluster scale write with `bucketBy(g)` so the df
     * aggregation and all gram joins are exchange-free; plain parquet
-    * here keeps the demo portable. */
-  def gramIndexIngest(docs: DataFrame, root: String, n: Int = 8): Unit =
-    gramPostings(docs, n).write.mode("overwrite").parquet(root)
+    * here keeps the demo portable. Returns (posting rows, ~distinct
+    * grams) — ingest-volume counters observed on the write itself (zero
+    * extra pass; distinct grams via the HLL sketch, since CollectMetrics
+    * cannot host a DISTINCT aggregate). */
+  def gramIndexIngest(docs: DataFrame, root: String, n: Int = 8): (Long, Long) = {
+    val obs = gramPostings(docs, n).observe("gram_ingest",
+      count(lit(1)).as("postings"),
+      approx_count_distinct(col("g")).as("grams"))
+    // a write executes its own QE, not obs.queryExecution — harvest the
+    // counters through the listener bridge (GraftBridge scaladoc)
+    val (_, m0) = org.apache.spark.sql.GraftBridge.observedFromAction(
+      docs.sparkSession, "gram_ingest") {
+      obs.write.mode("overwrite").parquet(root)
+    }
+    val m = m0.get
+    (m.getLong(0), m.getLong(1))
+  }
 
-  /** SCAN half: the standing postings table. */
+  /** SCAN half: the standing postings table — the flat [[gramIndexIngest]]
+    * layout, the per-batch [[gramIndexAppend]] subdirectories, or a mix
+    * (recursive lookup reads both; batch dirs are plain subdirectories,
+    * not hive partitions, so the schema never grows a phantom column). */
   def gramIndex(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(root)
+    spark.read.option("recursiveFileLookup", "true").parquet(root)
 
   /** BUCKETED ingest — the exchange-free cluster form the plain-parquet
     * scaladoc promised: postings saved as a bucketed+sorted table on `g`,
@@ -840,29 +968,96 @@ object Dedup {
     postings.groupBy("g").agg(count(lit(1)).as("df_part"))
 
   /** Incremental index maintenance: append one batch's postings to the
-    * standing index PARTITION-WISE (a parquet file append — the batch's
-    * postings never shuffle) and append its df partial state to the
-    * `<root>_df` sidecar (aggregating ONLY the delta — the
-    * ops.Incremental discipline). A daily curation pass thus pays
-    * O(batch), never O(corpus): the full postings re-tokenize and the
-    * full df re-aggregation both disappear. Appending to empty roots
-    * bootstraps the index, so ingest == first append. Consumers are
-    * unchanged: [[gramIndex]] reads the union of appended batches;
-    * [[gramIndexDf]] merges the sidecar partials by sum. */
-  def gramIndexAppend(newDocs: DataFrame, root: String, n: Int = 8): Unit = {
+    * standing index PARTITION-WISE (the batch's postings never shuffle)
+    * and its df partial state to the `<root>_df` sidecar (aggregating
+    * ONLY the delta — the ops.Incremental discipline). A daily curation
+    * pass thus pays O(batch), never O(corpus): the full postings
+    * re-tokenize and the full df re-aggregation both disappear. Appending
+    * to empty roots bootstraps the index, so ingest == first append.
+    * Consumers are unchanged: [[gramIndex]] reads the union of appended
+    * batches; [[gramIndexDf]] merges the sidecar partials by sum.
+    *
+    * IDEMPOTENT per `batchId` (the r9 ADVICE fix): each batch lands in
+    * its own `batch_<id>` subdirectory of both sinks, written with
+    * OVERWRITE — a replayed micro-batch (streamingGramIngest recovering
+    * from its checkpoint) rewrites the same two directories instead of
+    * double-appending, and a crash BETWEEN the two writes leaves a batch
+    * whose replay repairs it, so exactly-once holds at every crash
+    * point. A batch already committed to both sinks (`_SUCCESS` markers
+    * present) is skipped outright. `batchId < 0` (batch callers without
+    * a replay log) auto-assigns max-existing + 1 — sequential appends of
+    * DISTINCT batches, with idempotency reserved for callers that can
+    * name their batches (foreachBatch's batchId). */
+  def gramIndexAppend(newDocs: DataFrame, root: String, n: Int = 8,
+                      batchId: Long = -1L): Unit = {
+    val id = if (batchId >= 0) batchId else nextBatchId(root)
+    val pDir = s"$root/batch_$id"
+    val dfDir = s"${root}_df/batch_$id"
+    if (new java.io.File(s"$pDir/_SUCCESS").exists &&
+        new java.io.File(s"$dfDir/_SUCCESS").exists) return // committed: replay no-op
     val p = gramPostings(newDocs, n).persist() // one tokenize pass, two sinks
     try {
-      p.write.mode("append").parquet(root)
-      gramDfState(p).write.mode("append").parquet(root + "_df")
+      p.write.mode("overwrite").parquet(pDir)
+      gramDfState(p).write.mode("overwrite").parquet(dfDir)
     } finally { p.unpersist(); () }
+  }
+
+  /** Ids of the committed `batch_<id>` subdirectories under `root`. */
+  private def batchIds(root: String): Seq[Long] = {
+    val kids = new java.io.File(root).listFiles()
+    if (kids == null) Seq.empty
+    else kids.toSeq.collect {
+      case f if f.isDirectory && f.getName.startsWith("batch_") =>
+        f.getName.stripPrefix("batch_").toLong
+    }
+  }
+
+  private def nextBatchId(root: String): Long = {
+    val ids = batchIds(root)
+    if (ids.isEmpty) 0L else ids.max + 1L
   }
 
   /** The maintained df aggregate: merge the appended partials by sum —
     * equals `gramPostings(allDocs).groupBy(g).count()` exactly, without
     * touching the postings (or the text) of any prior batch. */
   def gramIndexDf(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(root + "_df")
+    spark.read.option("recursiveFileLookup", "true").parquet(root + "_df")
       .groupBy("g").agg(sum(col("df_part")).as("df"))
+
+  /** Sidecar COMPACTION: without it, [[gramIndexAppend]] accretes one df
+    * partial per (batch, gram) forever, and [[gramIndexDf]] re-merges all
+    * of them on every read — O(batches × grams) scan work for an
+    * O(grams) result. Compaction rewrites the sidecar as ONE merged
+    * partial (the same monoid sum, one level up — the ops.Incremental
+    * discipline applied to its own state), so the property
+    * `compact(any prefix of appends) then more appends == from-scratch`
+    * holds trivially: a merged prefix is itself a valid partial
+    * (associativity). The merged partial keeps the HIGHEST existing
+    * batch id, so auto-assigned ids of later appends (derived from the
+    * postings root, which holds the same max) stay ahead. Not atomic —
+    * a crash mid-compact can lose the sidecar — but the sidecar is
+    * DERIVED state, rebuildable from the postings root
+    * (`gramDfState(gramIndex(root))`); run compaction in the maintenance
+    * window, not the serving path. */
+  def gramIndexCompact(spark: SparkSession, root: String): Unit = {
+    val side = root + "_df"
+    val ids = batchIds(side)
+    if (ids.size <= 1) return // nothing to merge
+    val merged = gramIndexDf(spark, root)
+      .select(col("g"), col("df").as("df_part"))
+    val tmp = side + "_compact_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(side))
+    new java.io.File(side).mkdirs()
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(s"$side/batch_${ids.max}"))
+    ()
+  }
 
   /** [[contaminationPairs]] over an existing postings frame (from
     * [[gramPostings]] or the persisted [[gramIndex]]). */
@@ -1023,9 +1218,19 @@ object Dedup {
     * index-only. The write is the one-time cost a curation pass
     * amortizes over every gram query it runs. */
   def qGramIndex(spark: SparkSession, d: String): DataFrame = {
-    // collision-free (dataset, app id)-keyed root — see ops.Scratch
+    // collision-free (dataset, app id)-keyed root — see ops.Scratch — with
+    // a content-addressed validity marker so a completed index is REUSED
+    // by later calls in the session instead of rebuilt (ops.Standing)
     val root = graft.ops.Scratch.root(spark, d, "gram_index")
-    gramIndexIngest(Tables.documents(spark, d), root)
+    val fp = graft.ops.Standing.fingerprint(s"$d/documents.parquet")
+    val (nPostings, nGrams) = graft.ops.Standing.validPayload(root, fp) match {
+      case Some(p) =>
+        val a = p.trim.split(" "); (a(0).toLong, a(1).toLong)
+      case None =>
+        val c = gramIndexIngest(Tables.documents(spark, d), root)
+        graft.ops.Standing.markValid(root, fp, s"${c._1} ${c._2}")
+        c
+    }
     val postings = gramIndex(spark, root)
     val cov = dupCoverageFrom(postings)
     val docSource = postings.select(col("doc_id"), col("source")).distinct()
@@ -1036,6 +1241,11 @@ object Dedup {
     cov.join(contaminated, Seq("source"), "left")
       .na.fill(0L, Seq("n_contaminated"))
       .orderBy("source")
+      // index size in the bench artifact: the ingest ran eagerly above,
+      // so the counters ride the result plan as literals (the q73
+      // cc_rounds discipline — zero extra passes)
+      .observe("ix", max(lit(nPostings)).as("index_postings"),
+        max(lit(nGrams)).as("index_grams"))
   }
 
   /** q127: the standing SHINGLE index made real — (doc_id, hs, n) written
@@ -1050,7 +1260,15 @@ object Dedup {
     * hashes instead of document bytes. */
   def qShingleIndex(spark: SparkSession, d: String): DataFrame = {
     val root = graft.ops.Scratch.root(spark, d, "shingle_index")
-    shingleIndexIngest(Tables.documents(spark, d), root)
+    val fp = graft.ops.Standing.fingerprint(s"$d/documents.parquet")
+    val (nDocs, nPostings) = graft.ops.Standing.validPayload(root, fp) match {
+      case Some(p) =>
+        val a = p.trim.split(" "); (a(0).toLong, a(1).toLong)
+      case None =>
+        val c = shingleIndexIngest(Tables.documents(spark, d), root)
+        graft.ops.Standing.markValid(root, fp, s"${c._1} ${c._2}")
+        c
+    }
     val sets = shingleIndex(spark, root)
     val low = similarityJoinFromShingles(sets, 1, 20)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(20)
@@ -1060,10 +1278,71 @@ object Dedup {
       .select(lit("tau_1_2").as("consumer"),
         col("doc_a"), col("doc_b"), col("jaccard"))
     low.unionByName(high).orderBy("consumer", "doc_a", "doc_b")
+      // ingest volume as plan literals (the q125 counter discipline)
+      .observe("ix", max(lit(nDocs)).as("index_docs"),
+        max(lit(nPostings)).as("index_postings"))
   }
+
+  /** q128: q127's consumers answered from the BUCKETED standing shingle
+    * index — same pair sets, same oracle (the from-scratch DuckDB
+    * recompute), but every g-keyed stage (df-tail probe, posting-count
+    * self-join) starts from the bucketed table's HashPartitioning and
+    * plans with no exchange on g. The bucketBy shuffle is paid once at
+    * ingest; q125's twin measured that trade at 1000× consumer-shuffle
+    * reduction at sf10 (BENCHMARKS.md "Bucketed index measured"), and
+    * tools.ShingleIndexBench records this family's own A/B. */
+  def qShingleBucketed(spark: SparkSession, d: String): DataFrame = {
+    val table = graft.ops.Scratch.bucketedTable(spark, d, "shingle_ix")
+    val fp = graft.ops.Standing.fingerprint(s"$d/documents.parquet")
+    val tablePath = graft.ops.Scale.bucketPath(table)
+    val (nDocs, nPostings) =
+      graft.ops.Standing.validPayload(tablePath, fp) match {
+        case Some(p) =>
+          val a = p.trim.split(" "); (a(0).toLong, a(1).toLong)
+        case None =>
+          val c = shingleIndexIngestBucketed(Tables.documents(spark, d), table)
+          graft.ops.Standing.markValid(tablePath, fp, s"${c._1} ${c._2}")
+          c
+      }
+    val posting = shinglePostingsBucketed(spark, table)
+    val sets = shingleSetsSidecar(spark, table)
+    val low = similarityJoinFromPostings(posting, sets, 1, 20)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(20)
+      .select(lit("tau_1_20_top20").as("consumer"),
+        col("doc_a"), col("doc_b"), col("jaccard"))
+    val high = similarityJoinFromPostings(posting, sets, 1, 2)
+      .select(lit("tau_1_2").as("consumer"),
+        col("doc_a"), col("doc_b"), col("jaccard"))
+    low.unionByName(high).orderBy("consumer", "doc_a", "doc_b")
+      .observe("ix", max(lit(nDocs)).as("index_docs"),
+        max(lit(nPostings)).as("index_postings"))
+  }
+
+  private lazy val shingleIndexOracle: String = s"""
+      WITH sh AS (
+        SELECT doc_id, $duckShinglesSql AS shingles
+        FROM (SELECT doc_id, ${Text.duckTokens} AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.shingles, b.shingles)) AS inter,
+               len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)) AS un
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT * FROM (
+        SELECT 'tau_1_20_top20' AS consumer, doc_a, doc_b,
+               CAST(inter AS DOUBLE) / un AS jaccard
+        FROM (SELECT * FROM pairs WHERE 20 * inter >= un
+              ORDER BY CAST(inter AS DOUBLE) / un DESC, doc_a, doc_b
+              LIMIT 20)
+        UNION ALL
+        SELECT 'tau_1_2', doc_a, doc_b, CAST(inter AS DOUBLE) / un
+        FROM pairs WHERE 2 * inter >= un)
+      ORDER BY consumer, doc_a, doc_b"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_shingle_index" -> (qShingleIndex _),
+    "q128_shingle_bucketed" -> (qShingleBucketed _),
     "q62_contamination"  -> (qContamination _),
     "q87_dup_coverage"   -> (qDupCoverage _),
     "q59_minhash_verify" -> (qMinhashVerify _),
@@ -1137,31 +1416,15 @@ object Dedup {
       SELECT COUNT(*) AS n_exact_pairs, TRUE AS all_found_are_true_pairs,
              TRUE AS lsh_recall_ok
       FROM pairs WHERE jaccard >= 0.5""",
-    // q127: index-derived == from-scratch — the oracle recomputes BOTH
-    // consumers (q31's τ=1/20 top-20, q103's τ=1/2 join) from raw text;
-    // integer threshold compares keep it exact, the jaccard division is
-    // the same int/int→double on both engines.
-    "q127_shingle_index" -> s"""
-      WITH sh AS (
-        SELECT doc_id, $duckShinglesSql AS shingles
-        FROM (SELECT doc_id, ${Text.duckTokens} AS toks FROM documents)
-        WHERE len(toks) >= 3),
-      pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               len(list_intersect(a.shingles, b.shingles)) AS inter,
-               len(a.shingles) + len(b.shingles)
-                 - len(list_intersect(a.shingles, b.shingles)) AS un
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      SELECT * FROM (
-        SELECT 'tau_1_20_top20' AS consumer, doc_a, doc_b,
-               CAST(inter AS DOUBLE) / un AS jaccard
-        FROM (SELECT * FROM pairs WHERE 20 * inter >= un
-              ORDER BY CAST(inter AS DOUBLE) / un DESC, doc_a, doc_b
-              LIMIT 20)
-        UNION ALL
-        SELECT 'tau_1_2', doc_a, doc_b, CAST(inter AS DOUBLE) / un
-        FROM pairs WHERE 2 * inter >= un)
-      ORDER BY consumer, doc_a, doc_b""",
+    // q127/q128: index-derived == from-scratch — the oracle recomputes
+    // BOTH consumers (q31's τ=1/20 top-20, q103's τ=1/2 join) from raw
+    // text; integer threshold compares keep it exact, the jaccard
+    // division is the same int/int→double on both engines. One oracle
+    // serves both registrations: q128 answers the identical consumers
+    // from the BUCKETED index, so "bucketed == plain == from-scratch"
+    // is pinned by the same SQL.
+    "q127_shingle_index" -> shingleIndexOracle,
+    "q128_shingle_bucketed" -> shingleIndexOracle,
     "q103_simjoin_prefix" -> s"""
       WITH sh AS (
         SELECT doc_id, $duckShinglesSql AS shingles

@@ -163,13 +163,29 @@ object exprs {
     * ingest path. `bloomFilterAgg` builds the sketch as one aggregation
     * over a LONG column; `bloomMightContain` tests a long against the
     * collected sketch bytes as a foldable plan literal. */
-  def bloomFilterAgg(value: Column, expectedItems: Long, numBits: Long): Column =
+  def bloomFilterAgg(value: Column, expectedItems: Long, numBits: Long): Column = {
+    // BloomFilterAggregate silently CLAMPS both sizes to the runtime-
+    // bloom-filter conf maxima (4M items / ~67M bits by default — sized
+    // for the optimizer's join filters, not corpus sketches), so a
+    // lake-scale expectedItems would quietly realize a far worse fpp than
+    // requested (stat.bloomFilter had no such cap). Raise the session
+    // maxima to cover the request so the sizing contract is honored; the
+    // clamp reads SQLConf at aggregation time, so a session-conf raise
+    // here is seen by the executors.
+    val conf = org.apache.spark.sql.SparkSession.active.conf
+    val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (conf.get(maxItemsKey).toLong < expectedItems)
+      conf.set(maxItemsKey, expectedItems.toString)
+    if (conf.get(maxBitsKey).toLong < numBits)
+      conf.set(maxBitsKey, numBits.toString)
     GraftBridge.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         e(value),
         org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
         org.apache.spark.sql.catalyst.expressions.Literal(numBits))
         .toAggregateExpression())
+  }
   def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column =
     GraftBridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(

@@ -97,27 +97,6 @@ object Graph {
   def trianglesCapped(edges: DataFrame, maxDegree: Long): DataFrame =
     triangles(capDegrees(edges, maxDegree))
 
-  /** EXACT triangles at supernode scale: orientation by degree (Suri &
-    * Vassilvitskii, "Counting Triangles and the Curse of the Last
-    * Reducer", WWW 2011). Each undirected edge is directed from its
-    * lower (degree, id) endpoint to the higher; under that total order
-    * every triangle has a UNIQUE minimum vertex whose two out-edges form
-    * its wedge, and the closing edge always runs low→high — so one
-    * wedge self-join plus ONE equi-join enumerates each triangle exactly
-    * once. The scale property [[triangles]] lacks: out-degree under
-    * degree orientation is O(√E) for EVERY vertex — a degree-d hub has
-    * huge in-degree but tiny out-degree (its edges orient toward it), so
-    * no join key fans out by d. [[trianglesCapped]] buys the same bound
-    * by DROPPING supernodes; this plan has it by construction,
-    * losslessly — GraphSpec pins set-equality with [[triangles]].
-    * Same output contract: one row per triangle, corners sorted a<b<c.
-    *
-    * `observeAs` (optional): attach a zero-extra-pass `observe` counter
-    * named `observeAs` with field `wedges` to the wedge stream — Σ
-    * out-deg² is THE cost of this plan (SCALING.md), so a bench artifact
-    * carrying it can tell a volume change from scheduler noise. Names
-    * must be unique per plan; callers composing two censuses in one
-    * query (q124) pass distinct names or null. */
   /** The degree-oriented edge frame (s, t, td): each undirected edge
     * directed from its lower (degree, id) endpoint to the higher, with
     * t's degree carried so wedge generation can order out-neighbors by
@@ -188,6 +167,28 @@ object Graph {
     (n, cs)
   }
 
+  /** EXACT triangles at supernode scale: orientation by degree (Suri &
+    * Vassilvitskii, "Counting Triangles and the Curse of the Last
+    * Reducer", WWW 2011). Each undirected edge is directed from its
+    * lower (degree, id) endpoint to the higher ([[orientedEdges]]); under
+    * that total order every triangle has a UNIQUE minimum vertex whose
+    * two out-edges form its wedge, and the closing edge always runs
+    * low→high — so one wedge self-join plus ONE equi-join enumerates each
+    * triangle exactly once. The scale property [[triangles]] lacks:
+    * out-degree under degree orientation is O(√E) for EVERY vertex — a
+    * degree-d hub has huge in-degree but tiny out-degree (its edges
+    * orient toward it), so no join key fans out by d. [[trianglesCapped]]
+    * buys the same bound by DROPPING supernodes; this plan has it by
+    * construction, losslessly — GraphSpec pins set-equality with
+    * [[triangles]]. Same output contract: one row per triangle, corners
+    * sorted a<b<c.
+    *
+    * `observeAs` (optional): attach a zero-extra-pass `observe` counter
+    * named `observeAs` with field `wedges` to the wedge stream — Σ
+    * out-deg² is THE cost of this plan (SCALING.md), so a bench artifact
+    * carrying it can tell a volume change from scheduler noise. Names
+    * must be unique per plan; callers composing two censuses in one
+    * query (q124) pass distinct names or null. */
   def trianglesOriented(edges: DataFrame, observeAs: String = null): DataFrame = {
     val oriented = orientedEdges(edges)
     val wedges0 = oriented.as("e1").join(oriented.as("e2"),

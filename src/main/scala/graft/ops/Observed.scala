@@ -36,11 +36,13 @@ object Observed {
   /** Observed metrics of the LAST completed action on `df` (batch path).
     *
     * Gotcha: the metrics land on the QueryExecution that actually RAN.
-    * `df.collect()`/`df.write...` execute `df.queryExecution`; but
-    * `df.count()` plans a SEPARATE aggregate QE, so read metrics from the
-    * frame you acted on — or, production-grade, register a
-    * `QueryExecutionListener`/`StreamingQueryListener` and receive every
-    * observation push-style regardless of which QE ran. */
+    * `df.collect()` executes `df.queryExecution`; but `df.count()` plans
+    * a SEPARATE aggregate QE, and `df.write...` wraps the plan in a
+    * fresh QE around the insert command (measured: a write leaves this
+    * frame's metrics zeroed) — so read metrics from the frame you
+    * collect()ed, or harvest any other action's QE through
+    * `GraftBridge.observedFromAction` (a scoped `QueryExecutionListener`
+    * + listener-bus flush), the route the index ingests use. */
   def metrics(df: DataFrame, name: String): Option[Row] =
     df.queryExecution.observedMetrics.get(name)
 }

@@ -28,14 +28,21 @@ object Scale {
 
   /** Write a DataFrame as a bucketed, sorted table: joins and
     * aggregations on the bucket key then run with NO exchange (bucket
-    * pruning + SortMergeJoin over pre-sorted buckets). */
+    * pruning + SortMergeJoin over pre-sorted buckets). Standing-index
+    * callers should key `table` by (dataset, app id) via
+    * [[Scratch.bucketedTable]] — a fixed name makes two concurrent
+    * drivers silently cross-read each other's table. */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit =
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       // absolute scratch path: callers may run from any cwd
-      .option("path", sys.props("java.io.tmpdir") + s"/graft_buckets/$table")
+      .option("path", bucketPath(table))
       .saveAsTable(table)
+
+  /** The warehouse path backing [[writeBucketed]]'s `table`. */
+  def bucketPath(table: String): String =
+    sys.props("java.io.tmpdir") + s"/graft_buckets/$table"
 
   /** Join-free co-occurrence pairs: collect each group's distinct sorted
     * items, expand pairs with nested array transforms, aggregate. Same

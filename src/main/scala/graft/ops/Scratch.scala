@@ -29,18 +29,47 @@ object Scratch {
     * dataset at `d`, unique per (dataset, Spark application). */
   def root(spark: SparkSession, d: String, kind: String): String =
     synchronized {
-      val ds = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8"))
-        .take(4).map(b => f"$b%02x").mkString
       val path = sys.props("java.io.tmpdir") +
-        s"/graft_${kind}_${ds}_${spark.sparkContext.applicationId}"
-      if (created.add(path) && !hooked) {
-        hooked = true
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          Scratch.synchronized(created.foreach(p => deleteRec(new java.io.File(p))))))
-      }
+        s"/graft_${kind}_${dsKey(d)}_${spark.sparkContext.applicationId}"
+      register(path)
       path
     }
+
+  /** Collision-free BUCKETED-TABLE name of `kind` over dataset `d` — the
+    * `saveAsTable` twin of [[root]]: a fixed table name (plus
+    * Scale.writeBucketed's fixed path convention) would reintroduce the
+    * concurrent cross-read/overwrite class [[root]] exists to eliminate.
+    * Table identifiers allow only [a-zA-Z0-9_], so the app id is
+    * sanitized; the backing warehouse path (Scale's `graft_buckets/<table>`
+    * convention) is registered for the same shutdown cleanup as parquet
+    * roots. */
+  def bucketedTable(spark: SparkSession, d: String, kind: String): String =
+    synchronized {
+      val app = spark.sparkContext.applicationId
+        .map(c => if (c.isLetterOrDigit) c else '_')
+      val name = s"graft_${kind}_${dsKey(d)}_$app"
+      register(sys.props("java.io.tmpdir") + s"/graft_buckets/$name")
+      name
+    }
+
+  /** Register an additional scratch path for the shutdown-hook cleanup —
+    * for sidecars that ride next to a [[root]]/[[bucketedTable]] path
+    * (e.g. the shingle index's `_sets` table). */
+  def track(path: String): Unit = synchronized { register(path) }
+
+  private def dsKey(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+
+  private def register(path: String): Unit = {
+    if (created.add(path) && !hooked) {
+      hooked = true
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        Scratch.synchronized(created.foreach(p => deleteRec(new java.io.File(p))))))
+    }
+    ()
+  }
 
   private def deleteRec(f: java.io.File): Unit = {
     val kids = f.listFiles()

@@ -1,0 +1,72 @@
+package graft.ops
+
+/** Content-addressed validity markers for standing indexes (r9 verdict
+  * item: "make the standing indexes actually stand").
+  *
+  * Every registry query is a pure function of (spark, sfDir) — the right
+  * contract — but through round 9 that purity was implemented by
+  * REBUILDING each standing index (PQ codes, gram postings, shingle
+  * sets) on every call: q122+q126 paid `pqIngest` twice per bench run,
+  * q125/q127 re-tokenized the corpus per call, so the measured 63%/1000×
+  * ingest amortization existed only in tools benches. The fix: after a
+  * completed build, write a `_GRAFT_VALID` marker into the index root
+  * holding a FINGERPRINT of the source data (file-stat based: name,
+  * size, mtime of every input file — zero Spark jobs, invalidated by any
+  * rewrite of the inputs) plus a small payload (ingest counters, corpus
+  * size). A later call with the same fingerprint REUSES the completed
+  * index; any change to the inputs — or a different (dataset, app)
+  * Scratch root — rebuilds. The underscore name keeps the marker
+  * invisible to Spark's file index, so readers of the root never see it.
+  *
+  * The marker is written AFTER the build completes (the `_SUCCESS`
+  * discipline, one level up): a crash mid-build leaves no marker, so the
+  * next call rebuilds — never serves a half-written index.
+  */
+object Standing {
+
+  /** File-stat fingerprint of the given input paths (files or
+    * directories, walked recursively in name order): changes when any
+    * input file is added, removed, renamed, resized, or rewritten.
+    * Content-addressed at the file-metadata level — no data is read and
+    * no Spark job runs, which is the point: the check must be free
+    * relative to the ingest it may skip. */
+  def fingerprint(paths: String*): String = {
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val kids = f.listFiles()
+      if (kids == null) Seq(f)
+      else kids.sortBy(_.getName).toSeq.flatMap(walk)
+    }
+    val stats = paths.flatMap(p => walk(new java.io.File(p)))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+      .mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(stats.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
+  private def marker(root: String) = new java.io.File(root, "_GRAFT_VALID")
+
+  /** The payload stored by [[markValid]], iff `root` holds a completed
+    * build for exactly this fingerprint; None → caller must (re)build. */
+  def validPayload(root: String, fp: String): Option[String] = {
+    val m = marker(root)
+    if (!m.exists) None
+    else {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").split("\n", 2)
+      if (lines.head == fp) Some(if (lines.length > 1) lines(1) else "")
+      else None
+    }
+  }
+
+  /** Record a completed build of `root` for source fingerprint `fp`,
+    * with an optional payload (ingest counters, model sizes) the reuse
+    * path hands back without recomputation. Call ONLY after every sink
+    * of the build is fully written. */
+  def markValid(root: String, fp: String, payload: String = ""): Unit = {
+    val m = marker(root)
+    m.getParentFile.mkdirs()
+    java.nio.file.Files.write(m.toPath, (fp + "\n" + payload).getBytes("UTF-8"))
+    ()
+  }
+}

@@ -354,22 +354,67 @@ object Pq {
     * registered q122 number is the honest ingest+query total, but a
     * regression gate that only sees the sum hides a scan-path (production
     * hot path) regression inside training noise; tools.PqBench times each
-    * side, BENCHMARKS.md records them. */
+    * side, BENCHMARKS.md records them.
+    *
+    * STANDS between calls (r9 verdict item): a completed ingest writes a
+    * content-addressed validity marker ([[graft.ops.Standing]]) carrying
+    * the corpus fingerprint, size, and the codebooks (floats as raw bits
+    * — a reused model encodes byte-identically), so a second call on the
+    * same (dataset, app) root returns without a single Spark job —
+    * q122 + q126 in one bench run now pay training and the encode scan
+    * once, not twice (PqSpec pins reuse; any rewrite of the embeddings
+    * parquet invalidates the fingerprint and rebuilds). */
   def pqIngest(spark: SparkSession, d: String,
                root0: String = null): (Codebooks, Long, String) = {
     // collision-free default: keyed by (dataset, app id) — a fixed name
     // let two concurrent drivers cross-read each other's codes (r8 flag)
     val root =
       if (root0 != null) root0 else graft.ops.Scratch.root(spark, d, "pq_codes")
-    val emb = Tables.embeddings(spark, d)
-    val n = emb.count()
-    val par = emb.sparkSession.sparkContext.defaultParallelism
-    val fanout = if (n >= graft.Tuning.PqFanoutGateVectors) par else 0
-    val books = trainCodebooks(emb, fanout = fanout)
-    val embP = if (fanout > 0) emb.repartition(fanout) else emb
-    encode(embP, books).select("vec_id", "codes")
-      .write.mode("overwrite").parquet(root)
-    (books, n, root)
+    val fp = graft.ops.Standing.fingerprint(s"$d/embeddings.parquet")
+    graft.ops.Standing.validPayload(root, fp) match {
+      case Some(payload) =>
+        val (books, n) = parseModel(payload)
+        (books, n, root)
+      case None =>
+        val emb = Tables.embeddings(spark, d)
+        val n = emb.count()
+        val par = emb.sparkSession.sparkContext.defaultParallelism
+        val fanout = if (n >= graft.Tuning.PqFanoutGateVectors) par else 0
+        val books = trainCodebooks(emb, fanout = fanout)
+        val embP = if (fanout > 0) emb.repartition(fanout) else emb
+        encode(embP, books).select("vec_id", "codes")
+          .write.mode("overwrite").parquet(root)
+        graft.ops.Standing.markValid(root, fp, modelPayload(books, n))
+        (books, n, root)
+    }
+  }
+
+  /** Bit-exact model serialization for the validity-marker payload:
+    * floats ride as raw int bits, so a REUSED model is byte-identical to
+    * the one the build trained — encode determinism (PqSpec) then makes
+    * the standing codes and any re-encode agree exactly. */
+  private def modelPayload(books: Codebooks, n: Long): String = {
+    val sb = new StringBuilder
+    sb.append(n).append('\n')
+    sb.append(books.length).append(' ').append(books.head.length).append('\n')
+    for (m <- books; cent <- m) {
+      sb.append(cent.map(f =>
+        Integer.toHexString(java.lang.Float.floatToRawIntBits(f)))
+        .mkString(","))
+      sb.append('\n')
+    }
+    sb.toString
+  }
+
+  private def parseModel(payload: String): (Codebooks, Long) = {
+    val lines = payload.split("\n")
+    val n = lines(0).toLong
+    val dims = lines(1).split(" ")
+    val (m, k) = (dims(0).toInt, dims(1).toInt)
+    val books: Codebooks = Array.tabulate(m, k)((mi, ki) =>
+      lines(2 + mi * k + ki).split(",").map(s =>
+        java.lang.Float.intBitsToFloat(Integer.parseUnsignedInt(s, 16))))
+    (books, n)
   }
 
   /** q122's QUERY phase alone: ADC scan over the standing codes table +

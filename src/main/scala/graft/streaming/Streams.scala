@@ -317,17 +317,39 @@ object Streams {
     * one trigger stale. `foreachBatch` is the right operator here (not a
     * parquet sink): one batch feeds TWO sinks (postings + df sidecar)
     * from one tokenize pass, which a single-sink stream can't express.
-    * Exactly-once hinges on the df partial being a commutative monoid:
-    * a replayed batch after recovery re-appends the same partial, so use
-    * checkpointed sources in production and dedupe batch ids — here the
-    * spec pins stream-built index == batch-built index on a clean run
-    * (the same differential discipline as streamStaticDedup). */
+    * Exactly-once: the foreachBatch batchId keys the append, and
+    * [[graft.dedup.Dedup.gramIndexAppend]] is IDEMPOTENT per id (each
+    * batch overwrites its own subdirectory of both sinks; a committed
+    * batch is skipped) — so a micro-batch replayed from the checkpoint
+    * after recovery, or a crash between the two sink writes, can neither
+    * double-append nor leave postings without their df partial. The spec
+    * pins stream-built index == batch-built index, and DedupSpec pins
+    * replay idempotency + partial-crash repair directly. */
   def streamingGramIngest(docs: DataFrame, root: String,
                           checkpoint: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.dedup.Dedup.gramIndexAppend(batch, root)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.dedup.Dedup.gramIndexAppend(batch, root, batchId = batchId)
+      }
+      .start()
+
+  /** Streaming maintenance of the standing SHINGLE index — the
+    * [[streamingGramIngest]] twin for the similarity-join family
+    * (q31/q103/q127 shapes): every micro-batch tokenizes + shingles its
+    * documents once and appends (doc_id, hs, n) via
+    * [[graft.dedup.Dedup.shingleIndexAppend]], so the index the
+    * similarity consumers read is never more than one trigger stale.
+    * Single sink (no df sidecar — set sizes ride each row), so plain
+    * foreachBatch + the batchId-keyed idempotent append give exactly-once
+    * under replay for free; StreamingSpec pins stream-built ==
+    * batch-built. */
+  def streamingShingleIngest(docs: DataFrame, root: String,
+                             checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.dedup.Dedup.shingleIndexAppend(batch, root, batchId = batchId)
       }
       .start()
 }

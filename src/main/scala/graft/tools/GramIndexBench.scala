@@ -46,13 +46,16 @@ object GramIndexBench {
     }
 
     val plainRoot = graft.ops.Scratch.root(spark, sfDir, "gram_bench_plain")
+    // table name keyed like the parquet roots: a fixed name made two
+    // concurrent bench drivers cross-read each other's index (r9 ADVICE)
+    val bucketed = graft.ops.Scratch.bucketedTable(spark, sfDir, "gram_bench")
     measured("plain_ingest") { Dedup.gramIndexIngest(docs, plainRoot) }
     measured("plain_consumers") { consume(Dedup.gramIndex(spark, plainRoot)) }
     measured("bucketed_ingest") {
-      Dedup.gramIndexIngestBucketed(docs, "gram_bench_bucketed")
+      Dedup.gramIndexIngestBucketed(docs, bucketed)
     }
     measured("bucketed_consumers") {
-      consume(Dedup.gramIndexBucketed(spark, "gram_bench_bucketed")
+      consume(Dedup.gramIndexBucketed(spark, bucketed)
         .select("doc_id", "source", "g"))
     }
     spark.stop()

@@ -19,4 +19,32 @@ object GraftBridge {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Run `action` (typically a DataFrameWriter call) and return the
+    * observed metrics named `name` from whichever QueryExecution the
+    * action drove. A `df.write...` does NOT execute `df.queryExecution` —
+    * the writer wraps the plan in a fresh QE around the insert command —
+    * so `observe` counters on an ingest write are only reachable through
+    * a QueryExecutionListener; delivery is async on the shared listener
+    * bus, hence the `waitUntilEmpty` flush (private[spark], the reason
+    * this lives in the bridge). */
+  def observedFromAction[T](spark: SparkSession, name: String)
+                           (action: => T): (T, Option[Row]) = {
+    val found = new java.util.concurrent.atomic.AtomicReference[Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.get(name).foreach(found.set)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val r = action
+      spark.sparkContext.listenerBus.waitUntilEmpty()
+      (r, Option(found.get))
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -288,6 +288,73 @@ class DedupSpec extends SparkSpec {
       rows(Dedup.dupCoverage(docs)))
   }
 
+  test("gram index append is idempotent per batch id: replays and " +
+       "partial-crash repairs cannot double-append") {
+    val docs = Tables.documents(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("gram_replay_spec").toString + "/postings"
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val wantPostings = rows(Dedup.gramPostings(docs))
+    val wantDf = rows(Dedup.gramPostings(docs).groupBy("g")
+      .agg(sum(lit(1L)).as("df")))
+    Dedup.gramIndexAppend(a, root, batchId = 0)
+    Dedup.gramIndexAppend(b, root, batchId = 1)
+    // committed replay (the checkpoint-recovery path): a second append of
+    // batch 1 must be a no-op — markers present, so not even a write job
+    val marker = new java.io.File(s"$root/batch_1/_SUCCESS")
+    val mtime = marker.lastModified
+    Dedup.gramIndexAppend(b, root, batchId = 1)
+    assert(marker.lastModified == mtime, "committed batch must be skipped")
+    assert(rows(Dedup.gramIndex(spark, root)) == wantPostings)
+    assert(rows(Dedup.gramIndexDf(spark, root)) == wantDf)
+    // partial-crash repair: kill batch 1's df partial (the crash window
+    // between the two sink writes), replay the batch — the overwrite
+    // semantics must restore postings AND sidecar to exactly from-scratch
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"${root}_df/batch_1"))
+    Dedup.gramIndexAppend(b, root, batchId = 1)
+    assert(rows(Dedup.gramIndex(spark, root)) == wantPostings)
+    assert(rows(Dedup.gramIndexDf(spark, root)) == wantDf)
+  }
+
+  test("gram index compact: compact(any prefix of appends) + more appends " +
+       "== from-scratch; sidecar partial count is bounded after compaction") {
+    val docs = Tables.documents(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("gram_compact_spec").toString + "/postings"
+    val parts = (0 until 3).map(i =>
+      docs.filter(abs(xxhash64(col("doc_id"))) % 3 === i))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    def sidecarDirs(): Int = {
+      val kids = new java.io.File(root + "_df").listFiles()
+      if (kids == null) 0 else kids.count(f =>
+        f.isDirectory && f.getName.startsWith("batch_"))
+    }
+    Dedup.gramIndexAppend(parts(0), root)
+    Dedup.gramIndexAppend(parts(1), root)
+    assert(sidecarDirs() == 2)
+    Dedup.gramIndexCompact(spark, root)
+    assert(sidecarDirs() == 1, "compaction must merge partials to one")
+    Dedup.gramIndexAppend(parts(2), root) // auto id must land PAST the compacted one
+    assert(sidecarDirs() == 2)
+    assert(rows(Dedup.gramIndex(spark, root)) == rows(Dedup.gramPostings(docs)))
+    assert(rows(Dedup.gramIndexDf(spark, root)) ==
+      rows(Dedup.gramPostings(docs).groupBy("g").agg(sum(lit(1L)).as("df"))))
+    // re-compaction converges: second call sees one partial and no-ops
+    Dedup.gramIndexCompact(spark, root)
+    Dedup.gramIndexCompact(spark, root)
+    assert(sidecarDirs() == 1)
+    assert(rows(Dedup.gramIndexDf(spark, root)) ==
+      rows(Dedup.gramPostings(docs).groupBy("g").agg(sum(lit(1L)).as("df"))))
+  }
+
   test("shingle index: persisted (doc_id, hs, n) answers both regimes " +
        "identically to from-scratch") {
     val docs = Tables.documents(spark, sf)
@@ -304,6 +371,90 @@ class DedupSpec extends SparkSpec {
     // the probe statistic off the index equals the from-text probe
     assert(Dedup.probePairRowsPerPostingFromShingles(sets) ==
       Dedup.probePairRowsPerPosting(docs))
+  }
+
+  test("bucketed shingle index: posting table + sets sidecar answer both " +
+       "regimes and the probe identically to from-scratch") {
+    val docs = Tables.documents(spark, sf)
+    val tbl = graft.ops.Scratch.bucketedTable(spark, sf, "shingle_bspec")
+    val (nDocs, nPostings) = Dedup.shingleIndexIngestBucketed(docs, tbl)
+    val posting = Dedup.shinglePostingsBucketed(spark, tbl)
+    val sets = Dedup.shingleSetsSidecar(spark, tbl)
+    // the observed ingest counters are the real table sizes
+    assert(nDocs == sets.count(), "observed docs != sets rows")
+    assert(nPostings == posting.count(), "observed postings != posting rows")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(Dedup.similarityJoinPostingCountFromPostings(posting, 1, 20)) ==
+      pairs(Dedup.similarityJoinPostingCount(docs, 1, 20)))
+    assert(pairs(Dedup.similarityJoinPrefixVerifyFromPostings(posting, sets, 1, 2)) ==
+      pairs(Dedup.similarityJoinPrefixVerify(docs, 1, 2)))
+    assert(Dedup.probePairRowsPerPostingFromPostings(posting) ==
+      Dedup.probePairRowsPerPosting(docs))
+    // and the full dispatcher routed over the index == the from-text one
+    assert(pairs(Dedup.similarityJoinFromPostings(posting, sets, 1, 2)) ==
+      pairs(Dedup.similarityJoin(docs, 1, 2)))
+  }
+
+  test("standing indexes are reused within a session: a second query call " +
+       "leaves the index files untouched and returns the same rows") {
+    def files(p: String) = {
+      val fs = new java.io.File(p).listFiles()
+      (if (fs == null) Array.empty[java.io.File] else fs)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).sortBy(_._1).toSeq
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    // gram index (q125): ingest once, reuse on the second call
+    val groot = graft.ops.Scratch.root(spark, sf, "gram_index")
+    val g1 = rows(Dedup.qGramIndex(spark, sf))
+    val gf = files(groot)
+    assert(gf.nonEmpty)
+    assert(rows(Dedup.qGramIndex(spark, sf)) == g1)
+    assert(files(groot) == gf, "second q125 call must not re-ingest")
+    // shingle index (q127) twin
+    val sroot = graft.ops.Scratch.root(spark, sf, "shingle_index")
+    val s1 = rows(Dedup.qShingleIndex(spark, sf))
+    val sfiles = files(sroot)
+    assert(sfiles.nonEmpty)
+    assert(rows(Dedup.qShingleIndex(spark, sf)) == s1)
+    assert(files(sroot) == sfiles, "second q127 call must not re-ingest")
+    // bucketed shingle index (q128) twin — marker lives in the table path
+    val tpath = graft.ops.Scale.bucketPath(
+      graft.ops.Scratch.bucketedTable(spark, sf, "shingle_ix"))
+    val b1 = rows(Dedup.qShingleBucketed(spark, sf))
+    val bfiles = files(tpath)
+    assert(bfiles.nonEmpty)
+    assert(rows(Dedup.qShingleBucketed(spark, sf)) == b1)
+    assert(files(tpath) == bfiles, "second q128 call must not re-ingest")
+    // q128 == q127: bucketed and plain answer the same consumers
+    assert(b1 == s1)
+  }
+
+  test("shingle index append: batch appends == one-shot ingest; replay of " +
+       "a committed batch is a no-op") {
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("shingle_append_spec").toString
+    val root = s"$base/appended"
+    val root2 = s"$base/oneshot"
+    val a = docs.filter(abs(xxhash64(col("doc_id"))) % 2 === 0)
+    val b = docs.filter(abs(xxhash64(col("doc_id"))) % 2 =!= 0)
+    Dedup.shingleIndexAppend(a, root, batchId = 0)
+    Dedup.shingleIndexAppend(b, root, batchId = 1)
+    Dedup.shingleIndexIngest(docs, root2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Dedup.shingleIndex(spark, root)) ==
+      rows(Dedup.shingleIndex(spark, root2)))
+    // committed replay: markers present → not even a write job
+    val marker = new java.io.File(s"$root/batch_1/_SUCCESS")
+    val mtime = marker.lastModified
+    Dedup.shingleIndexAppend(b, root, batchId = 1)
+    assert(marker.lastModified == mtime, "committed batch must be skipped")
+    assert(rows(Dedup.shingleIndex(spark, root)) ==
+      rows(Dedup.shingleIndex(spark, root2)))
   }
 
   test("similarityJoin regimes agree pairwise across the crossover taus") {

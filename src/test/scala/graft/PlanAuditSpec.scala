@@ -291,8 +291,9 @@ class PlanAuditSpec extends SparkSpec {
        "with NO shuffle exchange") {
     import graft.dedup.Dedup
     val docs = Tables.documents(spark, sf)
-    Dedup.gramIndexIngestBucketed(docs, "gram_bucketed_spec")
-    val idx = Dedup.gramIndexBucketed(spark, "gram_bucketed_spec")
+    val tbl = graft.ops.Scratch.bucketedTable(spark, sf, "gram_spec")
+    Dedup.gramIndexIngestBucketed(docs, tbl)
+    val idx = Dedup.gramIndexBucketed(spark, tbl)
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     // force the shuffle-join shape (tiny SF would broadcast and prove
     // nothing); at index scale SMJ is what the planner picks anyway
@@ -316,6 +317,41 @@ class PlanAuditSpec extends SparkSpec {
       df.collect().map(_.toString).sorted.toSeq
     assert(rows(Dedup.dupCoverageFrom(idx.select("doc_id", "source", "g"))) ==
       rows(Dedup.dupCoverage(docs)))
+  }
+
+  test("bucketed shingle index: df probe aggregation runs with NO exchange; " +
+       "the posting-count consumer's only exchange is the pair groupBy") {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, sf)
+    val tbl = graft.ops.Scratch.bucketedTable(spark, sf, "shingle_spec")
+    Dedup.shingleIndexIngestBucketed(docs, tbl)
+    val posting = Dedup.shinglePostingsBucketed(spark, tbl)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the shuffle-join shape (tiny SF would broadcast and prove
+    // nothing); at index scale SMJ is what the planner picks anyway
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dfAgg = posting.groupBy("g").agg(count(lit(1)).as("df"))
+      dfAgg.collect()
+      assert(Scale.countExchanges(dfAgg) == 0,
+        s"bucketed df aggregation must not exchange:\n${plan(dfAgg)}")
+      // full posting-count consumer: bucketed scan → SMJ on g (no
+      // exchange) → pair groupBy (the one NECESSARY shuffle, keyed by
+      // doc pair, not g)
+      val joined = Dedup.similarityJoinPostingCountFromPostings(posting, 1, 2)
+      joined.collect()
+      assert(Scale.countExchanges(joined) == 1,
+        s"bucketed posting-count join must shuffle only at the pair " +
+          s"groupBy:\n${plan(joined)}")
+      // the plain-index twin of the same consumer pays the g-keyed
+      // exchanges the bucketed table removed
+      val sets = Dedup.shingleSetsSidecar(spark, tbl)
+      val plainJoined = Dedup.similarityJoinPostingCountFromPostings(
+        Dedup.shinglePostings(sets), 1, 2)
+      plainJoined.collect()
+      assert(Scale.countExchanges(plainJoined) > 1,
+        s"expected the plain posting path to exchange on g:\n${plan(plainJoined)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("bloomDedup: ONE scan of the incoming batch, codegen might_contain, " +
@@ -407,11 +443,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("bucketed self-join + agg on the bucket key: zero shuffle exchanges") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
-    Scale.writeBucketed(li, "li_bucketed", "l_orderkey", buckets = 4)
+    val tbl = graft.ops.Scratch.bucketedTable(spark, sf, "li_spec")
+    Scale.writeBucketed(li, tbl, "l_orderkey", buckets = 4)
     // force the bucket-aware SMJ path (broadcast would win at this toy SF)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val t = spark.table("li_bucketed")
+      val t = spark.table(tbl)
       val joined = t.as("a").join(t.as("b"), "l_orderkey")
         .groupBy(col("a.l_orderkey")).agg(count(lit(1)).as("n"))
       joined.collect()

@@ -114,6 +114,37 @@ class SimilaritySpec extends SparkSpec {
     assert(onCodes === inline)
   }
 
+  test("PQ: pqIngest stands between calls — second call reuses the " +
+       "completed index (no write, bit-identical model), stale marker rebuilds") {
+    import graft.similarity.Pq
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_stand_spec")
+      .toString + "/codes"
+    val (books1, n1, _) = Pq.pqIngest(spark, sf, root)
+    def codeFiles() = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified)
+      .sortBy(_._1).toSeq
+    val files1 = codeFiles()
+    val (books2, n2, _) = Pq.pqIngest(spark, sf, root)
+    assert(n2 == n1)
+    // the reused model is BIT-identical (floats round-trip as raw bits)
+    assert(books2.flatten.flatten.map(java.lang.Float.floatToRawIntBits).toSeq ==
+      books1.flatten.flatten.map(java.lang.Float.floatToRawIntBits).toSeq)
+    // and the codes table was not rewritten: same files, same mtimes
+    assert(codeFiles() == files1, "reuse must not re-run the ingest write")
+    // the reused index answers queries identically
+    val q1 = Pq.pqQuery(spark, sf, root, books1, n1).collect().map(_.toString).toSeq
+    val q2 = Pq.pqQuery(spark, sf, root, books2, n2).collect().map(_.toString).toSeq
+    assert(q1 == q2)
+    // a stale fingerprint (data changed) must rebuild, not serve the
+    // old index
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_GRAFT_VALID"), "stale\n".getBytes("UTF-8"))
+    Thread.sleep(1100) // parquet mtime granularity can be 1s
+    val (_, n3, _) = Pq.pqIngest(spark, sf, root)
+    assert(n3 == n1)
+    assert(codeFiles() != files1, "stale marker must trigger a rebuild")
+  }
+
   test("PQ: batched ADC == the Q single-query runs, row-for-row") {
     import graft.similarity.Pq
     val emb = Tables.embeddings(spark, sf)

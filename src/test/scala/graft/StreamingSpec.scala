@@ -220,6 +220,43 @@ class StreamingSpec extends SparkSpec {
       rows(Dedup.gramPostings(allDocs).groupBy("g").agg(sum(lit(1L)).as("df"))))
   }
 
+  test("streaming shingle ingest: micro-batch-maintained index == batch index") {
+    import org.apache.spark.sql.types._
+    import graft.dedup.Dedup
+    val dir = "target/tmp/stream_shingle"
+    if (new java.io.File(dir).exists) rmRf(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    val t1 = "one two three four five six seven eight nine ten eleven twelve"
+    val t2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Seq((1L, t1, "srcA"), (2L, t2, "srcB")).toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$dir/w1")
+    Seq((3L, t1, "srcB"), (4L, "ab", "srcA")) // doc 4: < 3 tokens, no shingles
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$dir/w2")
+    Seq("w1", "w2").foreach { sub =>
+      new java.io.File(s"$dir/$sub").listFiles.filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$dir/$sub-$i.parquet")) }
+      rmRf(new java.io.File(s"$dir/$sub"))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val base = java.nio.file.Files.createTempDirectory("stream_shingle_idx").toString
+    val root = s"$base/shingles"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.streamingShingleIngest(stream, root, s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // two micro-batch appends == one batch ingest of the union
+    val root2 = s"$base/oneshot"
+    graft.dedup.Dedup.shingleIndexIngest(spark.read.parquet(dir), root2)
+    assert(rows(Dedup.shingleIndex(spark, root)) ==
+      rows(Dedup.shingleIndex(spark, root2)))
+  }
+
   test("stream-static dedup: streamed docs anti-join the historical corpus") {
     import org.apache.spark.sql.types._
     val dir = "target/tmp/stream_static_dedup"

@@ -122,7 +122,15 @@ TYPICAL = {
     "q127_shingle_index": 2.2,    # writes the shingle index, then answers
                                   # q31's tau=1/20 top-20 AND q103's
                                   # tau=1/2 join from it (solo steady
-                                  # 2.0-2.7 at cpus=32)
+                                  # 2.0-2.7 at cpus=32). r10: warmup pass
+                                  # ingests + marks valid (ops.Standing),
+                                  # timed pass reuses — typical kept at
+                                  # the honest ingest+query level until
+                                  # recalibrated
+    "q128_shingle_bucketed": 2.6, # q127's consumers from the BUCKETED
+                                  # index (bucketBy write is the ingest
+                                  # cost; timed pass reuses the standing
+                                  # table like q127)
     "q68_boilerplate": 1.2,       # gram expansion + per-lang window top-k
     "q82_regional_revenue": 1.2,  # six-table broadcast chain (r9: +0.1
                                   # for the collect()+observe action —
