@@ -57,6 +57,21 @@ object Tuning {
   val FastaWriteTargetBytes: Long =
     envLong("GRAFT_FASTA_WRITE_TARGET_BYTES", 64L << 20)
 
+  /** Largest query-batch size adcTopKBatch evaluates in ONE plan before
+    * chunking. The batched projection computes Q ADC distances per codes
+    * row — Q×M nested element_at lookups in one generated method — and
+    * the per-row cost grows super-linearly past Q≈64 as the method
+    * defeats whole-stage codegen (r10 sweep at 20k vectors,
+    * fork-isolated, single-plan: Q=16 2.0 s / 3.4× over singles, Q=64
+    * 10.1 s / 2.8×, Q=128 25.1 s / 2.6×, Q=256 169 s / 0.75× — SLOWER
+    * than 256 singles — plus a 16 GB driver OOM from JIT deopt at
+    * Q=256). Chunked Q=256 by sub-batch size: 16 → 15.2 s, 32 → 13.7 s
+    * (9.3× over singles, the winner — per-chunk scan overhead balances
+    * per-row projection width there), 64 → 18.5 s. Used by
+    * [[graft.similarity.Pq.adcTopKBatch]]. */
+  val AdcBatchMaxQ: Int =
+    envLong("GRAFT_ADC_BATCH_MAX_Q", 32L).toInt
+
   /** Row count past which SMJ/cartesian per-key match buffers switch from
     * an on-heap ArrayBuffer to a spillable UnsafeExternalSorter
     * (`spark.sql.{sortMergeJoinExec,cartesianProductExec}.buffer.in.memory

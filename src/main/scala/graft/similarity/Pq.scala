@@ -254,11 +254,43 @@ object Pq {
     * Per query, the output is IDENTICAL to [[adcTopKOnCodes]] — same
     * shortlist set (TopKByScore's (score desc, id asc) == (adc_dist asc,
     * vec_id asc)), same re-rank order — PqSpec pins batch == Q
-    * single-query runs row-for-row. Returns (q_id, rk, vec_id, cos_sim). */
+    * single-query runs row-for-row. Returns (q_id, rk, vec_id, cos_sim).
+    *
+    * Batches larger than `maxChunk` ([[graft.Tuning.AdcBatchMaxQ]]) are
+    * CHUNKED into independent sub-batch scans and unioned: the Q-wide
+    * projection is Q×M nested lookups in one generated method, and the
+    * r10 sweep measured its per-row cost growing super-linearly past
+    * Q≈64 until Q=256 in one plan ran SLOWER than 256 singles and OOM'd
+    * a 16 GB driver; chunked at the measured-best 32, Q=256 runs 13.7 s
+    * vs 169 s single-plan and 127 s singles (Tuning scaladoc has the
+    * table). Queries are independent, so chunking is result-invariant
+    * (SimilaritySpec pins chunked == unchunked) and the scan count grows
+    * only as ceil(Q / maxChunk). */
   def adcTopKBatch(codes: DataFrame, emb: DataFrame, queryIds: Seq[Long],
                    k: Int, books: Codebooks, refine: Int = 0,
-                   corpusSize: Long = -1L): DataFrame = {
+                   corpusSize: Long = -1L,
+                   maxChunk: Int = graft.Tuning.AdcBatchMaxQ): DataFrame = {
     require(queryIds.nonEmpty, "adcTopKBatch: empty query batch")
+    require(maxChunk > 0, "adcTopKBatch: maxChunk must be positive")
+    if (queryIds.distinct.size > maxChunk) {
+      // one codes.count() for the whole batch, not per chunk
+      val n = if (corpusSize >= 0L) corpusSize else codes.count()
+      return queryIds.distinct.sorted.grouped(maxChunk).zipWithIndex
+        .map { case (chunk, i) =>
+          adcTopKBatchOne(codes, emb, chunk, k, books, refine, n,
+            observeName = s"pq_batch_c$i")
+        }
+        .reduce(_ unionByName _)
+        .orderBy("q_id", "rk")
+    }
+    adcTopKBatchOne(codes, emb, queryIds, k, books, refine, corpusSize,
+      observeName = "pq_batch")
+  }
+
+  private def adcTopKBatchOne(codes: DataFrame, emb: DataFrame,
+                              queryIds: Seq[Long], k: Int, books: Codebooks,
+                              refine: Int, corpusSize: Long,
+                              observeName: String): DataFrame = {
     val m = books.length
     val sub = books.head.head.length
     val refine2 =
@@ -307,8 +339,10 @@ object Pq {
         explode(col("top")).as("entry"))
       .select(col("q_id"), col("entry._2").as("vec_id"))
       // zero-extra-pass volume counter (the q104/q122 discipline): total
-      // shortlist pairs across the batch = Q × k·refine when healthy
-      .observe("pq_batch", count(lit(1)).as("shortlist_pairs"))
+      // shortlist pairs across the batch = Q × k·refine when healthy;
+      // the name is chunk-indexed when the batch is split (observation
+      // names must be unique within one plan)
+      .observe(observeName, count(lit(1)).as("shortlist_pairs"))
     val qSide = emb.filter(col("vec_id").isInCollection(qIds))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
     val finalTopK = udaf(new graft.functions.TopKByScore(k))
@@ -469,14 +503,25 @@ object Pq {
     * single-query q104/q122 (floor 0.5: measured per-query recall of the
     * md5-seeded codebooks on the synthetic vectors is 0.6–0.9 across
     * sf0.001–0.1 for vec_ids 0–3; single-query recall on near-random
-    * vectors is intrinsically modest — annContract scaladoc). */
+    * vectors is intrinsically modest — annContract scaladoc).
+    *
+    * Shortlist = 2× the single-query proportional default: per-query
+    * recall with the 1× shortlist is corpus-luck in the 0.4–0.9 band,
+    * and the sf1 validation caught q_id 2 just under the 0.5 floor (r10).
+    * A longer shortlist monotonically improves recall (the re-rank picks
+    * exact top-k from a superset), and in the batch its marginal cost is
+    * post-scan only — O(Q × k·refine) shuffle rows, never another pass
+    * over the codes — which is exactly the trade a batch that already
+    * amortized the scan should spend. */
   def qPqBatch(spark: SparkSession, d: String): DataFrame = {
     val (books, n, root) = pqIngest(spark, d)
     val emb = Tables.embeddings(spark, d)
     val codes = spark.read.parquet(root)
     val qIds = Seq(0L, 1L, 2L, 3L)
+    val refine = 2 * math.max(10L, n / 2000).toInt
     annContractBatch(
-      adcTopKBatch(codes, emb, qIds, k = 10, books, corpusSize = n),
+      adcTopKBatch(codes, emb, qIds, k = 10, books, refine = refine,
+        corpusSize = n),
       emb, qIds, 10, minRecall = 0.5)
   }
 

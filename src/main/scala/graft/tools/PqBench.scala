@@ -85,8 +85,11 @@ object PqBench {
       val run = () => {
         val df = Pq.adcTopKBatch(codes, emb, qIds, 10, books, corpusSize = n)
         df.collect() // collect: the observe lands on THIS QE (not count's)
-        df.queryExecution.observedMetrics.get("pq_batch")
-          .map(_.getLong(0)).getOrElse(-1L)
+        // sum across chunk-indexed observations (pq_batch / pq_batch_cN)
+        val sp = df.queryExecution.observedMetrics.collect {
+          case (nm, row) if nm.startsWith("pq_batch") => row.getLong(0)
+        }
+        if (sp.isEmpty) -1L else sp.sum
       }
       run() // warm (codegen of the Q-wide projection)
       var shortlistPairs = -1L

@@ -167,6 +167,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ: chunked batch (maxChunk < Q) == the one-plan batch, row-for-row") {
+    import graft.similarity.Pq
+    val emb = Tables.embeddings(spark, sf)
+    val books = Pq.trainCodebooks(emb)
+    val codes = Pq.encode(emb, books).select("vec_id", "codes")
+    val qIds = Seq(0L, 1L, 2L, 3L, 4L, 5L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    // queries are independent, so splitting the batch into sub-batch
+    // scans must be result-invariant — the property the Q-ceiling
+    // auto-chunking (Tuning.AdcBatchMaxQ) rides on
+    val one = rows(Pq.adcTopKBatch(codes, emb, qIds, 10, books,
+      maxChunk = qIds.size))
+    val chunked = rows(Pq.adcTopKBatch(codes, emb, qIds, 10, books,
+      maxChunk = 2))
+    assert(chunked == one)
+  }
+
   test("k-means training: deterministic, unit-norm, improves over init") {
     val emb = Tables.embeddings(spark, sf)
     val a = Similarity.trainCentroids(emb, k = 8, iters = 2)

@@ -79,16 +79,16 @@ TYPICAL = {
                                   # IDENTICAL volume (shuffle 50KB, zero
                                   # spill) — in-suite accumulation/jitter,
                                   # the q92 class; 3.0 left zero margin
-    "q126_pq_batch": 4.5,         # q122's ingest (train+encode+write) plus
+    "q126_pq_batch": 2.0,         # r10: standing reuse (ops.Standing) —
+                                  # warmup ingests+marks, timed pass is
                                   # the 4-query batched ADC + per-query
-                                  # exact contract (solo steady 3.5-5.5,
-                                  # cold 20 — codegen compile of 4 distance
-                                  # tables + 256-kernel encode)
-    "q122_pq_scan": 3.5,          # q104's training + the ingest-then-scan
-                                  # split: codes written to parquet and
-                                  # re-read (probed steady 2.5-2.7 at
-                                  # cpus=8; extra write/read jobs over
-                                  # q104)
+                                  # exact contract over the standing
+                                  # codes (measured 1.58 at box 0.87,
+                                  # with the 2x contract shortlist)
+    "q122_pq_scan": 1.2,          # r10: standing reuse — timed pass is
+                                  # the ADC query + recall contract only
+                                  # (measured 0.76 at box 0.87); ingest
+                                  # cost lives in PqBench's split rows
     "q101_fasta_roundtrip": 1.0,  # write-bound: renders + rewrites corpus
     "q44_partition_pruning": 1.5, # write-bound by design
     "q114_bm25_rerank": 1.2,      # BM25 shortlist + pruned LM stage
@@ -119,18 +119,18 @@ TYPICAL = {
     "q87_dup_coverage": 1.3,      # 8-gram explode + df join
     "q125_gram_index": 1.8,       # writes the postings index, then answers
                                   # q87+q62 from it (ingest-then-scan)
-    "q127_shingle_index": 2.2,    # writes the shingle index, then answers
-                                  # q31's tau=1/20 top-20 AND q103's
-                                  # tau=1/2 join from it (solo steady
-                                  # 2.0-2.7 at cpus=32). r10: warmup pass
-                                  # ingests + marks valid (ops.Standing),
-                                  # timed pass reuses — typical kept at
-                                  # the honest ingest+query level until
-                                  # recalibrated
-    "q128_shingle_bucketed": 2.6, # q127's consumers from the BUCKETED
-                                  # index (bucketBy write is the ingest
-                                  # cost; timed pass reuses the standing
-                                  # table like q127)
+    "q127_shingle_index": 2.8,    # answers q31's tau=1/20 top-20 AND
+                                  # q103's tau=1/2 join from the standing
+                                  # index (r10: warmup ingests + marks
+                                  # valid, timed pass reuses — the two
+                                  # similarity joins dominate; measured
+                                  # 3.05 at box 0.87)
+    "q128_shingle_bucketed": 3.3, # q127's consumers from the BUCKETED
+                                  # index (32-bucket scan trades AQE
+                                  # coalescing for exchange-free g joins
+                                  # — slightly slower than q127 at toy
+                                  # sf, 1.5x faster at sf1/sf10;
+                                  # measured 3.32 at box 0.87)
     "q68_boilerplate": 1.2,       # gram expansion + per-lang window top-k
     "q82_regional_revenue": 1.2,  # six-table broadcast chain (r9: +0.1
                                   # for the collect()+observe action —
