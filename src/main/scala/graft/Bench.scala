@@ -31,7 +31,8 @@ object Bench {
     * every named observation row is harvested — no wrapper needed. */
   private val observedInPlan = Set("q123_triangles", "q124_triangles_sampled",
     "q104_pq_ann", "q122_pq_scan", "q73_dedup_clusters", "q126_pq_batch",
-    "q125_gram_index", "q127_shingle_index", "q128_shingle_bucketed")
+    "q125_gram_index", "q127_shingle_index", "q128_shingle_bucketed",
+    "q129_ivf_pq")
 
   /** Per-query JVM isolation (`SPARK_GRAFT_BENCH_FORK=1`): run every
     * registry query in a FRESH child JVM and aggregate the children's
@@ -150,15 +151,21 @@ object Bench {
           case Some(df) =>
             df.collect()
             // harvest EVERY named observation in the executed plan (the
-            // "obs" wrapper and any in-plan nodes), merged flat — field
-            // names are chosen unique across a query's observe calls
+            // "obs" wrapper and any in-plan nodes), merged flat; a field
+            // name shared by several observations (q129's four per-query
+            // probe scans each count scanned_rows) is qualified by its
+            // observation name so the JSON object has no duplicate keys
             val fields = df.queryExecution.observedMetrics.toSeq
               .sortBy(_._1)
-              .flatMap { case (_, row) =>
-                row.schema.fieldNames.zip(row.toSeq) }
+              .flatMap { case (nm, row) =>
+                row.schema.fieldNames.zip(row.toSeq)
+                  .map { case (f, v) => (nm, f, v) } }
+            val dup = fields.groupBy(_._2).collect {
+              case (f, vs) if vs.size > 1 => f }.toSet
             if (fields.nonEmpty)
               observedOut(name) = fields
-                .map { case (f, v) => "\"" + f + "\":" + jsonValue(v) }
+                .map { case (nm, f, v) =>
+                  "\"" + (if (dup(f)) s"${nm}_$f" else f) + "\":" + jsonValue(v) }
                 .mkString("{", ",", "}")
           case None => fn(spark, sfDir).count()
         }

@@ -36,6 +36,7 @@ object SparkEntry {
       graft.dedup.Dedup.queries ++
       graft.similarity.Similarity.queries ++
       graft.similarity.Pq.queries ++
+      graft.similarity.IvfPq.queries ++
       graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,5 +61,6 @@ object SparkEntry {
       graft.dedup.Dedup.oracles ++
       graft.similarity.Similarity.oracles ++
       graft.similarity.Pq.oracles ++
+      graft.similarity.IvfPq.oracles ++
       graft.multimodal.Multimodal.oracles
 }

@@ -1,0 +1,228 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the composed production ANN index (the FAISS "IVFADC" shape —
+  * Jégou et al., TPAMI 2011, §V) this library's two halves were built
+  * toward: IVF coarse clustering prunes COMPUTE (a query probes nprobe of
+  * k cluster partitions instead of scanning the corpus) while PQ codes
+  * shrink the SCAN PAYLOAD (M bytes per vector instead of the float
+  * embedding). Composed, a query at 10^11 vectors reads
+  * nprobe/k × corpus × M bytes — both dials independent, both measured
+  * separately in this repo (q46 IVF, q122/q126 PQ), and the index layout
+  * is exactly Spark's native strength: codes written
+  * `partitionBy(cluster)`, so the probe is PARTITION PRUNING at the file
+  * index — unprobed clusters are never listed, read, or decoded
+  * (PlanAuditSpec pins the pruned scan; the in-plan observe counter
+  * carries scanned rows into the bench artifact).
+  *
+  * Design choice, documented: codes quantize the RAW vectors, not the
+  * per-cluster residuals of classic IVFADC. Residual PQ buys recall when
+  * clusters are tight (the residual has smaller dynamic range than the
+  * vector); on this corpus's near-random unit vectors the clusters are
+  * diffuse and the measured recall with raw-vector codes already sits in
+  * the single-query band the contract floors are calibrated to — while
+  * raw codes keep the codebooks SHARED with the flat-PQ index (q122: one
+  * encode serves both layouts) and keep every correctness story
+  * (encode determinism, ADC == table lookups) identical. The residual
+  * variant drops in behind the same ingest/query split if a future
+  * corpus needs it.
+  *
+  * Standing + reused: the (dataset, app)-keyed root carries an
+  * ops.Standing validity marker whose payload holds corpus size,
+  * centroids, and codebooks bit-exactly, so later calls in a session
+  * reuse the partitioned index without a single Spark job.
+  */
+object IvfPq {
+
+  /** Serialized model: n, then k centroid rows, then M×K codebook rows —
+    * floats as raw int bits (bit-exact round trip, the Pq discipline). */
+  private def payload(cents: Array[Array[Float]], books: Pq.Codebooks,
+                      n: Long): String = {
+    def row(v: Array[Float]): String =
+      v.map(f => Integer.toHexString(java.lang.Float.floatToRawIntBits(f)))
+        .mkString(",")
+    val sb = new StringBuilder
+    sb.append(n).append('\n')
+    sb.append(cents.length).append(' ')
+      .append(books.length).append(' ').append(books.head.length).append('\n')
+    cents.foreach(c => sb.append(row(c)).append('\n'))
+    for (m <- books; cent <- m) sb.append(row(cent)).append('\n')
+    sb.toString
+  }
+
+  private def parse(p: String)
+      : (Array[Array[Float]], Pq.Codebooks, Long) = {
+    val lines = p.split("\n")
+    val n = lines(0).toLong
+    val dims = lines(1).split(" ")
+    val (kc, m, k) = (dims(0).toInt, dims(1).toInt, dims(2).toInt)
+    def row(s: String): Array[Float] = s.split(",").map(x =>
+      java.lang.Float.intBitsToFloat(Integer.parseUnsignedInt(x, 16)))
+    val cents = Array.tabulate(kc)(i => row(lines(2 + i)))
+    val books: Pq.Codebooks =
+      Array.tabulate(m, k)((mi, ki) => row(lines(2 + kc + mi * k + ki)))
+    (cents, books, n)
+  }
+
+  /** INGEST: train IVF centroids + PQ codebooks, assign + encode the
+    * corpus in ONE projection pass (both models are plan literals — no
+    * join, no shuffle before the partitioned write), write
+    * (vec_id, codes) partitionBy(cluster). Returns everything the query
+    * side needs. Standing-reused per the corpus fingerprint. */
+  def ivfPqIngest(spark: SparkSession, d: String, root0: String = null,
+                  nClusters: Int = 16)
+      : (Array[Array[Float]], Pq.Codebooks, Long, String) = {
+    val root =
+      if (root0 != null) root0
+      else graft.ops.Scratch.root(spark, d, "ivfpq")
+    val fp = graft.ops.Standing.fingerprint(s"$d/embeddings.parquet")
+    graft.ops.Standing.validPayload(root, fp) match {
+      case Some(p) =>
+        val (cents, books, n) = parse(p)
+        (cents, books, n, root)
+      case None =>
+        val emb = Tables.embeddings(spark, d)
+        val n = emb.count()
+        val par = spark.sparkContext.defaultParallelism
+        val fanout = if (n >= graft.Tuning.PqFanoutGateVectors) par else 0
+        val cents = Similarity.trainCentroids(emb, nClusters)
+        val books = Pq.trainCodebooks(emb, fanout = fanout)
+        val embP = if (fanout > 0) emb.repartition(fanout) else emb
+        Pq.encode(Similarity.assignClusters(embP, cents), books)
+          .select("vec_id", "cluster", "codes")
+          .write.partitionBy("cluster").mode("overwrite").parquet(root)
+        graft.ops.Standing.markValid(root, fp, payload(cents, books, n))
+        (cents, books, n, root)
+    }
+  }
+
+  /** QUERY: rank the k centroids against the query DRIVER-SIDE (the
+    * model is k×dim floats — no Spark job), scan only the nprobe nearest
+    * cluster partitions (partition pruning: unprobed clusters are never
+    * listed), ADC-score their codes, re-rank the proportional shortlist
+    * exactly. The scan reads nprobe/k of the codes — at 10^11 vectors
+    * that ratio times M bytes is the whole query cost, and both factors
+    * are knobs this plan exposes. */
+  def ivfPqTopK(spark: SparkSession, root: String, emb: DataFrame,
+                cents: Array[Array[Float]], books: Pq.Codebooks,
+                queryVecId: Long, k: Int, nprobe: Int = 4,
+                corpusSize: Long = -1L, refine: Int = 0,
+                observeName: String = "ivfpq"): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select("embedding").head().getSeq[Float](0).toArray
+    // driver-side probe selection: dot(q, centroid) over the k-row model
+    val probe = cents.zipWithIndex.map { case (c, i) =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += q(j).toDouble * c(j); j += 1 }
+      (s, i)
+    }.sortBy { case (dot, cid) => (-dot, cid) }.take(nprobe).map(_._2).toSeq
+    val pruned = spark.read.parquet(root)
+      .filter(col("cluster").isInCollection(probe))
+      .select("vec_id", "codes")
+      // the pruning ratio, in-artifact: scanned codes rows ≈ n·nprobe/k
+      .observe(observeName, count(lit(1)).as("scanned_rows"))
+    Pq.adcTopKOnCodes(pruned, emb, queryVecId, k, books,
+      refine = refine, corpusSize = corpusSize,
+      observeName = observeName + "_pq")
+  }
+
+  /** Batch-average recall contract — the metric ANN benchmarks actually
+    * report (mean recall@k over a query set), and the RIGHT one for an
+    * IVF method on this corpus: the synthetic vectors are near-uniform
+    * on the sphere (IVF's textbook adversarial case — true neighbors
+    * spread across clusters ~uniformly, so single-query recall ≈
+    * nprobe/k exactly, measured: IvfPqProbe at sf0.1 tracks 0.2/0.25,
+    * 0.4/0.50, 0.5/0.63 for query 0), which makes any per-query floor a
+    * binomial coin-flip while the BATCH MEAN concentrates (measured
+    * 0.55 over queries 0–3 at nprobe=6). Per-query rows keep the exact
+    * accounting (n_ann = k, the oracle-recomputed exact min cosine);
+    * the boolean pins the batch mean ≥ `minAvgRecall`. */
+  def annContractBatchAvg(ann: DataFrame, emb: DataFrame,
+                          queryIds: Seq[Long], k: Int,
+                          minAvgRecall: Double): DataFrame = {
+    val qIds = queryIds.distinct.sorted
+    val qSide = emb.filter(col("vec_id").isInCollection(qIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val topK = udaf(new graft.functions.TopKByScore(k))
+    // one corpus scan answers the whole batch's exact side (the knnJoin
+    // shape — broadcast queries, bounded top-k aggregate)
+    val bf = emb.crossJoin(broadcast(qSide))
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.cosCol(col("embedding"), col("q_embedding")), 6)
+          .as("cos_sim"))
+      .groupBy("q_id").agg(topK(col("cos_sim"), col("vec_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("entry"))
+      .select(col("q_id"), col("entry._2").as("vec_id"),
+        col("entry._1").as("cos_sim"))
+    val perQuery = ann.select(col("q_id"), col("vec_id"))
+      .withColumn("in_ann", lit(1))
+      .join(bf.withColumn("in_bf", lit(1)), Seq("q_id", "vec_id"), "full_outer")
+      .groupBy("q_id")
+      .agg(count(col("in_ann")).as("n_ann"),
+        count(when(col("in_ann").isNotNull &&
+          col("in_bf").isNotNull, 1)).as("n_hits"),
+        min(col("cos_sim")).as("exact_topk_min_cos"))
+    perQuery
+      // batch mean over |queries| rows — a trivially small window
+      .withColumn("avg_recall",
+        avg(col("n_hits").cast("double") / k)
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("q_id"), lit(k).as("k"), col("n_ann"),
+        col("exact_topk_min_cos"),
+        (col("avg_recall") >= minAvgRecall).as("batch_recall_ok"))
+      .orderBy("q_id")
+  }
+
+  /** q129: the composed index under a BATCH-average recall contract
+    * (see [[annContractBatchAvg]] — on this deliberately unclusterable
+    * corpus, IVF recall ≈ scanned fraction by construction, so the
+    * per-query floor of q46/q104 would be a coin-flip here while the
+    * 4-query mean concentrates; ANN benchmarks report the mean). nprobe
+    * = 6 of 16 scans 37.5% of the codes (a 2.7× compute prune — on a
+    * real, clusterable embedding corpus the same plan prunes 10–100×;
+    * what this corpus CAN pin is the plan shape: partition-pruned scan,
+    * M-byte payload, bounded shortlist) with the 2× proportional
+    * shortlist (the q126 margin; PQ-stage loss measured ZERO here —
+    * IvfPqProbe's refine axis is flat). Floor 0.35 vs measured batch
+    * means 0.48–0.60 across sf0.001–sf10 (IvfPqProbe, nprobe=6,
+    * refine 2×). */
+  def qIvfPq(spark: SparkSession, d: String): DataFrame = {
+    val (cents, books, n, root) = ivfPqIngest(spark, d)
+    val emb = Tables.embeddings(spark, d)
+    val refine = 2 * math.max(10L, n / 2000).toInt
+    val qIds = Seq(0L, 1L, 2L, 3L)
+    val ann = qIds.map { q =>
+      ivfPqTopK(spark, root, emb, cents, books, q, k = 10, nprobe = 6,
+          corpusSize = n, refine = refine, observeName = s"ivfpq_q$q")
+        .select(lit(q).as("q_id"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    annContractBatchAvg(ann, emb, qIds, 10, minAvgRecall = 0.35)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_ivf_pq" -> (qIvfPq _))
+
+  /** q129's oracle: per-query exact top-k accounting (the q126 shape) —
+    * DuckDB recomputes each query's brute-force top-10 min cosine and
+    * pins n_ann = k and the batch-mean recall boolean TRUE. */
+  private lazy val ivfPqOracle: String = s"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_embedding
+               FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+    ranked AS (
+      SELECT q.q_id, e.vec_id,
+             ROUND(${Similarity.duckCos("e.embedding", "q_embedding")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY ROUND(${Similarity.duckCos("e.embedding", "q_embedding")}, 6) DESC,
+                        e.vec_id) AS rn
+      FROM embeddings e CROSS JOIN q)
+    SELECT q_id, 10 AS k, CAST(10 AS BIGINT) AS n_ann,
+           MIN(cos_sim) AS exact_topk_min_cos, TRUE AS batch_recall_ok
+    FROM ranked WHERE rn <= 10 GROUP BY q_id ORDER BY q_id"""
+
+  val oracles: Map[String, String] = Map(
+    "q129_ivf_pq" -> ivfPqOracle)
+}

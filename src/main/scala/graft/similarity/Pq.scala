@@ -189,7 +189,8 @@ object Pq {
     * on what is documented as the production hot path. */
   def adcTopKOnCodes(codes: DataFrame, emb: DataFrame, queryVecId: Long,
                      k: Int, books: Codebooks,
-                     refine: Int = 0, corpusSize: Long = -1L): DataFrame = {
+                     refine: Int = 0, corpusSize: Long = -1L,
+                     observeName: String = "pq"): DataFrame = {
     val m = books.length
     val sub = books.head.head.length
     val refine2 =
@@ -222,8 +223,10 @@ object Pq {
       .select("vec_id")
       // zero-extra-pass volume counter: the shortlist size IS the scale
       // dial of this plan (proportional sizing, r7) — the bench artifact
-      // carries it so a q104/q122 wall-time flag arrives with its volume
-      .observe("pq", count(lit(1)).as("shortlist_rows"))
+      // carries it so a q104/q122 wall-time flag arrives with its volume.
+      // Name parameterized: callers composing several single-query plans
+      // into one frame (IvfPq's batch) need unique observation names.
+      .observe(observeName, count(lit(1)).as("shortlist_rows"))
     emb.join(broadcast(shortlist), "vec_id")
       .crossJoin(broadcast(emb.filter(col("vec_id") === queryVecId)
         .select(col("embedding").as("q_embedding"))))

@@ -188,7 +188,12 @@ class PlanAuditSpec extends SparkSpec {
       // NTILE thresholds over the per-lang quartile table (≤ 4·|langs|)
       "q98_global_curriculum" -> "quantile-spec domain",
       // suffix-cumulative retention over the decile-bin table (≤ 11 rows)
-      "q118_retention_curve" -> "decile-bin domain")
+      "q118_retention_curve" -> "decile-bin domain",
+      // batch-mean recall over the per-query contract rows (≤ |queries|
+      // = 4 rows; the window is the one-pass way to attach the mean —
+      // a crossJoin of a 1-row agg would re-execute the whole contract
+      // pipeline, the annContract double-execution hazard)
+      "q129_ivf_pq" -> "query-batch domain")
     val allowedCartesian = Set("q08_cross_join")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>

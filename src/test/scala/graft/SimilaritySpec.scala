@@ -185,6 +185,57 @@ class SimilaritySpec extends SparkSpec {
     assert(chunked == one)
   }
 
+  test("IVF-PQ: probe scan is partition-pruned (reads ~nprobe/k of the " +
+       "codes), results well-formed and deterministic, index stands") {
+    import graft.similarity.IvfPq
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_spec")
+      .toString + "/idx"
+    val (cents, books, n, _) = IvfPq.ivfPqIngest(spark, sf, root)
+    val emb = Tables.embeddings(spark, sf)
+    val ann = IvfPq.ivfPqTopK(spark, root, emb, cents, books,
+      queryVecId = 0L, k = 10, nprobe = 4, corpusSize = n)
+    val got = ann.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.size == 10)
+    assert(got.map(_._1).distinct.size == 10, "neighbors must be distinct")
+    assert(!got.map(_._1).contains(0L), "query itself excluded")
+    // the pruning claim, from the in-plan counter: the scan touched only
+    // the probed clusters' rows (≈ nprobe/k of the corpus; ≤ 60% guards
+    // against silently scanning everything while allowing cluster skew)
+    val scanned = ann.queryExecution.observedMetrics("ivfpq")
+      .getLong(0)
+    assert(scanned > 0 && scanned < (n * 6) / 10,
+      s"probe scan must be pruned: scanned $scanned of $n")
+    // and the pruning is PARTITION pruning — at the file index, not a
+    // post-scan filter
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      s"probe must prune at the file index:\n$plan")
+    // standing reuse: second ingest on the same root returns the
+    // bit-identical model without rewriting the index
+    def idxFiles(): Seq[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val kids = f.listFiles()
+        if (kids == null) Seq(f) else kids.toSeq.flatMap(walk)
+      }
+      walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified).sortBy(_._1)
+    }
+    val files1 = idxFiles()
+    assert(files1.nonEmpty)
+    val (c2, b2, n2, _) = IvfPq.ivfPqIngest(spark, sf, root)
+    assert(n2 == n)
+    assert(c2.flatten.map(java.lang.Float.floatToRawIntBits).toSeq ==
+      cents.flatten.map(java.lang.Float.floatToRawIntBits).toSeq)
+    assert(b2.flatten.flatten.map(java.lang.Float.floatToRawIntBits).toSeq ==
+      books.flatten.flatten.map(java.lang.Float.floatToRawIntBits).toSeq)
+    assert(idxFiles() == files1, "reuse must not rewrite the index")
+    // determinism: the reused model answers identically
+    val again = IvfPq.ivfPqTopK(spark, root, emb, c2, b2,
+      queryVecId = 0L, k = 10, nprobe = 4, corpusSize = n2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(again == got)
+  }
+
   test("k-means training: deterministic, unit-norm, improves over init") {
     val emb = Tables.embeddings(spark, sf)
     val a = Similarity.trainCentroids(emb, k = 8, iters = 2)

@@ -131,6 +131,11 @@ TYPICAL = {
                                   # — slightly slower than q127 at toy
                                   # sf, 1.5x faster at sf1/sf10;
                                   # measured 3.32 at box 0.87)
+    "q129_ivf_pq": 2.0,           # composed IVF-PQ: 4 partition-pruned
+                                  # probe scans + the batch-mean recall
+                                  # contract's one exact corpus scan
+                                  # (ingest lives in warmup via the
+                                  # standing marker, like q122/q126)
     "q68_boilerplate": 1.2,       # gram expansion + per-lang window top-k
     "q82_regional_revenue": 1.2,  # six-table broadcast chain (r9: +0.1
                                   # for the collect()+observe action —
