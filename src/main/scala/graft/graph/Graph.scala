@@ -219,15 +219,23 @@ object Graph {
   def sparsifyUndirected(edges: DataFrame, keepNum: Int, keepDen: Int): DataFrame = {
     require(keepNum > 0 && keepDen >= keepNum,
       s"sparsifyUndirected: keep fraction must be in (0, 1], got $keepNum/$keepDen")
+    keepFilter(canonicalUndirected(edges), keepNum, keepDen)
+  }
+
+  /** The canonical undirected edge set (u<v, deduped, self-loops out) —
+    * the shared first step of the sparsifier and the budget probe. */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
     edges
       .select(least(col("src"), col("dst")).as("src"),
               greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .filter(conv(substring(
-          md5(concat_ws("|", col("src"), col("dst"))), 1, 8), 16, 10)
-        .cast("long") % keepDen < keepNum)
-  }
+
+  private def keepFilter(canon: DataFrame, keepNum: Int,
+                         keepDen: Int): DataFrame =
+    canon.filter(conv(substring(
+        md5(concat_ws("|", col("src"), col("dst"))), 1, 8), 16, 10)
+      .cast("long") % keepDen < keepNum)
 
   /** DOULION triangle-count estimate: census the sparsified graph with
     * the same exact oriented plan ([[trianglesOriented]]), scale the
@@ -241,7 +249,15 @@ object Graph {
     * the tighter the same p — exactly the regime where the exact census
     * is a batch job. Returns one row: (n_sampled, est). */
   def trianglesSampled(edges: DataFrame, keepNum: Int, keepDen: Int,
-                       observeAs: String = null): DataFrame = {
+                       observeAs: String = null): DataFrame =
+    sampledCensusCanonical(canonicalUndirected(edges), keepNum, keepDen,
+      observeAs)
+
+  private def sampledCensusCanonical(canon: DataFrame, keepNum: Int,
+                                     keepDen: Int,
+                                     observeAs: String): DataFrame = {
+    require(keepNum > 0 && keepDen >= keepNum,
+      s"trianglesSampled: keep fraction must be in (0, 1], got $keepNum/$keepDen")
     val num3 = keepNum.toLong * keepNum * keepNum
     val den3 = keepDen.toLong * keepDen * keepDen
     // round-half-up integer scaling: floor division biased the estimate
@@ -249,7 +265,7 @@ object Graph {
     // keepNum > 1 — e.g. keep 2/3 scales by 27/8); adding num3/2 before
     // the divide keeps the arithmetic exact-integer (engine-portable)
     // and the estimator unbiased after 1/p³ scaling
-    val spars0 = sparsifyUndirected(edges, keepNum, keepDen)
+    val spars0 = keepFilter(canon, keepNum, keepDen)
     // `observeAs`: counters for the two volumes the DOULION claim rides
     // on — the kept-edge count (contracts ~p) and the sampled wedge
     // stream (contracts ~p²); zero extra passes, see trianglesOriented
@@ -260,6 +276,63 @@ object Graph {
       .agg(count(lit(1)).as("n_sampled"))
       .select(col("n_sampled"),
         expr(s"(n_sampled * $den3 + ${num3 / 2}) div $num3").as("est"))
+  }
+
+  /** Budget-adaptive DOULION keep fraction: the integer fraction of
+    * `keepDen` that makes the expected sampled-edge count hit
+    * `targetEdges` (round-half-up, engine-portable), clamped to
+    * [minKeepNum, keepDen]. The two clamps ARE the design: a small graph
+    * (target ≥ |E|) keeps everything — the "estimate" is the exact count
+    * and no work was wasted sampling what already fits the budget —
+    * while a huge graph never drops below the CONCENTRATION floor
+    * p = minKeepNum/keepDen: DOULION's relative std is ≈ √((1/p³)/T)
+    * (Tsourakakis et al. §4), so at the default floor p = 1/16 a graph
+    * big enough to be clamped (T ~ 10⁸ at sf10's edge count) still
+    * estimates within ~0.5% — accuracy outranks the budget when they
+    * conflict, and the output carries keep_num so the caller sees which
+    * regime it got. */
+  def adaptiveKeepFraction(nEdges: Long, targetEdges: Long,
+                           keepDen: Int = 1024, minKeepNum: Int = 64): Int = {
+    require(nEdges > 0, "adaptiveKeepFraction: empty edge set")
+    require(targetEdges > 0, "adaptiveKeepFraction: target must be positive")
+    require(minKeepNum >= 1 && minKeepNum <= keepDen,
+      s"adaptiveKeepFraction: floor $minKeepNum outside [1, $keepDen]")
+    val raw = (keepDen.toLong * targetEdges + nEdges / 2) / nEdges
+    math.max(minKeepNum.toLong, math.min(keepDen.toLong, raw)).toInt
+  }
+
+  /** DOULION with the keep fraction chosen FROM the graph: one cheap
+    * edge-count aggregate picks p ≈ targetEdges/|E| via
+    * [[adaptiveKeepFraction]], then the usual sampled census runs at
+    * that fraction — the production dial a fixed p lacks (a fixed 1/2
+    * wastes the budget on small graphs and blows past it on big ones;
+    * q124's scaladoc points here). The canonical edge set is persisted
+    * across the two passes (the count probe and the census read the
+    * same frame — the edge BUILD, often a join like the co-order graph,
+    * runs once). Everything downstream of the count is the md5-coin
+    * deterministic machinery, so the whole output — including the
+    * chosen keep_num and the estimate — is a pure function of the edge
+    * set and oracle-checkable value-exactly. Returns one row:
+    * (n_edges, keep_num, n_sampled, est).
+    *
+    * The canonical frame is `localCheckpoint`ed (eager), not
+    * persist/unpersist-wrapped: the returned census is LAZY, so an
+    * unpersist on exit would drop the cache before the caller ever
+    * executes it; the checkpoint materializes once for both the probe
+    * count and the census, and its blocks are reclaimed by the
+    * ContextCleaner when the frame is collected (the CC-loop idiom; at
+    * cluster scale use `checkpoint` to reliable storage). */
+  def trianglesSampledBudget(edges: DataFrame, targetEdges: Long,
+                             keepDen: Int = 1024, minKeepNum: Int = 64,
+                             observeAs: String = null): DataFrame = {
+    val canon = canonicalUndirected(edges).localCheckpoint(true)
+    val nEdges = canon.count()
+    val keepNum = adaptiveKeepFraction(nEdges, targetEdges, keepDen,
+      minKeepNum)
+    sampledCensusCanonical(canon, keepNum, keepDen, observeAs)
+      .select(lit(nEdges).as("n_edges"),
+        lit(keepNum.toLong).as("keep_num"),
+        col("n_sampled"), col("est"))
   }
 
   /** Connected components by iterative min-label propagation: every

@@ -215,18 +215,23 @@ object Extra {
     * out-degree is O(√E), so popular parts never fan out a join key)
     * and reduced to an exact census the DuckDB triple join recomputes:
     * triangle count + corner-id checksum. */
-  def q123Triangles(spark: SparkSession, d: String): DataFrame = {
+  /** The co-order graph's canonical edge builder, shared by the triangle
+    * family (q123/q124/q130) so the graph definition cannot drift. */
+  private def coOrderEdges(spark: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(spark, d)
       .select("l_orderkey", "l_partkey").distinct()
-    val edges = li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
-    graft.graph.Graph.trianglesOriented(edges, observeAs = "census")
+  }
+
+  def q123Triangles(spark: SparkSession, d: String): DataFrame =
+    graft.graph.Graph.trianglesOriented(coOrderEdges(spark, d),
+        observeAs = "census")
       .agg(count(lit(1)).as("n_triangles"),
         sum(col("a") + col("b") + col("c")).cast("long").as("corner_sum"))
-  }
 
   /** q124: q123's interactive twin — DOULION edge-sampled triangle count
     * ([[graft.graph.Graph.trianglesSampled]], p = 1/2 here) next to the
@@ -240,13 +245,7 @@ object Extra {
     * SCALING.md); the registered query keeps the exact census in-plan
     * because a bound you never check is a bound you don't have. */
   def q124TrianglesSampled(spark: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(spark, d)
-      .select("l_orderkey", "l_partkey").distinct()
-    val edges = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
+    val edges = coOrderEdges(spark, d)
     val exact = graft.graph.Graph.trianglesOriented(edges)
       .agg(count(lit(1)).as("n_exact"))
     val sampled = graft.graph.Graph.trianglesSampled(edges, 1, 2,
@@ -260,6 +259,21 @@ object Extra {
         (abs(col("est") - col("n_exact")) * 5 <= col("n_exact"))
           .as("within_bound"))
   }
+
+  /** q130: q124's "production use" note made real — the DOULION keep
+    * fraction chosen FROM the measured edge count
+    * ([[graft.graph.Graph.trianglesSampledBudget]]) to hit a 2^17
+    * sampled-edge budget, clamped to the p ≥ 1/16 concentration floor.
+    * Small sfs land in the keep-everything regime (budget ≥ |E| →
+    * keep_num = 1024, est = exact count); sf0.1+ actually samples. No
+    * exact census rides along (q124 carries that check); instead the
+    * md5 coin makes EVERYTHING deterministic — the oracle recomputes
+    * the edge count, the derived fraction, the identical sample, and
+    * the integer-exact estimate, so the whole row is value-exact, a
+    * stronger pin than a bound. */
+  def q130TrianglesBudget(spark: SparkSession, d: String): DataFrame =
+    graft.graph.Graph.trianglesSampledBudget(coOrderEdges(spark, d),
+      targetEdges = 131072, observeAs = "budget")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_split_stats"      -> (q55SplitStats _),
@@ -275,6 +289,7 @@ object Extra {
     "q89_pagerank"         -> (q89PageRank _),
     "q123_triangles"       -> (q123Triangles _),
     "q124_triangles_sampled" -> (q124TrianglesSampled _),
+    "q130_triangles_budget" -> (q130TrianglesBudget _),
   )
 
   /** DuckDB twin of the 10-iteration fixed-point PageRank: the recursive
@@ -368,6 +383,35 @@ object Extra {
       SELECT n_exact, n_sampled, CAST(n_sampled * 8 AS BIGINT) AS est,
              TRUE AS within_bound
       FROM t CROSS JOIN ts""",
+    // q130: FULLY value-exact — edge count, derived keep fraction
+    // (identical integer math: round-half-up target ratio clamped to
+    // [64, 1024]), md5-coin sample, sampled census, and round-half-up
+    // estimate are all deterministic, so the oracle recomputes every
+    // column instead of pinning a bound. Naive census form kept on
+    // evidence — see the q123 note. 1073741824 = 1024³.
+    "q130_triangles_budget" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      n AS (SELECT COUNT(*) AS ne FROM e),
+      kf AS (SELECT ne,
+               GREATEST(64, LEAST(1024,
+                 (1024 * 131072 + ne // 2) // ne)) AS knum
+             FROM n),
+      es AS (SELECT u, v FROM e CROSS JOIN kf
+             WHERE CAST(('0x' || substring(md5(
+                     CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1024 < knum),
+      ts AS (SELECT COUNT(*) AS n_sampled
+             FROM es e1
+             JOIN es e2 ON e1.v = e2.u
+             JOIN es e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT CAST(ne AS BIGINT) AS n_edges, CAST(knum AS BIGINT) AS keep_num,
+             n_sampled,
+             CAST((n_sampled * 1073741824 + (knum * knum * knum) // 2)
+                  // (knum * knum * knum) AS BIGINT) AS est
+      FROM kf CROSS JOIN ts""",
     // q45/q55: exactness contracts — the engine-specific value (HLL
     // estimate / hash assignment) is reduced to a deterministic boolean
     // the oracle pins as TRUE, alongside fully exact counts.

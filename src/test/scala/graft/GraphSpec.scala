@@ -139,6 +139,45 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("budget-adaptive DOULION: fraction math clamps both ends; " +
+       "budget ≥ |E| is the exact regime; sampled regime == the " +
+       "fixed-fraction census at the derived fraction") {
+    import spark.implicits._
+    // pure fraction math: round-half-up ratio, clamped to [floor, den]
+    assert(Graph.adaptiveKeepFraction(100, 50) == 512)
+    assert(Graph.adaptiveKeepFraction(100, 200) == 1024,
+      "target ≥ |E| must keep everything")
+    assert(Graph.adaptiveKeepFraction(1000000, 1) == 64,
+      "concentration floor must clamp tiny targets")
+    assert(Graph.adaptiveKeepFraction(3, 1) == (1024 + 1) / 3,
+      "round-half-up: (1024·1 + 3/2)/3")
+    val rnd = new scala.util.Random(19)
+    val edges = ((1 to 900)
+      .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2) ++ (0L until 40L).map(i => (999L, i)))
+      .toDF("src", "dst")
+    // exact regime: a budget the whole graph fits in → keep_num = den,
+    // n_sampled = exact census, est = exact census
+    val exact = Graph.trianglesOriented(edges).count()
+    val big = Graph.trianglesSampledBudget(edges, targetEdges = 100000)
+      .collect().head
+    assert(big.getLong(1) == 1024L, "small graph must land in keep-all")
+    assert(big.getLong(2) == exact && big.getLong(3) == exact,
+      "keep-all regime must BE the exact census")
+    // sampled regime: the budget output must equal the fixed-fraction
+    // census run at the fraction the probe derives — adaptivity adds a
+    // probe, never a different estimator
+    val nEdges = big.getLong(0)
+    val target = nEdges / 3
+    val derived = Graph.adaptiveKeepFraction(nEdges, target)
+    assert(derived > 64 && derived < 1024, "fixture must exercise mid-range")
+    val budget = Graph.trianglesSampledBudget(edges, target).collect().head
+    assert(budget.getLong(1) == derived)
+    val fixed = Graph.trianglesSampled(edges, derived, 1024).collect().head
+    assert((budget.getLong(2), budget.getLong(3)) ==
+      (fixed.getLong(0), fixed.getLong(1)))
+  }
+
   test("trianglesSampled scales by round-half-up, not floor, for keepNum > 1") {
     import spark.implicits._
     // keep 2/3 scales by 27/8 — floor division biased every non-multiple

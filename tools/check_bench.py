@@ -136,6 +136,11 @@ TYPICAL = {
                                   # contract's one exact corpus scan
                                   # (ingest lives in warmup via the
                                   # standing marker, like q122/q126)
+    "q130_triangles_budget": 4.0, # budget-adaptive DOULION: co-order
+                                  # edge build + localCheckpoint + edge
+                                  # count probe + the sampled census at
+                                  # the derived fraction (112/1024 at
+                                  # sf0.1 — wedge stream ~p^2 of q123's)
     "q68_boilerplate": 1.2,       # gram expansion + per-lang window top-k
     "q82_regional_revenue": 1.2,  # six-table broadcast chain (r9: +0.1
                                   # for the collect()+observe action —
