@@ -548,6 +548,27 @@ object Dedup {
   def shinglePostingsBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Incremental maintenance of the BUCKETED shingle index — the
+    * [[gramIndexAppendBucketed]] twin: one batch's postings appended
+    * into the bucketed table (same spec → consumers stay exchange-free
+    * on g) and its (doc_id, hs, n) rows appended to the sets sidecar
+    * partition-wise. Same caveat: no batch-id idempotency on the
+    * metastore table (transactional formats own that); streams maintain
+    * the plain index. */
+  def shingleIndexAppendBucketed(newDocs: DataFrame, table: String,
+                                 buckets: Int = 32): Unit = {
+    graft.ops.Scratch.track(graft.ops.Scale.bucketPath(table) + "_sets")
+    val sets = shingleSets(newDocs).persist() // one tokenize, two sinks
+    try {
+      sets.write.mode("append")
+        .parquet(graft.ops.Scale.bucketPath(table) + "_sets")
+      shinglePostings(sets).write.mode("append")
+        .bucketBy(buckets, "g").sortBy("g")
+        .option("path", graft.ops.Scale.bucketPath(table))
+        .saveAsTable(table)
+    } finally { sets.unpersist(); () }
+  }
+
   /** The doc-keyed SETS sidecar of the bucketed index. */
   def shingleSetsSidecar(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(graft.ops.Scale.bucketPath(table) + "_sets")
@@ -958,6 +979,30 @@ object Dedup {
   /** The bucketed standing index (metastore table, bucket-aware scan). */
   def gramIndexBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Incremental maintenance of the BUCKETED gram index: one batch's
+    * postings appended INTO the bucketed table with the SAME bucket
+    * spec — the new files land bucketed+sorted on g, so every consumer
+    * keeps its exchange-free plan after any number of appends (Spark's
+    * bucketed scan tolerates multiple files per bucket: it re-sorts
+    * within the bucket when needed, but never re-exchanges; DedupSpec
+    * pins zero exchanges after appends). Appending to a missing table
+    * bootstraps it, so bucketed ingest == first bucketed append. No df
+    * sidecar exists in this form — ON the bucketed table the df
+    * aggregation is itself exchange-free, so maintaining partials would
+    * save nothing. Unlike [[gramIndexAppend]] there is NO batch-id
+    * idempotency: the metastore table's file layout is Spark-managed,
+    * so per-batch overwrite directories can't express it — a replayed
+    * batch double-appends. Exactly-once for a bucketed table needs a
+    * transactional table format (Iceberg/Delta — same `bucketBy`
+    * surface); streams should maintain the plain index
+    * ([[graft.streaming.Streams.streamingGramIngest]]). */
+  def gramIndexAppendBucketed(newDocs: DataFrame, table: String, n: Int = 8,
+                              buckets: Int = 32): Unit =
+    gramPostings(newDocs, n).write.mode("append")
+      .bucketBy(buckets, "g").sortBy("g")
+      .option("path", graft.ops.Scale.bucketPath(table))
+      .saveAsTable(table)
 
   /** Mergeable df state of ONE postings batch — the gram-index twin of
     * [[graft.ops.Incremental.aggState]]: df counts are a sum, so partial

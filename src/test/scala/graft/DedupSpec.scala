@@ -396,6 +396,48 @@ class DedupSpec extends SparkSpec {
       pairs(Dedup.similarityJoin(docs, 1, 2)))
   }
 
+  test("bucketed index appends: batches == one-shot bucketed ingest for " +
+       "gram AND shingle; consumers stay exchange-free after appends") {
+    val docs = Tables.documents(spark, sf)
+    val a = docs.filter(abs(xxhash64(col("doc_id"))) % 2 === 0)
+    val b = docs.filter(abs(xxhash64(col("doc_id"))) % 2 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // gram: two appends (the first bootstraps the table) == one-shot
+    val gtbl = graft.ops.Scratch.bucketedTable(spark, sf, "gram_appb")
+    Dedup.gramIndexAppendBucketed(a, gtbl)
+    Dedup.gramIndexAppendBucketed(b, gtbl)
+    val gidx = Dedup.gramIndexBucketed(spark, gtbl)
+    assert(rows(gidx.select("doc_id", "source", "g")) ==
+      rows(Dedup.gramPostings(docs)))
+    // exchange-free df aggregation survives the multi-file buckets
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dfAgg = gidx.groupBy("g").agg(count(lit(1)).as("df"))
+      dfAgg.collect()
+      assert(graft.ops.Scale.countExchanges(dfAgg) == 0,
+        "appended bucketed index must keep the exchange-free df plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // shingle: appends == one-shot for postings AND the sets sidecar
+    val stbl = graft.ops.Scratch.bucketedTable(spark, sf, "shingle_appb")
+    val stbl2 = graft.ops.Scratch.bucketedTable(spark, sf, "shingle_oneb")
+    Dedup.shingleIndexAppendBucketed(a, stbl)
+    Dedup.shingleIndexAppendBucketed(b, stbl)
+    Dedup.shingleIndexIngestBucketed(docs, stbl2)
+    assert(rows(Dedup.shinglePostingsBucketed(spark, stbl)) ==
+      rows(Dedup.shinglePostingsBucketed(spark, stbl2)))
+    assert(rows(Dedup.shingleSetsSidecar(spark, stbl)) ==
+      rows(Dedup.shingleSetsSidecar(spark, stbl2)))
+    // and the similarity consumers answer identically off the appended form
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(Dedup.similarityJoinFromPostings(
+        Dedup.shinglePostingsBucketed(spark, stbl),
+        Dedup.shingleSetsSidecar(spark, stbl), 1, 2)) ==
+      pairs(Dedup.similarityJoin(docs, 1, 2)))
+  }
+
   test("standing indexes are reused within a session: a second query call " +
        "leaves the index files untouched and returns the same rows") {
     def files(p: String) = {
