@@ -189,10 +189,14 @@ object Dedup {
     // md5 strings enter the sketch through xxhash64: bloom_filter_agg /
     // might_contain key on longs, and any deterministic string→long map
     // preserves "no false negatives" as long as BOTH sides use it
-    val bfBytes = corpusFps
-      .agg(graft.functions.exprs.bloomFilterAgg(xxhash64(col("fp")),
-        expectedItems, numBits).as("bf"))
-      .head.getAs[Array[Byte]](0)
+    // scoped capacity raise: the clamp is read when THIS collect runs
+    val bfBytes = graft.functions.exprs.withBloomCapacity(
+      corpusFps.sparkSession, expectedItems, numBits) {
+      corpusFps
+        .agg(graft.functions.exprs.bloomFilterAgg(xxhash64(col("fp")),
+          expectedItems, numBits).as("bf"))
+        .head.getAs[Array[Byte]](0)
+    }
     val might =
       if (bfBytes == null) lit(false) // empty corpus: everything is new
       else graft.functions.exprs.bloomMightContain(bfBytes, xxhash64(col("fp")))
@@ -489,7 +493,10 @@ object Dedup {
       docs.sparkSession, "shingle_ingest") {
       obs.write.mode("overwrite").parquet(root)
     }
-    val m = m0.get
+    val m = m0.getOrElse(sys.error(
+      "index ingest wrote successfully but its observed counters never " +
+        "arrived — a metrics-plumbing regression (the write's QE must " +
+        "carry the observe node; see GraftBridge.observedFromAction)"))
     (m.getLong(0), if (m.isNullAt(1)) 0L else m.getLong(1))
   }
 
@@ -508,7 +515,7 @@ object Dedup {
     * of it) are unchanged. */
   def shingleIndexAppend(newDocs: DataFrame, root: String,
                          batchId: Long = -1L): Unit = {
-    val id = if (batchId >= 0) batchId else nextBatchId(root)
+    val id = if (batchId >= 0) batchId else claimBatchId(root)
     val dir = s"$root/batch_$id"
     if (new java.io.File(s"$dir/_SUCCESS").exists) return // committed: no-op
     shingleSets(newDocs).write.mode("overwrite").parquet(dir)
@@ -539,7 +546,10 @@ object Dedup {
         obs.write.mode("overwrite").parquet(setsPath)
       }
       graft.ops.Scale.writeBucketed(shinglePostings(sets), table, "g", buckets)
-      val m = m0.get
+      val m = m0.getOrElse(sys.error(
+      "index ingest wrote successfully but its observed counters never " +
+        "arrived — a metrics-plumbing regression (the write's QE must " +
+        "carry the observe node; see GraftBridge.observedFromAction)"))
       (m.getLong(0), if (m.isNullAt(1)) 0L else m.getLong(1))
     } finally { sets.unpersist(); () }
   }
@@ -952,7 +962,10 @@ object Dedup {
       docs.sparkSession, "gram_ingest") {
       obs.write.mode("overwrite").parquet(root)
     }
-    val m = m0.get
+    val m = m0.getOrElse(sys.error(
+      "index ingest wrote successfully but its observed counters never " +
+        "arrived — a metrics-plumbing regression (the write's QE must " +
+        "carry the observe node; see GraftBridge.observedFromAction)"))
     (m.getLong(0), m.getLong(1))
   }
 
@@ -1029,21 +1042,29 @@ object Dedup {
     * double-appending, and a crash BETWEEN the two writes leaves a batch
     * whose replay repairs it, so exactly-once holds at every crash
     * point. A batch already committed to both sinks (`_SUCCESS` markers
-    * present) is skipped outright. `batchId < 0` (batch callers without
-    * a replay log) auto-assigns max-existing + 1 — sequential appends of
-    * DISTINCT batches, with idempotency reserved for callers that can
-    * name their batches (foreachBatch's batchId). */
+    * present, or a df partial absorbed by [[gramIndexCompact]] — the
+    * sidecar's `_COMPACTED` high-water mark) is skipped outright.
+    * `batchId < 0` (batch callers without a replay log) auto-assigns an
+    * unused id by ATOMIC directory creation — two concurrent auto-id
+    * appenders race to mkdir the same candidate, exactly one wins, the
+    * loser takes the next id (local/HDFS semantics; object stores lack
+    * atomic mkdir — there, name your batches). Overwrite-on-replay is
+    * reserved for callers that DO name their batches (foreachBatch's
+    * batchId). */
   def gramIndexAppend(newDocs: DataFrame, root: String, n: Int = 8,
                       batchId: Long = -1L): Unit = {
-    val id = if (batchId >= 0) batchId else nextBatchId(root)
+    val id = if (batchId >= 0) batchId else claimBatchId(root)
     val pDir = s"$root/batch_$id"
     val dfDir = s"${root}_df/batch_$id"
-    if (new java.io.File(s"$pDir/_SUCCESS").exists &&
-        new java.io.File(s"$dfDir/_SUCCESS").exists) return // committed: replay no-op
+    val dfDone = new java.io.File(s"$dfDir/_SUCCESS").exists ||
+      id <= compactedThrough(root + "_df") // partial absorbed by compaction
+    if (new java.io.File(s"$pDir/_SUCCESS").exists && dfDone)
+      return // committed: replay no-op
     val p = gramPostings(newDocs, n).persist() // one tokenize pass, two sinks
     try {
       p.write.mode("overwrite").parquet(pDir)
-      gramDfState(p).write.mode("overwrite").parquet(dfDir)
+      if (!dfDone) // never re-emit a partial compaction already merged
+        gramDfState(p).write.mode("overwrite").parquet(dfDir)
     } finally { p.unpersist(); () }
   }
 
@@ -1057,9 +1078,28 @@ object Dedup {
     }
   }
 
-  private def nextBatchId(root: String): Long = {
+  /** Claim the next unused auto batch id by atomic mkdir: a plain
+    * max+1 read is a TOCTOU race — two concurrent appenders would pick
+    * the same id and the per-batch OVERWRITE would silently erase one
+    * batch (the r10 review find). mkdir is atomic on local/HDFS
+    * filesystems, so exactly one claimant wins each candidate. */
+  private[graft] def claimBatchId(root: String): Long = {
+    new java.io.File(root).mkdirs()
     val ids = batchIds(root)
-    if (ids.isEmpty) 0L else ids.max + 1L
+    var cand = if (ids.isEmpty) 0L else ids.max + 1L
+    while (!new java.io.File(root, s"batch_$cand").mkdir()) cand += 1
+    cand
+  }
+
+  /** The sidecar's compaction high-water mark: every df partial with
+    * batch id ≤ this has been merged into the compacted partial, so a
+    * REPLAY of such a batch must not re-emit its df state (it would
+    * double-count — the r10 review find). -1 when never compacted. */
+  private def compactedThrough(side: String): Long = {
+    val m = new java.io.File(side, "_COMPACTED")
+    if (!m.exists) -1L
+    else new String(
+      java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim.toLong
   }
 
   /** The maintained df aggregate: merge the appended partials by sum —
@@ -1079,9 +1119,13 @@ object Dedup {
     * holds trivially: a merged prefix is itself a valid partial
     * (associativity). The merged partial keeps the HIGHEST existing
     * batch id, so auto-assigned ids of later appends (derived from the
-    * postings root, which holds the same max) stay ahead. Not atomic —
-    * a crash mid-compact can lose the sidecar — but the sidecar is
-    * DERIVED state, rebuildable from the postings root
+    * postings root, which holds the same max) stay ahead, and a
+    * `_COMPACTED` high-water marker records which partials were
+    * absorbed — a REPLAYED pre-compaction batch then skips its df write
+    * instead of double-counting (the r10 review find; DedupSpec pins
+    * replay-after-compact == from-scratch). Not atomic — a crash
+    * mid-compact can lose the sidecar — but the sidecar is DERIVED
+    * state, rebuildable from the postings root
     * (`gramDfState(gramIndex(root))`); run compaction in the maintenance
     * window, not the serving path. */
   def gramIndexCompact(spark: SparkSession, root: String): Unit = {
@@ -1092,15 +1136,14 @@ object Dedup {
       .select(col("g"), col("df").as("df_part"))
     val tmp = side + "_compact_tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(side))
+    graft.ops.Scratch.deleteRec(new java.io.File(side))
     new java.io.File(side).mkdirs()
     java.nio.file.Files.move(
       java.nio.file.Paths.get(tmp),
       java.nio.file.Paths.get(s"$side/batch_${ids.max}"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(side, "_COMPACTED"),
+      ids.max.toString.getBytes("UTF-8"))
     ()
   }
 

@@ -163,28 +163,45 @@ object exprs {
     * ingest path. `bloomFilterAgg` builds the sketch as one aggregation
     * over a LONG column; `bloomMightContain` tests a long against the
     * collected sketch bytes as a foldable plan literal. */
-  def bloomFilterAgg(value: Column, expectedItems: Long, numBits: Long): Column = {
-    // BloomFilterAggregate silently CLAMPS both sizes to the runtime-
-    // bloom-filter conf maxima (4M items / ~67M bits by default — sized
-    // for the optimizer's join filters, not corpus sketches), so a
-    // lake-scale expectedItems would quietly realize a far worse fpp than
-    // requested (stat.bloomFilter had no such cap). Raise the session
-    // maxima to cover the request so the sizing contract is honored; the
-    // clamp reads SQLConf at aggregation time, so a session-conf raise
-    // here is seen by the executors.
-    val conf = org.apache.spark.sql.SparkSession.active.conf
-    val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    if (conf.get(maxItemsKey).toLong < expectedItems)
-      conf.set(maxItemsKey, expectedItems.toString)
-    if (conf.get(maxBitsKey).toLong < numBits)
-      conf.set(maxBitsKey, numBits.toString)
+  /** NOTE the clamp: BloomFilterAggregate silently caps both sizes at
+    * the runtime-bloom-filter conf maxima (4M items / ~67M bits by
+    * default — sized for the optimizer's join filters, not corpus
+    * sketches), quietly degrading the realized fpp for lake-scale
+    * sizing (stat.bloomFilter had no such cap). This builder stays PURE
+    * — callers wrap the EAGER sketch collection in
+    * [[withBloomCapacity]], which raises the maxima for exactly that
+    * action and restores them (a session-wide raise would also let
+    * Spark's own injected runtime join filters balloon on unrelated
+    * queries, and the thread-local active session is the wrong one
+    * under multi-threaded drivers). */
+  def bloomFilterAgg(value: Column, expectedItems: Long, numBits: Long): Column =
     GraftBridge.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         e(value),
         org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
         org.apache.spark.sql.catalyst.expressions.Literal(numBits))
         .toAggregateExpression())
+
+  /** Run `build` (the eager [[bloomFilterAgg]] collection) with the
+    * runtime-bloom maxima raised to cover the requested sizing, then
+    * restore — the clamp is read at aggregation time, so scoping the
+    * raise around the action that executes the aggregate honors the
+    * sizing contract without leaking raised maxima into the session. */
+  def withBloomCapacity[T](spark: org.apache.spark.sql.SparkSession,
+                           expectedItems: Long, numBits: Long)(build: => T): T = {
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val savedItems = spark.conf.get(itemsKey)
+    val savedBits = spark.conf.get(bitsKey)
+    if (savedItems.toLong < expectedItems)
+      spark.conf.set(itemsKey, expectedItems.toString)
+    if (savedBits.toLong < numBits)
+      spark.conf.set(bitsKey, numBits.toString)
+    try build
+    finally {
+      spark.conf.set(itemsKey, savedItems)
+      spark.conf.set(bitsKey, savedBits)
+    }
   }
   def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column =
     GraftBridge.column(

@@ -71,7 +71,9 @@ object Scratch {
     ()
   }
 
-  private def deleteRec(f: java.io.File): Unit = {
+  /** Recursive delete, shared by the shutdown hook, index compaction,
+    * and tests — one definition instead of per-site copies. */
+  private[graft] def deleteRec(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRec)
     f.delete()

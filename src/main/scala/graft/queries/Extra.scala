@@ -206,17 +206,11 @@ object Extra {
       .orderBy("n_nationkey")
   }
 
-  /** q123/J3-at-scale: exact triangle census of the co-order graph.
-    * Vertices are parts; an undirected edge joins two parts that share
-    * at least one order (q07's relationship AS a graph — the same
-    * key-local pair expansion, bounded by order size); triangles are
-    * enumerated with the degree-ORIENTED plan
-    * ([[graft.graph.Graph.trianglesOriented]] — every vertex's
-    * out-degree is O(√E), so popular parts never fan out a join key)
-    * and reduced to an exact census the DuckDB triple join recomputes:
-    * triangle count + corner-id checksum. */
   /** The co-order graph's canonical edge builder, shared by the triangle
-    * family (q123/q124/q130) so the graph definition cannot drift. */
+    * family (q123/q124/q130) so the graph definition cannot drift:
+    * vertices are parts; an undirected edge joins two parts that share
+    * at least one order (q07's relationship AS a graph — the same
+    * key-local pair expansion, bounded by order size). */
   private def coOrderEdges(spark: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(spark, d)
       .select("l_orderkey", "l_partkey").distinct()
@@ -227,6 +221,12 @@ object Extra {
       .distinct()
   }
 
+  /** q123/J3-at-scale: exact triangle census of the co-order graph
+    * ([[coOrderEdges]]); triangles are enumerated with the
+    * degree-ORIENTED plan ([[graft.graph.Graph.trianglesOriented]] —
+    * every vertex's out-degree is O(√E), so popular parts never fan out
+    * a join key) and reduced to an exact census the DuckDB triple join
+    * recomputes: triangle count + corner-id checksum. */
   def q123Triangles(spark: SparkSession, d: String): DataFrame =
     graft.graph.Graph.trianglesOriented(coOrderEdges(spark, d),
         observeAs = "census")

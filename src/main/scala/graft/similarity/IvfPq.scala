@@ -38,18 +38,17 @@ import org.apache.spark.sql.functions._
 object IvfPq {
 
   /** Serialized model: n, then k centroid rows, then M×K codebook rows —
-    * floats as raw int bits (bit-exact round trip, the Pq discipline). */
+    * [[Pq.floatRowHex]] rows (bit-exact round trip; one codec shared
+    * with the flat-PQ serializer so the format cannot fork). */
   private def payload(cents: Array[Array[Float]], books: Pq.Codebooks,
                       n: Long): String = {
-    def row(v: Array[Float]): String =
-      v.map(f => Integer.toHexString(java.lang.Float.floatToRawIntBits(f)))
-        .mkString(",")
     val sb = new StringBuilder
     sb.append(n).append('\n')
     sb.append(cents.length).append(' ')
       .append(books.length).append(' ').append(books.head.length).append('\n')
-    cents.foreach(c => sb.append(row(c)).append('\n'))
-    for (m <- books; cent <- m) sb.append(row(cent)).append('\n')
+    cents.foreach(c => sb.append(Pq.floatRowHex(c)).append('\n'))
+    for (m <- books; cent <- m)
+      sb.append(Pq.floatRowHex(cent)).append('\n')
     sb.toString
   }
 
@@ -59,11 +58,9 @@ object IvfPq {
     val n = lines(0).toLong
     val dims = lines(1).split(" ")
     val (kc, m, k) = (dims(0).toInt, dims(1).toInt, dims(2).toInt)
-    def row(s: String): Array[Float] = s.split(",").map(x =>
-      java.lang.Float.intBitsToFloat(Integer.parseUnsignedInt(x, 16)))
-    val cents = Array.tabulate(kc)(i => row(lines(2 + i)))
-    val books: Pq.Codebooks =
-      Array.tabulate(m, k)((mi, ki) => row(lines(2 + kc + mi * k + ki)))
+    val cents = Array.tabulate(kc)(i => Pq.parseFloatRowHex(lines(2 + i)))
+    val books: Pq.Codebooks = Array.tabulate(m, k)((mi, ki) =>
+      Pq.parseFloatRowHex(lines(2 + kc + mi * k + ki)))
     (cents, books, n)
   }
 
@@ -192,7 +189,7 @@ object IvfPq {
   def qIvfPq(spark: SparkSession, d: String): DataFrame = {
     val (cents, books, n, root) = ivfPqIngest(spark, d)
     val emb = Tables.embeddings(spark, d)
-    val refine = 2 * math.max(10L, n / 2000).toInt
+    val refine = Pq.proportionalShortlist(n, mult = 2)
     val qIds = Seq(0L, 1L, 2L, 3L)
     val ann = qIds.map { q =>
       ivfPqTopK(spark, root, emb, cents, books, q, k = 10, nprobe = 6,

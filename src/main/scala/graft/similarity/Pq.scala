@@ -41,6 +41,26 @@ object Pq {
     dim / m
   }
 
+  /** THE proportional-shortlist formula (k·refine candidates, sized from
+    * the corpus — fixed below 20k vectors, a fixed fraction above; the
+    * r7 scale fix): one definition so the contract multiplier
+    * recalibrations (q126 went 1×→2× in r10 when sf1 content caught a
+    * query under the floor) cannot leave a stale copy behind. */
+  def proportionalShortlist(corpusSize: Long, mult: Int = 1): Int =
+    mult * math.max(10L, corpusSize / 2000).toInt
+
+  /** Bit-exact float-row codec for standing-index model payloads
+    * (ops.Standing markers): floats ride as raw int bits, so a reused
+    * model is byte-identical to the one that trained — shared by the
+    * PQ and IVF-PQ serializers so the format cannot fork. */
+  private[similarity] def floatRowHex(v: Array[Float]): String =
+    v.map(f => Integer.toHexString(java.lang.Float.floatToRawIntBits(f)))
+      .mkString(",")
+
+  private[similarity] def parseFloatRowHex(s: String): Array[Float] =
+    s.split(",").map(x =>
+      java.lang.Float.intBitsToFloat(Integer.parseUnsignedInt(x, 16)))
+
   /** One argmin-coded subspace: codes = index of the L2-nearest centroid.
     * argmin ||x−c||² = argmax (x·c − ||c||²/2); the struct-max trick breaks
     * score ties toward the LOWEST code (negated id in the struct). */
@@ -158,9 +178,7 @@ object Pq {
     val par = emb.sparkSession.sparkContext.defaultParallelism
     val fanout = if (n >= graft.Tuning.PqFanoutGateVectors) par else 0
     val books = trainCodebooks(emb, m, km, fanout = fanout)
-    val refine2 =
-      if (refine > 0) refine
-      else math.max(10L, n / 2000).toInt
+    val refine2 = if (refine > 0) refine else proportionalShortlist(n)
     // The shortlist scan encodes + ADC-scores every vector (M×K argmin
     // structs per row — CPU-dense, ~100 B/row payload); on big corpora
     // fan it out to cores rather than the source file count (same gate as
@@ -195,8 +213,8 @@ object Pq {
     val sub = books.head.head.length
     val refine2 =
       if (refine > 0) refine
-      else math.max(10L,
-        (if (corpusSize >= 0L) corpusSize else codes.count()) / 2000).toInt
+      else proportionalShortlist(
+        if (corpusSize >= 0L) corpusSize else codes.count())
     val q = emb.filter(col("vec_id") === queryVecId)
       .select("embedding").head().getSeq[Float](0).toArray
     val table: Seq[Seq[Double]] = books.zipWithIndex.map { case (cents, mi) =>
@@ -298,8 +316,8 @@ object Pq {
     val sub = books.head.head.length
     val refine2 =
       if (refine > 0) refine
-      else math.max(10L,
-        (if (corpusSize >= 0L) corpusSize else codes.count()) / 2000).toInt
+      else proportionalShortlist(
+        if (corpusSize >= 0L) corpusSize else codes.count())
     val qIds = queryIds.distinct.sorted
     // the Q query vectors: a model-sized driver pull (the query BATCH is
     // small by definition; the corpus never leaves the executors)
@@ -426,18 +444,16 @@ object Pq {
     }
   }
 
-  /** Bit-exact model serialization for the validity-marker payload:
-    * floats ride as raw int bits, so a REUSED model is byte-identical to
-    * the one the build trained — encode determinism (PqSpec) then makes
-    * the standing codes and any re-encode agree exactly. */
+  /** Bit-exact model serialization for the validity-marker payload
+    * ([[floatRowHex]] rows), so a REUSED model is byte-identical to the
+    * one the build trained — encode determinism (PqSpec) then makes the
+    * standing codes and any re-encode agree exactly. */
   private def modelPayload(books: Codebooks, n: Long): String = {
     val sb = new StringBuilder
     sb.append(n).append('\n')
     sb.append(books.length).append(' ').append(books.head.length).append('\n')
     for (m <- books; cent <- m) {
-      sb.append(cent.map(f =>
-        Integer.toHexString(java.lang.Float.floatToRawIntBits(f)))
-        .mkString(","))
+      sb.append(floatRowHex(cent))
       sb.append('\n')
     }
     sb.toString
@@ -449,8 +465,7 @@ object Pq {
     val dims = lines(1).split(" ")
     val (m, k) = (dims(0).toInt, dims(1).toInt)
     val books: Codebooks = Array.tabulate(m, k)((mi, ki) =>
-      lines(2 + mi * k + ki).split(",").map(s =>
-        java.lang.Float.intBitsToFloat(Integer.parseUnsignedInt(s, 16))))
+      parseFloatRowHex(lines(2 + mi * k + ki)))
     (books, n)
   }
 
@@ -521,7 +536,7 @@ object Pq {
     val emb = Tables.embeddings(spark, d)
     val codes = spark.read.parquet(root)
     val qIds = Seq(0L, 1L, 2L, 3L)
-    val refine = 2 * math.max(10L, n / 2000).toInt
+    val refine = proportionalShortlist(n, mult = 2)
     annContractBatch(
       adcTopKBatch(codes, emb, qIds, k = 10, books, refine = refine,
         corpusSize = n),

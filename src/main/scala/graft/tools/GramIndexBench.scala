@@ -29,12 +29,7 @@ object GramIndexBench {
       val t0 = System.nanoTime()
       f
       val sec = (System.nanoTime() - t0) / 1e9
-      var last = -1L
-      var cur = metrics.synchronized(metrics.tasks)
-      while (cur != last) {
-        last = cur; Thread.sleep(150)
-        cur = metrics.synchronized(metrics.tasks)
-      }
+      metrics.settle()
       println(f"GRAM $tag%-20s sec=$sec%.2f ${metrics.line}")
     }
 

@@ -25,7 +25,7 @@ object IvfPqProbe {
       val bf = Similarity.bruteForceTopK(emb, q, k)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       for (nprobe <- Seq(4, 6, 8, 10); mult <- Seq(1, 2, 4)) {
-        val refine = mult * math.max(10L, n / 2000).toInt
+        val refine = graft.similarity.Pq.proportionalShortlist(n, mult)
         val ann = IvfPq.ivfPqTopK(spark, root, emb, cents, books, q, k,
             nprobe = nprobe, corpusSize = n, refine = refine)
           .select("vec_id").collect().map(_.getLong(0)).toSet

@@ -64,12 +64,6 @@ object PqBench {
     // the per-query singles baseline — the numbers behind q126.
     val emb = graft.Tables.embeddings(spark, sfDir)
     val codes = spark.read.parquet(root)
-    def drain(): Unit = { // listener bus is async; settle before reading
-      var last = -1L
-      var cur = metrics.synchronized(metrics.tasks)
-      while (cur != last) { last = cur; Thread.sleep(150)
-        cur = metrics.synchronized(metrics.tasks) }
-    }
     // singles baseline: per-query mean over a fixed sample, once
     val singlesSample = 4
     val sampleIds = (0L until singlesSample.toLong)
@@ -99,7 +93,7 @@ object PqBench {
         shortlistPairs = sp
         sec
       }
-      drain()
+      metrics.settle()
       val batchSec = batchTimes.sum / reps
       println(s"""{"metric":"pq_batch_sweep","sf":"$sfDir","n_vectors":$n,""" +
         s""""q":$qn,"batch_sec":${ms(batchSec)},""" +

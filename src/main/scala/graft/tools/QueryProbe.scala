@@ -52,6 +52,19 @@ object QueryProbe {
       shuffleRead = 0; shuffleWrite = 0; spillDisk = 0; spillMem = 0
       input = 0; tasks = 0; stages.clear()
     }
+    /** Block until the async listener bus has delivered every task event
+      * (its waitUntilEmpty is private[spark]; polling the task counter
+      * until it stops moving is the public-API equivalent) — call after
+      * driving a job to completion, before reading totals. One
+      * definition for every probe/bench that reads this listener. */
+    def settle(): Unit = {
+      var last = -1L
+      var cur = synchronized(tasks)
+      while (cur != last) {
+        last = cur; Thread.sleep(150)
+        cur = synchronized(tasks)
+      }
+    }
     def line: String = synchronized {
       f"tasks=$tasks shuffle_rd=$shuffleRead shuffle_wr=$shuffleWrite " +
         f"input=$input spill_mem=$spillMem spill_disk=$spillDisk"
@@ -73,14 +86,7 @@ object QueryProbe {
         val t0 = System.nanoTime()
         val cnt = fn(spark, d).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        // listener bus is async (and its waitUntilEmpty is private[spark]);
-        // poll until the task counter stops moving before reading totals
-        var last = -1L
-        var cur = metrics.synchronized(metrics.tasks)
-        while (cur != last) {
-          last = cur; Thread.sleep(150)
-          cur = metrics.synchronized(metrics.tasks)
-        }
+        metrics.settle()
         println(f"PROBE $n rep=$r rows=$cnt sec=$sec%.2f ${metrics.line}")
         if (sys.env.contains("SPARK_GRAFT_PROBE_STAGES"))
           metrics.synchronized(metrics.stages.foreach(println))

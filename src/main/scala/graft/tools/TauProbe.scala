@@ -45,13 +45,7 @@ object TauProbe {
       val t0 = System.nanoTime()
       val cnt = fn(docs, tn, td).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener bus is async; poll until the task counter settles
-      var last = -1L
-      var cur = metrics.synchronized(metrics.tasks)
-      while (cur != last) {
-        last = cur; Thread.sleep(150)
-        cur = metrics.synchronized(metrics.tasks)
-      }
+      metrics.settle()
       println(f"TAU $tn/$td $rname rep=$r pairs=$cnt sec=$sec%.2f ${metrics.line}")
     }
     spark.stop()

@@ -313,14 +313,20 @@ class DedupSpec extends SparkSpec {
     // partial-crash repair: kill batch 1's df partial (the crash window
     // between the two sink writes), replay the batch — the overwrite
     // semantics must restore postings AND sidecar to exactly from-scratch
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(s"${root}_df/batch_1"))
+    graft.ops.Scratch.deleteRec(new java.io.File(s"${root}_df/batch_1"))
     Dedup.gramIndexAppend(b, root, batchId = 1)
     assert(rows(Dedup.gramIndex(spark, root)) == wantPostings)
     assert(rows(Dedup.gramIndexDf(spark, root)) == wantDf)
+    // replay AFTER compaction: the batch's df partial was absorbed into
+    // the compacted partial, so the replay must rewrite postings only —
+    // re-emitting the partial would double-count every gram in the
+    // batch (the r10 review find; the _COMPACTED high-water mark)
+    Dedup.gramIndexCompact(spark, root)
+    graft.ops.Scratch.deleteRec(new java.io.File(s"$root/batch_1/_SUCCESS"))
+    Dedup.gramIndexAppend(b, root, batchId = 1)
+    assert(rows(Dedup.gramIndex(spark, root)) == wantPostings)
+    assert(rows(Dedup.gramIndexDf(spark, root)) == wantDf,
+      "replay of a compacted batch must not re-emit its df partial")
   }
 
   test("gram index compact: compact(any prefix of appends) + more appends " +
