@@ -110,12 +110,7 @@ object IvfPq {
                 observeName: String = "ivfpq"): DataFrame = {
     val q = emb.filter(col("vec_id") === queryVecId)
       .select("embedding").head().getSeq[Float](0).toArray
-    // driver-side probe selection: dot(q, centroid) over the k-row model
-    val probe = cents.zipWithIndex.map { case (c, i) =>
-      var s = 0.0; var j = 0
-      while (j < c.length) { s += q(j).toDouble * c(j); j += 1 }
-      (s, i)
-    }.sortBy { case (dot, cid) => (-dot, cid) }.take(nprobe).map(_._2).toSeq
+    val probe = probeClusters(cents, q, nprobe)
     val pruned = spark.read.parquet(root)
       .filter(col("cluster").isInCollection(probe))
       .select("vec_id", "codes")
@@ -124,6 +119,85 @@ object IvfPq {
     Pq.adcTopKOnCodes(pruned, emb, queryVecId, k, books,
       refine = refine, corpusSize = corpusSize,
       observeName = observeName + "_pq")
+  }
+
+  /** Driver-side probe selection: dot(q, centroid) over the k-row model
+    * — no Spark job; ties break toward the lowest cluster id. */
+  private def probeClusters(cents: Array[Array[Float]], q: Array[Float],
+                            nprobe: Int): Seq[Int] =
+    cents.zipWithIndex.map { case (c, i) =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += q(j).toDouble * c(j); j += 1 }
+      (s, i)
+    }.sortBy { case (dot, cid) => (-dot, cid) }.take(nprobe).map(_._2).toSeq
+
+  /** BATCHED IVF-PQ: q126's one-scan batch composed with q129's
+    * partition pruning — the production serving shape (FAISS batch
+    * search). One scan reads the UNION of the batch's probed cluster
+    * partitions (partition pruning at the file index; everything
+    * outside every query's probe set is never listed); each scanned row
+    * posexplodes its Q ADC distances MAP-SIDE ([[Pq.adcPairs]], all Q
+    * distance tables as one plan literal), and each (query, row) pair
+    * survives only if the row's cluster is in THAT query's probe set —
+    * so per query the candidate set is EXACTLY [[ivfPqTopK]]'s, and the
+    * output matches it row-for-row (SimilaritySpec pins it). Shuffle
+    * after the scan is O(Q × k·refine) TopKByScore buffers; the exact
+    * re-rank touches only shortlist vectors. Chunked at
+    * [[graft.Tuning.AdcBatchMaxQ]] like [[Pq.adcTopKBatch]] (the same
+    * Q-wide-projection codegen ceiling applies; chunking by probe-set
+    * overlap instead of id order is a possible refinement — id chunks
+    * keep the contract trivially). Returns (q_id, rk, vec_id, cos_sim). */
+  def ivfPqTopKBatch(spark: SparkSession, root: String, emb: DataFrame,
+                     cents: Array[Array[Float]], books: Pq.Codebooks,
+                     queryIds: Seq[Long], k: Int, nprobe: Int = 4,
+                     corpusSize: Long = -1L, refine: Int = 0,
+                     maxChunk: Int = graft.Tuning.AdcBatchMaxQ): DataFrame = {
+    require(queryIds.nonEmpty, "ivfPqTopKBatch: empty query batch")
+    require(maxChunk > 0, "ivfPqTopKBatch: maxChunk must be positive")
+    if (queryIds.distinct.size > maxChunk) {
+      val n = if (corpusSize >= 0L) corpusSize
+        else spark.read.parquet(root).count()
+      return queryIds.distinct.sorted.grouped(maxChunk).zipWithIndex
+        .map { case (chunk, i) =>
+          ivfPqBatchOne(spark, root, emb, cents, books, chunk, k, nprobe,
+            n, refine, observeName = s"ivfpq_batch_c$i")
+        }
+        .reduce(_ unionByName _)
+        .orderBy("q_id", "rk")
+    }
+    ivfPqBatchOne(spark, root, emb, cents, books, queryIds, k, nprobe,
+      corpusSize, refine, observeName = "ivfpq_batch")
+  }
+
+  private def ivfPqBatchOne(spark: SparkSession, root: String,
+                            emb: DataFrame, cents: Array[Array[Float]],
+                            books: Pq.Codebooks, queryIds: Seq[Long],
+                            k: Int, nprobe: Int, corpusSize: Long,
+                            refine: Int, observeName: String): DataFrame = {
+    val qIds = queryIds.distinct.sorted
+    val qVecs = Pq.collectQueryVecs(emb, qIds)
+    val probes: Seq[Seq[Int]] =
+      qIds.map(id => probeClusters(cents, qVecs(id), nprobe))
+    val unionClusters = probes.flatten.distinct.sorted
+    val refine2 =
+      if (refine > 0) refine
+      else Pq.proportionalShortlist(
+        if (corpusSize >= 0L) corpusSize
+        else spark.read.parquet(root).count())
+    val scanned = spark.read.parquet(root)
+      .filter(col("cluster").isInCollection(unionClusters))
+      .select("vec_id", "cluster", "codes")
+      // union-scan volume: rows read once for the whole batch
+      .observe(observeName, count(lit(1)).as("scanned_rows"))
+    val probesLit = typedlit(probes)
+    val pairs = Pq.adcPairs(scanned, books, qIds, qVecs)
+      // per-(query, row) candidate restriction: only rows in THIS
+      // query's probe clusters compete — the single-query contract
+      .filter(array_contains(
+        element_at(probesLit, col("qi") + 1), col("cluster")))
+      .select("vec_id", "qi", "adc_dist")
+    Pq.batchShortlistRerank(pairs, emb, qIds, k, refine2,
+      observeName + "_pq")
   }
 
   /** Batch-average recall contract — the metric ANN benchmarks actually
@@ -191,11 +265,12 @@ object IvfPq {
     val emb = Tables.embeddings(spark, d)
     val refine = Pq.proportionalShortlist(n, mult = 2)
     val qIds = Seq(0L, 1L, 2L, 3L)
-    val ann = qIds.map { q =>
-      ivfPqTopK(spark, root, emb, cents, books, q, k = 10, nprobe = 6,
-          corpusSize = n, refine = refine, observeName = s"ivfpq_q$q")
-        .select(lit(q).as("q_id"), col("vec_id"))
-    }.reduce(_ unionByName _)
+    // the BATCH path: one union-of-probes scan answers all four queries
+    // (per-query results pinned identical to the single-query plan by
+    // SimilaritySpec, so the registered shape is the production one)
+    val ann = ivfPqTopKBatch(spark, root, emb, cents, books, qIds, k = 10,
+        nprobe = 6, corpusSize = n, refine = refine)
+      .select(col("q_id"), col("vec_id"))
     annContractBatchAvg(ann, emb, qIds, 10, minAvgRecall = 0.35)
   }
 

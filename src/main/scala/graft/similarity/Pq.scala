@@ -312,20 +312,40 @@ object Pq {
                               queryIds: Seq[Long], k: Int, books: Codebooks,
                               refine: Int, corpusSize: Long,
                               observeName: String): DataFrame = {
-    val m = books.length
-    val sub = books.head.head.length
     val refine2 =
       if (refine > 0) refine
       else proportionalShortlist(
         if (corpusSize >= 0L) corpusSize else codes.count())
     val qIds = queryIds.distinct.sorted
-    // the Q query vectors: a model-sized driver pull (the query BATCH is
-    // small by definition; the corpus never leaves the executors)
+    val qVecs = collectQueryVecs(emb, qIds)
+    val pairs = adcPairs(codes, books, qIds, qVecs)
+      .select("vec_id", "qi", "adc_dist")
+    batchShortlistRerank(pairs, emb, qIds, k, refine2, observeName)
+  }
+
+  /** The Q query vectors: a model-sized driver pull (the query BATCH is
+    * small by definition; the corpus never leaves the executors). */
+  private[similarity] def collectQueryVecs(
+      emb: DataFrame, qIds: Seq[Long]): Map[Long, Array[Float]] = {
     val qVecs = emb.filter(col("vec_id").isInCollection(qIds))
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     require(qVecs.size == qIds.size,
-      s"adcTopKBatch: missing query vectors for ${qIds.filterNot(qVecs.contains)}")
+      s"batch query: missing query vectors for ${qIds.filterNot(qVecs.contains)}")
+    qVecs
+  }
+
+  /** Map-side batch scoring: every codes row posexplodes to Q
+    * (qi, adc_dist) pairs — all Q M×K distance tables ride the plan as
+    * ONE 3-D literal, sums in fixed subspace order (bit-identical to the
+    * single-query plan), each query's own row excluded. Extra input
+    * columns (IvfPq's `cluster`) pass through, so callers can restrict
+    * the per-(query, row) candidate set after the explode. */
+  private[similarity] def adcPairs(codes: DataFrame, books: Codebooks,
+                                   qIds: Seq[Long],
+                                   qVecs: Map[Long, Array[Float]]): DataFrame = {
+    val m = books.length
+    val sub = books.head.head.length
     val tables: Seq[Seq[Seq[Double]]] = qIds.map { id =>
       val q = qVecs(id)
       books.zipWithIndex.map { case (cents, mi) =>
@@ -347,11 +367,27 @@ object Pq {
       element_at(element_at(element_at(t, qi + 1), mi + 1),
         element_at(col("codes"), mi + 1) + 1)
     }.reduce(_ + _)
-    val shortTopK = udaf(new graft.functions.TopKByScore(k * refine2))
-    val shortlist = codes
-      .select(col("vec_id"),
+    codes
+      .select(col("*"),
         posexplode(array(qIds.indices.map(adcFor): _*)).as(Seq("qi", "adc_dist")))
       .filter(element_at(qIdsLit, col("qi") + 1) =!= col("vec_id"))
+  }
+
+  /** Bounded per-query shortlists + exact re-rank over scored
+    * (vec_id, qi, adc_dist) pairs: the only shuffle after the scan is
+    * O(Q × k·refine) TopKByScore buffer rows — never the N×Q scored
+    * pairs (a window row_number here would sort all of them: the
+    * knnJoin anti-pattern note); the re-rank touches float vectors for
+    * the shortlist rows only, shortlist and query vectors broadcast.
+    * Returns (q_id, rk, vec_id, cos_sim). */
+  private[similarity] def batchShortlistRerank(pairs: DataFrame,
+                                               emb: DataFrame,
+                                               qIds: Seq[Long], k: Int,
+                                               refine2: Int,
+                                               observeName: String): DataFrame = {
+    val qIdsLit = typedlit(qIds)
+    val shortTopK = udaf(new graft.functions.TopKByScore(k * refine2))
+    val shortlist = pairs
       .groupBy("qi")
       // negated distance: TopKByScore keeps (score desc, id asc) ==
       // (adc_dist asc, vec_id asc), the single-query shortlist order

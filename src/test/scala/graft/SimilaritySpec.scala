@@ -236,6 +236,45 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("batched IVF-PQ == the per-query single scans, row-for-row " +
+       "(incl. chunked); the batch reads one union-of-probes scan") {
+    import graft.similarity.IvfPq
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_batch_spec")
+      .toString + "/idx"
+    val (cents, books, n, _) = IvfPq.ivfPqIngest(spark, sf, root)
+    val emb = Tables.embeddings(spark, sf)
+    val qIds = Seq(0L, 1L, 2L, 3L, 4L, 5L)
+    val batchDf = IvfPq.ivfPqTopKBatch(spark, root, emb, cents, books,
+      qIds, k = 10, nprobe = 4, corpusSize = n)
+    val batch = batchDf.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // the per-(query, row) cluster restriction makes each query's
+    // candidate set EXACTLY the single-query pruned scan's — so the
+    // batch must reproduce every single-query plan row-for-row
+    for (q <- qIds) {
+      val single = IvfPq.ivfPqTopK(spark, root, emb, cents, books, q,
+          k = 10, nprobe = 4, corpusSize = n)
+        .collect().zipWithIndex
+        .map { case (r, i) => (q, i + 1, r.getLong(0), r.getDouble(1)) }
+        .toSeq
+      assert(batch.filter(_._1 == q) == single, s"batch diverges for query $q")
+    }
+    // chunking is result-invariant here too
+    val chunked = IvfPq.ivfPqTopKBatch(spark, root, emb, cents, books,
+        qIds, k = 10, nprobe = 4, corpusSize = n, maxChunk = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(chunked == batch)
+    // one union scan: scanned rows ≤ Σ per-query scans (shared probe
+    // clusters read once) and < the corpus (still pruned)
+    val scanned = batchDf.queryExecution.observedMetrics("ivfpq_batch")
+      .getLong(0)
+    assert(scanned > 0 && scanned < n,
+      s"union-of-probes scan must stay pruned: $scanned of $n")
+  }
+
   test("k-means training: deterministic, unit-norm, improves over init") {
     val emb = Tables.embeddings(spark, sf)
     val a = Similarity.trainCentroids(emb, k = 8, iters = 2)
