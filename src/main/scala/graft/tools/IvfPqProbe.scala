@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   * are set from MEASURED recall, never hoped). Also prints the scanned
   * fraction per nprobe — the compute-prune the knob buys.
   *
-  * Usage: runMain graft.tools.IvfPqProbe <sfDir> [queryIds e.g. 0,1,2,3]
+  * Usage: runMain graft.tools.IvfPqProbe <sfDir> [queryIds e.g. 0,1,2,3] [bench]
+  * With the literal `bench` as the 3rd arg, times the BATCH path vs Q
+  * single-query scans instead of the recall grid (warm reps, the
+  * PqBench discipline) — the amortization rows for BENCHMARKS.md.
   */
 object IvfPqProbe {
   def main(args: Array[String]): Unit = {
@@ -21,6 +24,32 @@ object IvfPqProbe {
     val (cents, books, n, root) = IvfPq.ivfPqIngest(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
     val k = 10
+    if (args.lift(2).contains("bench")) {
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def ms(v: Double): Double = math.rint(v * 1000) / 1000
+      val reps = 3
+      val nprobe = 6
+      // warm both paths (codegen + parquet footers)
+      IvfPq.ivfPqTopKBatch(spark, root, emb, cents, books, qIds, k,
+        nprobe, corpusSize = n).count()
+      qIds.foreach(q => IvfPq.ivfPqTopK(spark, root, emb, cents, books,
+        q, k, nprobe, corpusSize = n).count())
+      val batchSec = (1 to reps).map(_ => time {
+        IvfPq.ivfPqTopKBatch(spark, root, emb, cents, books, qIds, k,
+          nprobe, corpusSize = n).count(); ()
+      }).sum / reps
+      val singlesSec = (1 to reps).map(_ => time {
+        qIds.foreach(q => IvfPq.ivfPqTopK(spark, root, emb, cents, books,
+          q, k, nprobe, corpusSize = n).count())
+      }).sum / reps
+      println(s"""{"metric":"ivfpq_batch","sf":"$sfDir","n_vectors":$n,""" +
+        s""""q":${qIds.size},"nprobe":$nprobe,""" +
+        s""""batch_sec":${ms(batchSec)},"singles_sec":${ms(singlesSec)}}""")
+      spark.stop()
+      return
+    }
     for (q <- qIds) {
       val bf = Similarity.bruteForceTopK(emb, q, k)
         .select("vec_id").collect().map(_.getLong(0)).toSet
