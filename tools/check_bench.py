@@ -153,6 +153,13 @@ TYPICAL = {
     "q102_bm25": 1.1,
     "q79_cohorts": 0.9,
     "q48_topn_per_group": 0.9,
+    "q51_inverted_index": 0.7,  # r11: retired the r10 gate trip (1.33s vs
+                                # 1.32s floor-band budget) — solo probe
+                                # steady 0.49-0.73s with byte-identical
+                                # 1.8KB shuffle, zero spill (BENCHMARKS.md
+                                # variance); 0.7 keeps the budget off the
+                                # exact floor for a query whose solo tail
+                                # reaches 0.73s
 }
 DEFAULT_TYPICAL = 0.5   # every other query is sub-0.5s typical
 HEADROOM = 2.5          # per-query: beyond this x typical (box-adjusted)
