@@ -189,14 +189,10 @@ object Dedup {
     // md5 strings enter the sketch through xxhash64: bloom_filter_agg /
     // might_contain key on longs, and any deterministic string→long map
     // preserves "no false negatives" as long as BOTH sides use it
-    // scoped capacity raise: the clamp is read when THIS collect runs
-    val bfBytes = graft.functions.exprs.withBloomCapacity(
-      corpusFps.sparkSession, expectedItems, numBits) {
-      corpusFps
-        .agg(graft.functions.exprs.bloomFilterAgg(xxhash64(col("fp")),
-          expectedItems, numBits).as("bf"))
-        .head.getAs[Array[Byte]](0)
-    }
+    // capacity raise scoped to a session clone: the clamp is read when
+    // THIS collect runs, and nothing else ever sees the raised maxima
+    val bfBytes = graft.functions.exprs.bloomSketchBytes(
+      corpusFps, xxhash64(col("fp")), expectedItems, numBits)
     val might =
       if (bfBytes == null) lit(false) // empty corpus: everything is new
       else graft.functions.exprs.bloomMightContain(bfBytes, xxhash64(col("fp")))
@@ -1078,16 +1074,30 @@ object Dedup {
     }
   }
 
-  /** Claim the next unused auto batch id by atomic mkdir: a plain
-    * max+1 read is a TOCTOU race — two concurrent appenders would pick
-    * the same id and the per-batch OVERWRITE would silently erase one
-    * batch (the r10 review find). mkdir is atomic on local/HDFS
-    * filesystems, so exactly one claimant wins each candidate. */
+  /** Claim the next unused auto batch id by atomic mkdir of a DURABLE
+    * marker under `_claims/` — a directory no data write ever touches.
+    * A plain max+1 read is a TOCTOU race (two concurrent appenders pick
+    * the same id — the r10 review find), and the first fix claimed the
+    * `batch_<id>` DATA directory itself, which the subsequent
+    * mode("overwrite") write DELETES before recreating: in that window a
+    * concurrent auto-id appender could re-claim the freed id and the two
+    * batches would silently overwrite each other — the exact silent-loss
+    * class the claim exists to prevent (the r11 review find). Claim
+    * markers are empty dirs created atomically (local/HDFS mkdir
+    * semantics; object stores lack atomic mkdir — there, name your
+    * batches) and NEVER removed, so a claim outlives any crash or
+    * rewrite of its batch: the id is burned, never reusable. The
+    * underscore-prefixed parent keeps Spark's file index from ever
+    * listing the markers. Candidates start past existing data batches
+    * AND existing claims (named-batch replays bypass claims, so a named
+    * id below the claim watermark stays replayable). */
   private[graft] def claimBatchId(root: String): Long = {
-    new java.io.File(root).mkdirs()
-    val ids = batchIds(root)
-    var cand = if (ids.isEmpty) 0L else ids.max + 1L
-    while (!new java.io.File(root, s"batch_$cand").mkdir()) cand += 1
+    val claims = new java.io.File(root, "_claims")
+    claims.mkdirs()
+    val claimed = Option(claims.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isDirectory).map(_.getName.toLong)
+    var cand = (batchIds(root) ++ claimed).foldLeft(-1L)(math.max) + 1L
+    while (!new java.io.File(claims, cand.toString).mkdir()) cand += 1
     cand
   }
 
@@ -1130,6 +1140,23 @@ object Dedup {
     * window, not the serving path. */
   def gramIndexCompact(spark: SparkSession, root: String): Unit = {
     val side = root + "_df"
+    // Refuse to compact around a half-committed append: a postings batch
+    // whose df partial is missing (crash between gramIndexAppend's two
+    // writes) must be REPLAYED first — compacting past it can raise the
+    // `_COMPACTED` high-water mark over its id, and the replay's
+    // `id <= compactedThrough` skip would then drop that batch's df
+    // partial forever (gramIndexDf undercounts — the r11 review find).
+    // Inductively, ids at or below the current mark were all absorbed
+    // complete, so only ids above it can be orphans.
+    val mark = compactedThrough(side)
+    val orphans = batchIds(root).filter(id => id > mark &&
+      new java.io.File(s"$root/batch_$id/_SUCCESS").exists &&
+      !new java.io.File(s"$side/batch_$id/_SUCCESS").exists)
+    require(orphans.isEmpty,
+      s"gramIndexCompact: postings batch(es) ${orphans.sorted.mkString(",")}" +
+        " lack their df sidecar (crash between the append's two writes?)" +
+        " — replay them (gramIndexAppend with the same batchId) before" +
+        " compacting")
     val ids = batchIds(side)
     if (ids.size <= 1) return // nothing to merge
     val merged = gramIndexDf(spark, root)

@@ -168,9 +168,9 @@ object exprs {
     * default — sized for the optimizer's join filters, not corpus
     * sketches), quietly degrading the realized fpp for lake-scale
     * sizing (stat.bloomFilter had no such cap). This builder stays PURE
-    * — callers wrap the EAGER sketch collection in
-    * [[withBloomCapacity]], which raises the maxima for exactly that
-    * action and restores them (a session-wide raise would also let
+    * — callers run the EAGER sketch collection through
+    * [[bloomSketchBytes]], which raises the maxima on a session CLONE
+    * for exactly that action (a session-wide raise would also let
     * Spark's own injected runtime join filters balloon on unrelated
     * queries, and the thread-local active session is the wrong one
     * under multi-threaded drivers). */
@@ -182,26 +182,30 @@ object exprs {
         org.apache.spark.sql.catalyst.expressions.Literal(numBits))
         .toAggregateExpression())
 
-  /** Run `build` (the eager [[bloomFilterAgg]] collection) with the
-    * runtime-bloom maxima raised to cover the requested sizing, then
-    * restore — the clamp is read at aggregation time, so scoping the
-    * raise around the action that executes the aggregate honors the
-    * sizing contract without leaking raised maxima into the session. */
-  def withBloomCapacity[T](spark: org.apache.spark.sql.SparkSession,
-                           expectedItems: Long, numBits: Long)(build: => T): T = {
+  /** Build the bloom sketch of `value` over `src` eagerly, with the
+    * runtime-bloom maxima raised to cover the requested sizing — on a
+    * SESSION CLONE, never the caller's session. The clamp is read when
+    * the aggregate executes, and the r10 review caught the
+    * set-then-restore shape this replaces: raising the maxima on the
+    * shared session let a CONCURRENT query plan its own injected runtime
+    * join filters against the raised caps, and two overlapping scoped
+    * raises could restore each other's values out of order. The clone
+    * (same SparkContext, independent SQLConf copy) holds the raise for
+    * exactly this action; the frame is re-rooted onto it over the same
+    * logical plan, so the work (and any cached fragment) is unchanged. */
+  def bloomSketchBytes(src: org.apache.spark.sql.DataFrame,
+                       value: Column, expectedItems: Long,
+                       numBits: Long): Array[Byte] = {
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val savedItems = spark.conf.get(itemsKey)
-    val savedBits = spark.conf.get(bitsKey)
-    if (savedItems.toLong < expectedItems)
-      spark.conf.set(itemsKey, expectedItems.toString)
-    if (savedBits.toLong < numBits)
-      spark.conf.set(bitsKey, numBits.toString)
-    try build
-    finally {
-      spark.conf.set(itemsKey, savedItems)
-      spark.conf.set(bitsKey, savedBits)
-    }
+    val scoped = GraftBridge.cloneSession(src.sparkSession)
+    if (scoped.conf.get(itemsKey).toLong < expectedItems)
+      scoped.conf.set(itemsKey, expectedItems.toString)
+    if (scoped.conf.get(bitsKey).toLong < numBits)
+      scoped.conf.set(bitsKey, numBits.toString)
+    GraftBridge.withSession(src, scoped)
+      .agg(bloomFilterAgg(value, expectedItems, numBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
   }
   def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column =
     GraftBridge.column(

@@ -75,7 +75,14 @@ object IvfPq {
     val root =
       if (root0 != null) root0
       else graft.ops.Scratch.root(spark, d, "ivfpq")
-    val fp = graft.ops.Standing.fingerprint(s"$d/embeddings.parquet")
+    // the fingerprint covers the MODEL hyperparameters, not just the
+    // source bytes: a later call with a different nClusters must rebuild,
+    // not silently reuse a stale index whose parsed payload would
+    // override the caller's argument (r11 review find). PQ M/K are
+    // Tuning constants, not per-call knobs, so the source+k pair is the
+    // full configuration surface of this ingest.
+    val fp = graft.ops.Standing.fingerprint(s"$d/embeddings.parquet") +
+      s":k=$nClusters"
     graft.ops.Standing.validPayload(root, fp) match {
       case Some(p) =>
         val (cents, books, n) = parse(p)
@@ -111,13 +118,21 @@ object IvfPq {
     val q = emb.filter(col("vec_id") === queryVecId)
       .select("embedding").head().getSeq[Float](0).toArray
     val probe = probeClusters(cents, q, nprobe)
+    // resolve the default corpus size from the FULL index, exactly as the
+    // batch path does: leaving -1 through would let adcTopKOnCodes size
+    // the proportional shortlist from the PRUNED frame's count (~nprobe/k
+    // of the corpus), silently shrinking the shortlist vs ivfPqTopKBatch
+    // and breaking the "matches row-for-row" contract on the default-args
+    // path (r11 review find; in-repo callers pass corpusSize explicitly).
+    val corpusN = if (corpusSize >= 0L) corpusSize
+      else spark.read.parquet(root).count()
     val pruned = spark.read.parquet(root)
       .filter(col("cluster").isInCollection(probe))
       .select("vec_id", "codes")
       // the pruning ratio, in-artifact: scanned codes rows ≈ n·nprobe/k
       .observe(observeName, count(lit(1)).as("scanned_rows"))
     Pq.adcTopKOnCodes(pruned, emb, queryVecId, k, books,
-      refine = refine, corpusSize = corpusSize,
+      refine = refine, corpusSize = corpusN,
       observeName = observeName + "_pq")
   }
 

@@ -168,14 +168,9 @@ object Streams {
     // longs): the per-row membership probe is a Catalyst expression, not
     // a serialized Scala closure — the same r9 change as Dedup.bloomDedup
     val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
-    // scoped capacity raise around the eager sketch build (exprs scaladoc)
-    val bfBytes = graft.functions.exprs.withBloomCapacity(
-      keys.sparkSession, n, numBits) {
-      keys
-        .agg(graft.functions.exprs.bloomFilterAgg(col("band_key"), n, numBits)
-          .as("bf"))
-        .head.getAs[Array[Byte]](0)
-    }
+    // capacity raise scoped to a session clone (exprs scaladoc)
+    val bfBytes = graft.functions.exprs.bloomSketchBytes(
+      keys, col("band_key"), n, numBits)
     keys.unpersist()
     val flag =
       if (bfBytes == null) lit(false) // empty corpus: no candidates

@@ -20,6 +20,25 @@ object GraftBridge {
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** A session clone sharing the SparkContext (and cache manager) but
+    * owning an INDEPENDENT copy of the runtime SQLConf (`cloneSession`
+    * is private[sql]): a conf raise applied to the clone is visible only
+    * to actions run through it — concurrent queries on the original
+    * session never plan against the raised values, and two overlapping
+    * scoped raises cannot restore each other's confs out of order (the
+    * failure mode of set-then-restore on the shared session). */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** Re-root a frame onto another session over the SAME logical plan:
+    * actions on the result execute under THAT session's SQLConf. The
+    * companion of [[cloneSession]] — existing frames are bound to the
+    * session that created them, so a scoped conf raise needs the plan
+    * re-rooted, not just the clone made active. */
+  def withSession(df: DataFrame, spark: SparkSession): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      df.queryExecution.logical)
+
   /** Run `action` (typically a DataFrameWriter call) and return the
     * observed metrics named `name` from whichever QueryExecution the
     * action drove. A `df.write...` does NOT execute `df.queryExecution` —

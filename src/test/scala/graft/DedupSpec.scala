@@ -329,6 +329,60 @@ class DedupSpec extends SparkSpec {
       "replay of a compacted batch must not re-emit its df partial")
   }
 
+  test("auto batch-id claims are durable: deleting a claimed id's data " +
+       "dir (the mode-overwrite window) never frees the id") {
+    val root = java.nio.file.Files
+      .createTempDirectory("gram_claim_spec").toString + "/postings"
+    val id0 = Dedup.claimBatchId(root)
+    // the r11 review window: mode("overwrite") DELETES batch_<id> before
+    // the job recreates it — under the old data-dir claim, a concurrent
+    // auto-id appender could re-claim the freed id in that window and the
+    // two batches would silently overwrite each other. The claim marker
+    // must survive the data dir's deletion.
+    graft.ops.Scratch.deleteRec(new java.io.File(s"$root/batch_$id0"))
+    val id1 = Dedup.claimBatchId(root)
+    assert(id1 != id0, "a deleted data dir must not free its claimed id")
+    // and claims interleave correctly with real data batches: an append
+    // after two bare claims lands past both
+    val docs = Tables.documents(spark, sf).limit(5)
+    Dedup.gramIndexAppend(docs, root)
+    val dataIds = Option(new java.io.File(root).listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+      .map(_.getName.stripPrefix("batch_").toLong)
+    assert(dataIds.nonEmpty && dataIds.max > math.max(id0, id1),
+      s"append must claim past bare claims: got $dataIds vs $id0/$id1")
+  }
+
+  test("gram index compact refuses while a committed postings batch " +
+       "lacks its df sidecar (the replay-starvation window)") {
+    val docs = Tables.documents(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("gram_compact_guard_spec").toString + "/postings"
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    Dedup.gramIndexAppend(a, root, batchId = 0)
+    Dedup.gramIndexAppend(b, root, batchId = 1)
+    // crash window: batch 1's postings committed, its df partial lost.
+    // Compacting NOW would raise _COMPACTED past id 1, and batch 1's
+    // replay would skip its df write forever — gramIndexDf undercounts.
+    graft.ops.Scratch.deleteRec(new java.io.File(s"${root}_df/batch_1"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.gramIndexCompact(spark, root)
+    }
+    assert(e.getMessage.contains("replay"),
+      s"guard must point the operator at the repair: ${e.getMessage}")
+    // the prescribed repair: replay the batch, then compaction proceeds
+    // and the maintained df equals from-scratch
+    Dedup.gramIndexAppend(b, root, batchId = 1)
+    Dedup.gramIndexCompact(spark, root)
+    assert(rows(Dedup.gramIndexDf(spark, root)) ==
+      rows(Dedup.gramPostings(docs).groupBy("g")
+        .agg(sum(lit(1L)).as("df"))))
+  }
+
   test("gram index compact: compact(any prefix of appends) + more appends " +
        "== from-scratch; sidecar partial count is bounded after compaction") {
     val docs = Tables.documents(spark, sf)

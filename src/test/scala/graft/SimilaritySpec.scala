@@ -236,6 +236,39 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("IVF-PQ standing marker covers the model hyperparameters: a " +
+       "different nClusters rebuilds instead of reusing a stale index; " +
+       "default corpusSize matches the explicit-size plan") {
+    import graft.similarity.IvfPq
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_fp_spec")
+      .toString + "/idx"
+    val (c16, _, n, _) = IvfPq.ivfPqIngest(spark, sf, root, nClusters = 16)
+    assert(c16.length == 16)
+    // same source, different model config: the fingerprint must MISS and
+    // the rebuild honor the caller's nClusters — the r11 review find was
+    // the stale payload's dimensions silently winning over the argument
+    val (c8, b8, n8, _) = IvfPq.ivfPqIngest(spark, sf, root, nClusters = 8)
+    assert(c8.length == 8,
+      "changed nClusters must rebuild, not reuse the stale standing index")
+    assert(n8 == n)
+    // and the k=8 index under the k=8 marker now stands
+    val (c8b, _, _, _) = IvfPq.ivfPqIngest(spark, sf, root, nClusters = 8)
+    assert(c8b.flatten.map(java.lang.Float.floatToRawIntBits).toSeq ==
+      c8.flatten.map(java.lang.Float.floatToRawIntBits).toSeq)
+    // default corpusSize resolves to the FULL index size (not the pruned
+    // scan's count): the default-args single-query plan must equal the
+    // explicit-size one row-for-row
+    val emb = Tables.embeddings(spark, sf)
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val explicit = got(IvfPq.ivfPqTopK(spark, root, emb, c8, b8,
+      queryVecId = 0L, k = 10, nprobe = 4, corpusSize = n8))
+    val defaulted = got(IvfPq.ivfPqTopK(spark, root, emb, c8, b8,
+      queryVecId = 0L, k = 10, nprobe = 4))
+    assert(defaulted == explicit,
+      "default corpusSize must size the shortlist from the full corpus")
+  }
+
   test("batched IVF-PQ == the per-query single scans, row-for-row " +
        "(incl. chunked); the batch reads one union-of-probes scan") {
     import graft.similarity.IvfPq
