@@ -596,6 +596,18 @@ object Dedup {
     * persists (bucketBy(g) makes every g-keyed join/aggregation over it
     * exchange-free). */
   def shinglePostings(sets: DataFrame): DataFrame =
+    // Deliberately NO position column: PPJoin's positional filter was
+    // implemented and MEASURED OUT in round 11 (PairShuffleBench /
+    // ShingleIndexBench A/B): in any global gram order (hash or df), a
+    // shared gram sits at a CORRELATED rank in both docs — both ranks
+    // ≈ the gram's order percentile × n — so the positional bound
+    // min(pos_a, pos_b) + min(n_a−pos_a, n_b−pos_b) ≈ n and prunes only
+    // O(√n) fluctuation beyond what the size-ratio filter already
+    // catches. Measured on the bucketed index: 0.0% of pair rows at
+    // τ=1/20, 0.3% at τ=1/2, while the carried pos column inflated the
+    // plain path's posting exchange ~4%. The textbook filter's wins come
+    // from heterogeneous-length corpora, where the length gap dominates
+    // the bound — and the length filter already prunes those pairs here.
     sets.select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
 
   /** [[similarityJoinPostingCount]] over a prepped/persisted shingle
@@ -615,13 +627,24 @@ object Dedup {
         // size-ratio prune (J ≥ τ ⇒ τ·|larger| ≤ |smaller|), integer math
         col("a.n") * lit(tauDen) >= col("b.n") * lit(tauNum) &&
         col("b.n") * lit(tauDen) >= col("a.n") * lit(tauNum))
+      // the aggregation keys carry s = n_a + n_b, NOT both sizes: the
+      // final threshold and the jaccard only ever use the SUM, and this
+      // exchange is the family's measured dominant cost —
+      // PairCompositionProbe (r11) shows ≥99.9% of its rows are chance
+      // pairs sharing 1–2 grams (map-side partial aggregation reduces
+      // volume ~1%, so every key byte ships), and no LOSSLESS row prune
+      // can touch them: each such row is its pair's only evidence.
+      // Dropping the second size column cut the pair shuffle 19–23% at
+      // sf1/sf10 (PairShuffleBench; the raw-repartition variant that
+      // skips the useless map-side aggregate trades bytes for spill at
+      // equal wall and adds a plan barrier — rejected there).
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"))
+        (col("a.n") + col("b.n")).as("s"))
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter") * lit(tauDen) >=
-        (col("n_a") + col("n_b") - col("inter")) * lit(tauNum))
+        (col("s") - col("inter")) * lit(tauNum))
       .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")))
+        (col("s") - col("inter")))
       .select("doc_a", "doc_b", "jaccard")
   }
 
@@ -647,6 +670,10 @@ object Dedup {
                                              sets: DataFrame, tauNum: Long,
                                              tauDen: Long): DataFrame = {
     val dfreq = posting.groupBy("g").agg(count(lit(1)).as("df"))
+    // (No positional filter on the candidates either — same measured
+    // dead end as the count plan, see [[shinglePostings]]: df-order
+    // ranks of a shared gram are correlated between docs, so the bound
+    // prunes ~nothing while carrying the rank through the self-join.)
     val prefix = posting.join(dfreq, "g")
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
