@@ -59,6 +59,22 @@ object Standing {
     }
   }
 
+  /** The marker's (fingerprint, payload) regardless of fingerprint — for
+    * MAINTENANCE operations (incremental appends) that must read the
+    * standing model and rewrite its payload under the SAME fingerprint:
+    * an append changes the index contents but not the source the
+    * fingerprint guards, so the guard survives and a SOURCE rewrite
+    * still forces the full rebuild. */
+  def current(root: String): Option[(String, String)] = {
+    val m = marker(root)
+    if (!m.exists) None
+    else {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").split("\n", 2)
+      Some((lines.head, if (lines.length > 1) lines(1) else ""))
+    }
+  }
+
   /** Record a completed build of `root` for source fingerprint `fp`,
     * with an optional payload (ingest counters, model sizes) the reuse
     * path hands back without recomputation. Call ONLY after every sink

@@ -103,6 +103,45 @@ object IvfPq {
     }
   }
 
+  /** INCREMENTAL append — the parity the gram/shingle indexes already
+    * have (r10 verdict item): encode NEW vectors with the STANDING model
+    * (centroids + codebooks read from the validity marker's payload — no
+    * retrain, no job over the existing corpus) and append their codes
+    * into the same cluster-partitioned layout. Every consumer
+    * ([[ivfPqTopK]], [[ivfPqTopKBatch]], the partition pruning) is
+    * unchanged, and a rebuild with the SAME model over the grown corpus
+    * produces the identical codes table (SimilaritySpec pins the
+    * multiset). The marker payload is rewritten with the grown corpus
+    * size — shortlist sizing tracks appends — under the SAME source
+    * fingerprint, so a rewrite of the source embeddings still forces a
+    * full retrain on the next ingest (the source of truth wins).
+    *
+    * MODEL DRIFT, the honest limit (Jégou et al. §V; FAISS operational
+    * practice): the model quantizes the distribution it was trained on.
+    * Appends from that distribution cost nothing — ADC error and
+    * cluster balance are distribution properties, not corpus-size
+    * properties. Drifted appends degrade two WATCHED metrics: cluster
+    * imbalance (probe scans grow past n·nprobe/k — the in-plan
+    * scanned_rows counter) and ADC recall (the q126/q129 contract
+    * floors). Retrain via a fresh [[ivfPqIngest]] when appended mass
+    * exceeds ~25% of the corpus or either metric leaves its band.
+    * NOT replay-idempotent: the partitionBy(cluster) layout has no
+    * per-batch subdirectory (one would break partition discovery), so a
+    * replaying caller (streaming) must dedupe upstream by vec_id. */
+  def ivfPqAppend(newEmb: DataFrame, root: String)
+      : (Array[Array[Float]], Pq.Codebooks, Long) = {
+    val (fp, p) = graft.ops.Standing.current(root).getOrElse(sys.error(
+      s"ivfPqAppend: no standing IVF-PQ index at $root — run ivfPqIngest" +
+        " first (appends extend a trained model; they never train one)"))
+    val (cents, books, n) = parse(p)
+    val delta = newEmb.count()
+    Pq.encode(Similarity.assignClusters(newEmb, cents), books)
+      .select("vec_id", "cluster", "codes")
+      .write.partitionBy("cluster").mode("append").parquet(root)
+    graft.ops.Standing.markValid(root, fp, payload(cents, books, n + delta))
+    (cents, books, n + delta)
+  }
+
   /** QUERY: rank the k centroids against the query DRIVER-SIDE (the
     * model is k×dim floats — no Spark job), scan only the nprobe nearest
     * cluster partitions (partition pruning: unprobed clusters are never

@@ -236,6 +236,52 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("IVF-PQ incremental append == rebuild with the fixed model: codes " +
+       "table identical, consumers unchanged, marker tracks corpus size") {
+    import graft.similarity.{IvfPq, Pq, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    // stand the index on HALF the corpus (train + encode + mark)
+    val srcDir = java.nio.file.Files.createTempDirectory("ivfpq_append_src")
+      .toString
+    half.write.parquet(srcDir + "/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_append_spec")
+      .toString + "/idx"
+    val (cents, books, nHalf, _) = IvfPq.ivfPqIngest(spark, srcDir, root)
+    assert(nHalf == half.count())
+    // append the other half: encoded with the STANDING model, no retrain
+    val (c2, _, nFull) = IvfPq.ivfPqAppend(rest, root)
+    assert(nFull == emb.count())
+    assert(c2.flatten.map(java.lang.Float.floatToRawIntBits).toSeq ==
+      cents.flatten.map(java.lang.Float.floatToRawIntBits).toSeq,
+      "append must reuse the standing model bit-exactly")
+    // append == rebuild when the model is fixed: the appended codes
+    // table equals encoding the FULL corpus with the same model
+    def codeRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cluster").cast("int"),
+        col("codes").cast("string"))
+      .collect().map(_.toString).sorted.toSeq
+    val appended = codeRows(spark.read.parquet(root))
+    val rebuilt = codeRows(
+      Pq.encode(Similarity.assignClusters(emb, cents), books)
+        .select("vec_id", "cluster", "codes"))
+    assert(appended == rebuilt, "append must equal the fixed-model rebuild")
+    // the marker survived under the same source fingerprint with the
+    // grown size: a re-ingest reuses (no rebuild) and reports nFull
+    val (_, _, nAgain, _) = IvfPq.ivfPqIngest(spark, srcDir, root)
+    assert(nAgain == nFull,
+      "marker payload must carry the appended corpus size")
+    // and the query side serves the appended corpus: neighbors can come
+    // from BOTH halves through the same partition-pruned plan
+    val ann = IvfPq.ivfPqTopK(spark, root, emb, cents, books,
+      queryVecId = 1L, k = 10, nprobe = 16, corpusSize = nFull)
+    val ids = ann.collect().map(_.getLong(0)).toSeq
+    assert(ids.size == 10 && !ids.contains(1L))
+    assert(ids.exists(_ % 2 == 0) && ids.exists(_ % 2 != 0),
+      s"appended vectors must be servable: $ids")
+  }
+
   test("IVF-PQ standing marker covers the model hyperparameters: a " +
        "different nClusters rebuilds instead of reusing a stale index; " +
        "default corpusSize matches the explicit-size plan") {
