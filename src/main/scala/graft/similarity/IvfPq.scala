@@ -198,9 +198,18 @@ object IvfPq {
     * after the scan is O(Q × k·refine) TopKByScore buffers; the exact
     * re-rank touches only shortlist vectors. Chunked at
     * [[graft.Tuning.AdcBatchMaxQ]] like [[Pq.adcTopKBatch]] (the same
-    * Q-wide-projection codegen ceiling applies; chunking by probe-set
-    * overlap instead of id order is a possible refinement — id chunks
-    * keep the contract trivially). Returns (q_id, rk, vec_id, cos_sim). */
+    * Q-wide-projection codegen ceiling applies), and chunks are packed
+    * by PROBE-SET OVERLAP, not id order (r10 verdict item): each chunk
+    * scans the union of its members' probe clusters, and at nprobe=6/16
+    * a RANDOM 32-query chunk's union approaches all 16 clusters —
+    * eroding the partition-pruning win exactly when batches are big.
+    * Greedy min-union packing (driver-side over the already-collected
+    * probe sets, O(Q²·nprobe) on model-sized data) keeps each chunk's
+    * union narrow; result-invariance is free because the per-(query,
+    * row) probe restriction enforces the single-query contract
+    * regardless of which chunk a query rides in (SimilaritySpec pins
+    * chunked == singles; scanned-rows deltas measured in IvfPqProbe
+    * `chunks` mode). Returns (q_id, rk, vec_id, cos_sim). */
   def ivfPqTopKBatch(spark: SparkSession, root: String, emb: DataFrame,
                      cents: Array[Array[Float]], books: Pq.Codebooks,
                      queryIds: Seq[Long], k: Int, nprobe: Int = 4,
@@ -209,12 +218,16 @@ object IvfPq {
     require(queryIds.nonEmpty, "ivfPqTopKBatch: empty query batch")
     require(maxChunk > 0, "ivfPqTopKBatch: maxChunk must be positive")
     if (queryIds.distinct.size > maxChunk) {
+      val qIds = queryIds.distinct.sorted
       val n = if (corpusSize >= 0L) corpusSize
         else spark.read.parquet(root).count()
-      return queryIds.distinct.sorted.grouped(maxChunk).zipWithIndex
+      val qVecs = Pq.collectQueryVecs(emb, qIds)
+      val probes = qIds.map(id =>
+        id -> probeClusters(cents, qVecs(id), nprobe)).toMap
+      return chunkByProbeOverlap(qIds, probes, maxChunk).zipWithIndex
         .map { case (chunk, i) =>
           ivfPqBatchOne(spark, root, emb, cents, books, chunk, k, nprobe,
-            n, refine, observeName = s"ivfpq_batch_c$i")
+            n, refine, observeName = s"ivfpq_batch_c$i", qVecs0 = qVecs)
         }
         .reduce(_ unionByName _)
         .orderBy("q_id", "rk")
@@ -223,13 +236,43 @@ object IvfPq {
       corpusSize, refine, observeName = "ivfpq_batch")
   }
 
+  /** Greedy min-union chunking: seed each chunk with the lowest
+    * unassigned id, then repeatedly admit the query whose probe set adds
+    * the fewest NEW clusters to the chunk's union (ties → lowest id).
+    * Deterministic, driver-side, and works on the probe sets the batch
+    * already computed — the packing costs nothing measurable next to one
+    * avoided partition scan. */
+  private[similarity] def chunkByProbeOverlap(
+      qIds: Seq[Long], probes: Map[Long, Seq[Int]],
+      maxChunk: Int): Seq[Seq[Long]] = {
+    val remaining = scala.collection.mutable.LinkedHashSet(qIds.sorted: _*)
+    val chunks = Seq.newBuilder[Seq[Long]]
+    while (remaining.nonEmpty) {
+      val seed = remaining.head
+      remaining -= seed
+      val members = scala.collection.mutable.ArrayBuffer(seed)
+      val union = scala.collection.mutable.Set(probes(seed): _*)
+      while (members.size < maxChunk && remaining.nonEmpty) {
+        val best = remaining.minBy(q =>
+          (probes(q).count(c => !union.contains(c)), q))
+        members += best
+        union ++= probes(best)
+        remaining -= best
+      }
+      chunks += members.toSeq
+    }
+    chunks.result()
+  }
+
   private def ivfPqBatchOne(spark: SparkSession, root: String,
                             emb: DataFrame, cents: Array[Array[Float]],
                             books: Pq.Codebooks, queryIds: Seq[Long],
                             k: Int, nprobe: Int, corpusSize: Long,
-                            refine: Int, observeName: String): DataFrame = {
+                            refine: Int, observeName: String,
+                            qVecs0: Map[Long, Array[Float]] = null)
+      : DataFrame = {
     val qIds = queryIds.distinct.sorted
-    val qVecs = Pq.collectQueryVecs(emb, qIds)
+    val qVecs = if (qVecs0 != null) qVecs0 else Pq.collectQueryVecs(emb, qIds)
     val probes: Seq[Seq[Int]] =
       qIds.map(id => probeClusters(cents, qVecs(id), nprobe))
     val unionClusters = probes.flatten.distinct.sorted

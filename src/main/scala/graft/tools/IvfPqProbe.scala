@@ -50,6 +50,34 @@ object IvfPqProbe {
       spark.stop()
       return
     }
+    if (args.lift(2).contains("chunks")) {
+      // scanned-rows A/B of batch chunking strategies (r11): id-order
+      // chunks vs the shipped greedy probe-overlap packing, at the
+      // production chunk size. scanned_rows is deterministic for a fixed
+      // index+queries (the QueryProbe doctrine), so one pass decides.
+      val Q = args.lift(3).map(_.toInt).getOrElse(64)
+      val maxChunk = graft.Tuning.AdcBatchMaxQ
+      val nprobe = args.lift(4).map(_.toInt).getOrElse(6)
+      val ids = (0L until Q.toLong).toSeq
+      def scannedOf(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.observedMetrics.collect {
+          case (name, row) if name.startsWith("ivfpq_batch") =>
+            row.getLong(0)
+        }.sum
+      }
+      // id-order: force each chunk through its own single-chunk batch
+      val idOrder = ids.grouped(maxChunk).map(chunk =>
+        scannedOf(IvfPq.ivfPqTopKBatch(spark, root, emb, cents, books,
+          chunk, k, nprobe, corpusSize = n))).sum
+      val packed = scannedOf(IvfPq.ivfPqTopKBatch(spark, root, emb, cents,
+        books, ids, k, nprobe, corpusSize = n))
+      println(s"""{"metric":"ivfpq_chunks","sf":"$sfDir","n_vectors":$n,""" +
+        s""""q":$Q,"nprobe":$nprobe,"max_chunk":$maxChunk,""" +
+        s""""scanned_id_order":$idOrder,"scanned_overlap_packed":$packed}""")
+      spark.stop()
+      return
+    }
     for (q <- qIds) {
       val bf = Similarity.bruteForceTopK(emb, q, k)
         .select("vec_id").collect().map(_.getLong(0)).toSet
