@@ -531,17 +531,22 @@ object Dedup {
     * from the write itself (zero extra pass, ops.Observed). */
   def shingleIndexIngestBucketed(docs: DataFrame, table: String,
                                  buckets: Int = 32): (Long, Long) = {
-    val setsPath = graft.ops.Scale.bucketPath(table) + "_sets"
+    val root = graft.ops.Scale.bucketPath(table)
+    val setsPath = root + "_sets"
     graft.ops.Scratch.track(setsPath)
+    resetBucketedTable(docs.sparkSession, table)
+    graft.ops.Scratch.deleteRec(new java.io.File(setsPath))
     val sets = shingleSets(docs).persist()
     try {
       val obs = sets.observe("shingle_ingest",
         count(lit(1)).as("docs"), sum(col("n").cast("long")).as("postings"))
       val (_, m0) = org.apache.spark.sql.GraftBridge.observedFromAction(
         docs.sparkSession, "shingle_ingest") {
-        obs.write.mode("overwrite").parquet(setsPath)
+        // batch_0 subdirectory: ingest == first append, so the sidecar
+        // layout is uniform under later appends/compaction
+        obs.write.mode("overwrite").parquet(s"$setsPath/batch_0")
       }
-      graft.ops.Scale.writeBucketed(shinglePostings(sets), table, "g", buckets)
+      writeBucketedBatch(shinglePostings(sets), table, 0L, buckets)
       val m = m0.getOrElse(sys.error(
       "index ingest wrote successfully but its observed counters never " +
         "arrived — a metrics-plumbing regression (the write's QE must " +
@@ -550,34 +555,90 @@ object Dedup {
     } finally { sets.unpersist(); () }
   }
 
-  /** The bucketed POSTING half (metastore table, bucket-aware scan). */
+  /** The bucketed POSTING half (metastore table, bucket-aware scan; the
+    * `batch` maintenance column dropped — see [[gramIndexBucketed]]). */
   def shinglePostingsBucketed(spark: SparkSession, table: String): DataFrame =
-    spark.table(table)
+    spark.table(table).drop("batch")
 
   /** Incremental maintenance of the BUCKETED shingle index — the
-    * [[gramIndexAppendBucketed]] twin: one batch's postings appended
-    * into the bucketed table (same spec → consumers stay exchange-free
-    * on g) and its (doc_id, hs, n) rows appended to the sets sidecar
-    * partition-wise. Same caveat: no batch-id idempotency on the
-    * metastore table (transactional formats own that); streams maintain
-    * the plain index. */
+    * [[gramIndexAppendBucketed]] twin, EXACTLY-ONCE per batch since r11:
+    * one batch's postings land as their own `batch=<id>` partition of
+    * the bucketed table (dynamic partition overwrite — a replay rewrites
+    * only itself) and its (doc_id, hs, n) rows in their own
+    * `batch_<id>` sidecar subdirectory (per-batch overwrite, the plain
+    * index's mechanism). Both writes are idempotent, the manifest marker
+    * commits last, and the sidecar write goes FIRST — so every crash
+    * point is repaired by replaying the batch. Consumers stay
+    * exchange-free on g (same bucket spec; DedupSpec pins it). */
   def shingleIndexAppendBucketed(newDocs: DataFrame, table: String,
-                                 buckets: Int = 32): Unit = {
-    graft.ops.Scratch.track(graft.ops.Scale.bucketPath(table) + "_sets")
+                                 buckets: Int = 32,
+                                 batchId: Long = -1L): Unit = {
+    val setsRoot = graft.ops.Scale.bucketPath(table) + "_sets"
+    graft.ops.Scratch.track(setsRoot)
+    val meta = bucketedMeta(table)
+    val id = if (batchId >= 0) batchId
+      else claimId(meta, bucketedBatchIds(table) :+ compactedThrough(meta))
+    if (id <= compactedThrough(meta)) return // absorbed: replay no-op
+    val setsDone = new java.io.File(s"$setsRoot/batch_$id/_SUCCESS").exists
+    if (new java.io.File(s"$meta/batches/$id").exists && setsDone)
+      return // committed: replay no-op
     val sets = shingleSets(newDocs).persist() // one tokenize, two sinks
     try {
-      sets.write.mode("append")
-        .parquet(graft.ops.Scale.bucketPath(table) + "_sets")
-      shinglePostings(sets).write.mode("append")
-        .bucketBy(buckets, "g").sortBy("g")
-        .option("path", graft.ops.Scale.bucketPath(table))
-        .saveAsTable(table)
+      sets.write.mode("overwrite").parquet(s"$setsRoot/batch_$id")
+      writeBucketedBatch(shinglePostings(sets), table, id, buckets)
     } finally { sets.unpersist(); () }
   }
 
-  /** The doc-keyed SETS sidecar of the bucketed index. */
+  /** COMPACTION of the bucketed shingle index: the posting table
+    * rewritten as one `batch=<max id>` partition
+    * ([[gramIndexCompactBucketed]]'s mechanism) and the sets sidecar's
+    * batch subdirectories merged into one — after N daily batches,
+    * consumers stop paying the N-way in-bucket merge and the N-dir
+    * sidecar listing. Replays of absorbed batches stay no-ops via the
+    * restored `_COMPACTED` mark. Maintenance-window only, like every
+    * compaction here. */
+  def shingleIndexCompactBucketed(spark: SparkSession, table: String,
+                                  buckets: Int = 32): Unit = {
+    val root = graft.ops.Scale.bucketPath(table)
+    val setsRoot = root + "_sets"
+    val ids = bucketedBatchIds(table)
+    if (ids.size <= 1) return
+    val maxId = ids.max
+    // the gramIndexCompact guard, mirrored: a batch whose sets committed
+    // but whose postings never did (crash between the two writes) must
+    // be REPLAYED before compaction — compacting would absorb its sets
+    // while raising the high-water mark over its id, so the replay's
+    // skip would leave its postings missing forever
+    val meta = bucketedMeta(table)
+    val setsIds = Option(new java.io.File(setsRoot).listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .collect { case f if f.isDirectory && f.getName.startsWith("batch_") &&
+          new java.io.File(f, "_SUCCESS").exists =>
+        f.getName.stripPrefix("batch_").toLong }
+    val orphans = setsIds.filter(id => id > compactedThrough(meta) &&
+      !new java.io.File(s"$meta/batches/$id").exists)
+    require(orphans.isEmpty,
+      s"shingleIndexCompactBucketed: batch(es) ${orphans.sorted.mkString(",")}" +
+        " have committed sets but no postings manifest (crash between the" +
+        " append's two writes?) — replay them before compacting")
+    compactBucketedTable(spark, table, buckets)
+    val tmp = setsRoot + "_compact_tmp"
+    graft.ops.Scratch.track(tmp)
+    spark.read.option("recursiveFileLookup", "true").parquet(setsRoot)
+      .write.mode("overwrite").parquet(tmp)
+    graft.ops.Scratch.deleteRec(new java.io.File(setsRoot))
+    new java.io.File(setsRoot).mkdirs()
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(s"$setsRoot/batch_$maxId"))
+    ()
+  }
+
+  /** The doc-keyed SETS sidecar of the bucketed index (per-batch
+    * subdirectories since r11, hence the recursive lookup). */
   def shingleSetsSidecar(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(graft.ops.Scale.bucketPath(table) + "_sets")
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(graft.ops.Scale.bucketPath(table) + "_sets")
 
   /** [[similarityJoin]]'s LOW-τ regime, public so the crossover stays
     * measurable per-round (TauProbe forces each regime at each τ): |A∩B|
@@ -1009,36 +1070,155 @@ object Dedup {
     * shuffles the postings once at ingest — paid once, saved by every
     * consumer of the index thereafter. Read back with [[gramIndexBucketed]]. */
   def gramIndexIngestBucketed(docs: DataFrame, table: String, n: Int = 8,
-                              buckets: Int = 32): Unit =
-    graft.ops.Scale.writeBucketed(gramPostings(docs, n), table, "g", buckets)
+                              buckets: Int = 32): Unit = {
+    resetBucketedTable(docs.sparkSession, table)
+    writeBucketedBatch(gramPostings(docs, n), table, 0L, buckets)
+  }
 
-  /** The bucketed standing index (metastore table, bucket-aware scan). */
+  /** Fresh-build preamble: drop the catalog entry and wipe the table dir
+    * (data, claims, manifest, high-water mark) so ingest means "rebuild
+    * from this corpus", never "append to whatever was there". */
+  private def resetBucketedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    graft.ops.Scratch.deleteRec(
+      new java.io.File(graft.ops.Scale.bucketPath(table)))
+    graft.ops.Scratch.deleteRec(new java.io.File(bucketedMeta(table)))
+  }
+
+  /** The bucketed standing index (metastore table, bucket-aware scan).
+    * The `batch` partition column is maintenance metadata (the
+    * exactly-once append/compaction bookkeeping), not index content —
+    * dropped here so consumers see the same schema as the plain index. */
   def gramIndexBucketed(spark: SparkSession, table: String): DataFrame =
-    spark.table(table)
+    spark.table(table).drop("batch")
 
-  /** Incremental maintenance of the BUCKETED gram index: one batch's
-    * postings appended INTO the bucketed table with the SAME bucket
-    * spec — the new files land bucketed+sorted on g, so every consumer
-    * keeps its exchange-free plan after any number of appends (Spark's
-    * bucketed scan tolerates multiple files per bucket: it re-sorts
-    * within the bucket when needed, but never re-exchanges; DedupSpec
-    * pins zero exchanges after appends). Appending to a missing table
-    * bootstraps it, so bucketed ingest == first bucketed append. No df
-    * sidecar exists in this form — ON the bucketed table the df
+  /** Incremental maintenance of the BUCKETED gram index — EXACTLY-ONCE
+    * per batch since r11 (the r10 deferral closed): each batch lands as
+    * its own `batch=<id>` PARTITION of the (partitioned + bucketed)
+    * table, written through DYNAMIC partition overwrite — a replayed
+    * batch rewrites only its own partition instead of double-appending,
+    * and a crashed write leaves no committed files (the v1 committer
+    * moves task output at job commit), so replay repairs every crash
+    * point. A `_batches/<id>` manifest marker (atomic mkdir, written
+    * AFTER the data commits — the `_SUCCESS` discipline) short-circuits
+    * committed replays without a Spark job, and `batchId < 0`
+    * auto-claims an unused id durably (`_claims`, the
+    * [[claimBatchId]] mechanism). Partitioning does NOT cost the
+    * bucketing win: each bucket id spans files across partitions and
+    * Spark's bucketed scan still reports HashPartitioning(g, buckets) —
+    * consumers keep their exchange-free plans after any number of
+    * appends (DedupSpec + PlanAuditSpec pin it). Appending to a missing
+    * table bootstraps it, so bucketed ingest == first bucketed append.
+    * No df sidecar exists in this form — ON the bucketed table the df
     * aggregation is itself exchange-free, so maintaining partials would
-    * save nothing. Unlike [[gramIndexAppend]] there is NO batch-id
-    * idempotency: the metastore table's file layout is Spark-managed,
-    * so per-batch overwrite directories can't express it — a replayed
-    * batch double-appends. Exactly-once for a bucketed table needs a
-    * transactional table format (Iceberg/Delta — same `bucketBy`
-    * surface); streams should maintain the plain index
-    * ([[graft.streaming.Streams.streamingGramIngest]]). */
+    * save nothing. */
   def gramIndexAppendBucketed(newDocs: DataFrame, table: String, n: Int = 8,
-                              buckets: Int = 32): Unit =
-    gramPostings(newDocs, n).write.mode("append")
-      .bucketBy(buckets, "g").sortBy("g")
-      .option("path", graft.ops.Scale.bucketPath(table))
-      .saveAsTable(table)
+                              buckets: Int = 32, batchId: Long = -1L): Unit = {
+    val meta = bucketedMeta(table)
+    val id = if (batchId >= 0) batchId
+      else claimId(meta, bucketedBatchIds(table) :+ compactedThrough(meta))
+    if (id <= compactedThrough(meta)) return // absorbed: replay no-op
+    if (new java.io.File(s"$meta/batches/$id").exists)
+      return // committed: replay no-op
+    writeBucketedBatch(gramPostings(newDocs, n), table, id, buckets)
+  }
+
+  /** The bucketed table's maintenance-metadata SIBLING dir (claims,
+    * per-batch commit manifest, compaction high-water mark). A sibling,
+    * not a subdirectory: the table path must be empty for the bootstrap
+    * CTAS, and the metadata must SURVIVE compaction's table rewrite —
+    * a manifest that died with the table would forget which batches
+    * committed, exactly when replays get interesting. */
+  private def bucketedMeta(table: String): String = {
+    val m = graft.ops.Scale.bucketPath(table) + "_meta"
+    graft.ops.Scratch.track(m)
+    m
+  }
+
+  /** One batch into one `batch=<id>` partition of a bucketed table:
+    * bootstrap via saveAsTable, steady state via positional insertInto
+    * under dynamic partition overwrite (only the batch's own partition
+    * is replaced — the replay idempotency), manifest marker last. */
+  private def writeBucketedBatch(rows: DataFrame, table: String,
+                                 id: Long, buckets: Int): Unit = {
+    val spark = rows.sparkSession
+    val root = graft.ops.Scale.bucketPath(table)
+    val withBatch = rows.withColumn("batch", lit(id))
+    if (!spark.catalog.tableExists(table))
+      withBatch.write.partitionBy("batch").bucketBy(buckets, "g").sortBy("g")
+        .option("path", root).saveAsTable(table)
+    else {
+      // dynamic partition overwrite scoped to a session CLONE (the
+      // bloomSketchBytes mechanism): the catalog-table insert path reads
+      // the SESSION conf, not the writer option (measured — a static
+      // overwrite wipes every other batch), and mutating the shared
+      // session would leak overwrite semantics to concurrent writers.
+      // Catalog entries live in shared state, so the clone sees `table`.
+      val scoped = org.apache.spark.sql.GraftBridge
+        .cloneSession(spark)
+      scoped.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      org.apache.spark.sql.GraftBridge.withSession(
+          withBatch.select(spark.table(table).columns.map(col(_)): _*),
+          scoped)
+        .write.mode("overwrite").insertInto(table)
+      // the insert refreshed the CLONE's relation cache; the caller's
+      // session still holds the pre-overwrite file listing — refresh it
+      spark.catalog.refreshTable(table)
+    }
+    new java.io.File(s"${bucketedMeta(table)}/batches").mkdirs()
+    new java.io.File(s"${bucketedMeta(table)}/batches/$id").mkdir()
+    ()
+  }
+
+  /** Partition ids (`batch=<id>` dirs) of a bucketed index table. */
+  private def bucketedBatchIds(table: String): Seq[Long] = {
+    val kids = new java.io.File(graft.ops.Scale.bucketPath(table)).listFiles()
+    if (kids == null) Seq.empty
+    else kids.toSeq.collect {
+      case f if f.isDirectory && f.getName.startsWith("batch=") =>
+        f.getName.stripPrefix("batch=").toLong
+    }
+  }
+
+  /** COMPACTION of the bucketed gram index — [[gramIndexCompact]] one
+    * level up (r10 verdict item): every append adds one file set per
+    * bucket, and though consumers stay exchange-free, after N batches
+    * each bucket task pays an N-way merge forever. Compaction rewrites
+    * the table as ONE `batch=<max id>` partition with the same bucket
+    * spec (consumer plans unchanged; DedupSpec pins compact + more
+    * appends == from-scratch) and restores the `_COMPACTED` high-water
+    * mark the rewrite wiped, so replays of absorbed batches stay no-ops
+    * and later auto ids stay ahead. Same honesty as the plain form: not
+    * atomic — a crash mid-compact can lose the table, which is DERIVED
+    * state rebuildable from the corpus; run it in the maintenance
+    * window, never the serving path, and never concurrently with
+    * appends. */
+  def gramIndexCompactBucketed(spark: SparkSession, table: String,
+                               buckets: Int = 32): Unit =
+    compactBucketedTable(spark, table, buckets)
+
+  private def compactBucketedTable(spark: SparkSession, table: String,
+                                   buckets: Int): Unit = {
+    val root = graft.ops.Scale.bucketPath(table)
+    val ids = bucketedBatchIds(table)
+    if (ids.size <= 1) return // nothing to merge
+    val maxId = ids.max
+    val tmp = root + "_compact_tmp"
+    graft.ops.Scratch.track(tmp)
+    spark.table(table).drop("batch").write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).withColumn("batch", lit(maxId))
+      .write.mode("overwrite")
+      .partitionBy("batch").bucketBy(buckets, "g").sortBy("g")
+      .option("path", root).saveAsTable(table)
+    // the manifest and claims live in the meta SIBLING and survived the
+    // table rewrite, so committed replays stay no-ops on their own; the
+    // high-water mark additionally floors auto ids and covers batches
+    // whose data was absorbed without a manifest
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(bucketedMeta(table), "_COMPACTED"),
+      maxId.toString.getBytes("UTF-8"))
+    graft.ops.Scratch.deleteRec(new java.io.File(tmp))
+  }
 
   /** Mergeable df state of ONE postings batch — the gram-index twin of
     * [[graft.ops.Incremental.aggState]]: df counts are a sum, so partial
@@ -1118,12 +1298,17 @@ object Dedup {
     * listing the markers. Candidates start past existing data batches
     * AND existing claims (named-batch replays bypass claims, so a named
     * id below the claim watermark stays replayable). */
-  private[graft] def claimBatchId(root: String): Long = {
+  private[graft] def claimBatchId(root: String): Long =
+    claimId(root, batchIds(root))
+
+  /** The shared claim mechanism: atomic mkdir under `root/_claims`,
+    * candidates starting past both `existing` ids and prior claims. */
+  private def claimId(root: String, existing: Seq[Long]): Long = {
     val claims = new java.io.File(root, "_claims")
     claims.mkdirs()
     val claimed = Option(claims.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       .filter(_.isDirectory).map(_.getName.toLong)
-    var cand = (batchIds(root) ++ claimed).foldLeft(-1L)(math.max) + 1L
+    var cand = (existing ++ claimed).foldLeft(-1L)(math.max) + 1L
     while (!new java.io.File(claims, cand.toString).mkdir()) cand += 1
     cand
   }

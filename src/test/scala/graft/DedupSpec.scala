@@ -498,13 +498,99 @@ class DedupSpec extends SparkSpec {
       pairs(Dedup.similarityJoin(docs, 1, 2)))
   }
 
+  test("bucketed appends are exactly-once per batch id: committed replays " +
+       "no-op, crash replays repair, compaction bounds partitions and " +
+       "absorbed replays stay no-ops") {
+    val docs = Tables.documents(spark, sf)
+    val a = docs.filter(abs(xxhash64(col("doc_id"))) % 2 === 0)
+    val b = docs.filter(abs(xxhash64(col("doc_id"))) % 2 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val wantG = rows(Dedup.gramPostings(docs))
+    // ---- gram bucketed: named batches, replay, compaction ----
+    val gtbl = graft.ops.Scratch.bucketedTable(spark, sf, "gram_xonce")
+    val gpath = graft.ops.Scale.bucketPath(gtbl)
+    def gPartitions(): Int = Option(new java.io.File(gpath).listFiles())
+      .map(_.count(f => f.isDirectory && f.getName.startsWith("batch=")))
+      .getOrElse(0)
+    Dedup.gramIndexAppendBucketed(a, gtbl, batchId = 0)
+    Dedup.gramIndexAppendBucketed(b, gtbl, batchId = 1)
+    assert(rows(Dedup.gramIndexBucketed(spark, gtbl)) == wantG)
+    // committed replay: manifest marker present → no write job, no dupes
+    Dedup.gramIndexAppendBucketed(b, gtbl, batchId = 1)
+    assert(rows(Dedup.gramIndexBucketed(spark, gtbl)) == wantG,
+      "a committed replay must not double-append")
+    // crash replay: manifest lost (crash before marker) → the replay
+    // rewrites ONLY its own partition (dynamic overwrite), still no dupes
+    graft.ops.Scratch.deleteRec(
+      new java.io.File(s"${gpath}_meta/batches/1"))
+    Dedup.gramIndexAppendBucketed(b, gtbl, batchId = 1)
+    assert(rows(Dedup.gramIndexBucketed(spark, gtbl)) == wantG,
+      "a crash replay must rewrite only its own partition")
+    // compaction: one partition left, consumers identical, replays of
+    // absorbed batches are no-ops, later appends land past the mark
+    assert(gPartitions() == 2)
+    Dedup.gramIndexCompactBucketed(spark, gtbl)
+    assert(gPartitions() == 1, "compaction must merge to one partition")
+    assert(rows(Dedup.gramIndexBucketed(spark, gtbl)) == wantG)
+    Dedup.gramIndexAppendBucketed(b, gtbl, batchId = 1) // absorbed: no-op
+    assert(rows(Dedup.gramIndexBucketed(spark, gtbl)) == wantG,
+      "replay of a compacted batch must be a no-op")
+    Dedup.gramIndexCompactBucketed(spark, gtbl) // single partition: no-op
+    assert(rows(Dedup.gramIndexBucketed(spark, gtbl)) == wantG)
+    // exchange-free df agg survives compaction's rewrite
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dfAgg = Dedup.gramIndexBucketed(spark, gtbl)
+        .groupBy("g").agg(count(lit(1)).as("df"))
+      dfAgg.collect()
+      assert(graft.ops.Scale.countExchanges(dfAgg) == 0,
+        "compacted bucketed index must keep the exchange-free df plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // ---- shingle bucketed: two sinks, crash window, compaction ----
+    val stbl = graft.ops.Scratch.bucketedTable(spark, sf, "shingle_xonce")
+    val spath = graft.ops.Scale.bucketPath(stbl)
+    Dedup.shingleIndexAppendBucketed(a, stbl, batchId = 0)
+    Dedup.shingleIndexAppendBucketed(b, stbl, batchId = 1)
+    val wantP = rows(Dedup.shinglePostingsBucketed(spark, stbl))
+    val wantS = rows(Dedup.shingleSetsSidecar(spark, stbl))
+    // committed replay no-ops both sinks
+    Dedup.shingleIndexAppendBucketed(b, stbl, batchId = 1)
+    assert(rows(Dedup.shinglePostingsBucketed(spark, stbl)) == wantP)
+    assert(rows(Dedup.shingleSetsSidecar(spark, stbl)) == wantS)
+    // crash between the two sinks: sets committed, postings manifest
+    // missing → compaction must REFUSE (the replay-starvation guard)...
+    graft.ops.Scratch.deleteRec(
+      new java.io.File(s"${spath}_meta/batches/1"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.shingleIndexCompactBucketed(spark, stbl)
+    }
+    assert(e.getMessage.contains("replay"))
+    // ...and the replay repairs, after which compaction proceeds with
+    // both sinks equal to the pre-compaction state
+    Dedup.shingleIndexAppendBucketed(b, stbl, batchId = 1)
+    Dedup.shingleIndexCompactBucketed(spark, stbl)
+    assert(rows(Dedup.shinglePostingsBucketed(spark, stbl)) == wantP)
+    assert(rows(Dedup.shingleSetsSidecar(spark, stbl)) == wantS)
+    // sidecar dirs bounded after compaction
+    val setsDirs = Option(new java.io.File(spath + "_sets").listFiles())
+      .map(_.count(f => f.isDirectory && f.getName.startsWith("batch_")))
+      .getOrElse(0)
+    assert(setsDirs == 1, "compaction must merge the sets sidecar")
+  }
+
   test("standing indexes are reused within a session: a second query call " +
        "leaves the index files untouched and returns the same rows") {
     def files(p: String) = {
-      val fs = new java.io.File(p).listFiles()
-      (if (fs == null) Array.empty[java.io.File] else fs)
+      // recursive: the bucketed table lays batches out as partitions
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val kids = f.listFiles()
+        if (kids == null) Seq(f) else kids.toSeq.flatMap(walk)
+      }
+      walk(new java.io.File(p))
         .filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getName -> f.lastModified).sortBy(_._1).toSeq
+        .map(f => f.getPath -> f.lastModified).sortBy(_._1)
     }
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).toSeq
