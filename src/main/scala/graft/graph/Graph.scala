@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph algorithms as pure DataFrame self-joins (SURVEY §2.4 J1–J4,
@@ -231,11 +231,19 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
+  /** The DOULION coin as a COLUMN over a canonical (u < v) edge: true
+    * iff the edge survives keepNum/keepDen sparsification. Public so a
+    * composed census (q124's fused exact+sampled pass) can evaluate
+    * membership of a triangle's three edges directly from its sorted
+    * corners — the sample is a pure function of the edge, so "edge of
+    * the sparsified graph" needs no join with the sparsified frame. */
+  def keptCoin(u: Column, v: Column, keepNum: Int, keepDen: Int): Column =
+    conv(substring(md5(concat_ws("|", u, v)), 1, 8), 16, 10)
+      .cast("long") % keepDen < keepNum
+
   private def keepFilter(canon: DataFrame, keepNum: Int,
                          keepDen: Int): DataFrame =
-    canon.filter(conv(substring(
-        md5(concat_ws("|", col("src"), col("dst"))), 1, 8), 16, 10)
-      .cast("long") % keepDen < keepNum)
+    canon.filter(keptCoin(col("src"), col("dst"), keepNum, keepDen))
 
   /** DOULION triangle-count estimate: census the sparsified graph with
     * the same exact oriented plan ([[trianglesOriented]]), scale the

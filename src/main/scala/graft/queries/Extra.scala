@@ -234,29 +234,43 @@ object Extra {
         sum(col("a") + col("b") + col("c")).cast("long").as("corner_sum"))
 
   /** q124: q123's interactive twin — DOULION edge-sampled triangle count
-    * ([[graft.graph.Graph.trianglesSampled]], p = 1/2 here) next to the
-    * exact census, with the q45/q69 exactness-contract shape: the
-    * engine-specific part (the estimate) is itself deterministic (md5
-    * coin), so the oracle recomputes BOTH censuses and the estimate
-    * exactly in SQL and pins `within_bound` at literal TRUE — the
-    * correctness gate enforces the error bound, not just the arithmetic.
-    * The production use is p ≤ 1/10 WITHOUT the exact side (the sampled
-    * census is the whole job — wedge work contracts ~p², measured in
-    * SCALING.md); the registered query keeps the exact census in-plan
-    * because a bound you never check is a bound you don't have. */
+    * (p = 1/2 here) CHECKED against the exact census, with the q45/q69
+    * exactness-contract shape: the engine-specific part (the estimate)
+    * is itself deterministic (md5 coin), so the oracle recomputes both
+    * censuses and the estimate exactly in SQL and pins `within_bound`
+    * at literal TRUE — the correctness gate enforces the error bound,
+    * not just the arithmetic. The registered query keeps the bound
+    * CHECKED (a bound you never check is a bound you don't have), and
+    * since r11 pays for it with ONE census pass, not two: a sampled
+    * triangle is exactly an exact-census triangle whose three canonical
+    * edges all pass the coin ([[graft.graph.Graph.keptCoin]] — the
+    * sample is a pure function of the edge), so the full wedge stream
+    * is enumerated once and `n_sampled` falls out as a conditional
+    * count. The r10 verdict flagged q124 as the suite's most expensive
+    * line precisely because it ran the exact census PLUS the sampled
+    * one (~p² extra wedges) — the fusion deletes the second census and
+    * its sparsified wedge stream outright. The production use stays
+    * p ≤ 1/10 WITHOUT any exact side (q130; wedge work contracts ~p²,
+    * measured in SCALING.md). */
   def q124TrianglesSampled(spark: SparkSession, d: String): DataFrame = {
-    val edges = coOrderEdges(spark, d)
-    val exact = graft.graph.Graph.trianglesOriented(edges)
-      .agg(count(lit(1)).as("n_exact"))
-    val sampled = graft.graph.Graph.trianglesSampled(edges, 1, 2,
-      observeAs = "sample")
-    exact.crossJoin(sampled)
-      .select(col("n_exact"), col("n_sampled"), col("est"),
+    val tri = graft.graph.Graph.trianglesOriented(coOrderEdges(spark, d),
+      observeAs = "census")
+    // corners are sorted a<b<c, so the triangle's three edges are
+    // already canonical (u<v) — the coin applies directly
+    def coin(u: String, v: String) =
+      graft.graph.Graph.keptCoin(col(u), col(v), 1, 2)
+    val keptTri = coin("a", "b") && coin("a", "c") && coin("b", "c")
+    tri
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(keptTri, 1L).otherwise(0L)).as("n_sampled"))
+      .select(col("n_exact"), col("n_sampled"),
+        // 1/p³ scaling at p=1/2 — integer-exact, matches the oracle
+        (col("n_sampled") * 8).as("est"),
         // 20% relative bound in exact integer math; measured relative
         // error of the md5-fixed sample on the co-order graph is ≤ 8%
         // across sf0.001–sf10 (GraphSpec pins concentration on a planted
         // graph; SCALING.md records the per-sf errors)
-        (abs(col("est") - col("n_exact")) * 5 <= col("n_exact"))
+        (abs(col("n_sampled") * 8 - col("n_exact")) * 5 <= col("n_exact"))
           .as("within_bound"))
   }
 

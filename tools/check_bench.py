@@ -63,13 +63,15 @@ TYPICAL = {
                                   # against runs ~2x that (measured 12.7
                                   # at box 0.76) — heaviest query in the
                                   # suite, pays the accumulation tax
-    "q124_triangles_sampled": 13.0,  # q123's exact census IN-PLAN (the
-                                  # error bound is checked, not assumed)
-                                  # plus the p=1/2 sampled census (~p^2 of
-                                  # the wedge stream) — budget tracks q123
-                                  # plus a quarter; the sampled-only
-                                  # production path is measured solo in
-                                  # BENCHMARKS.md "DOULION"
+    "q124_triangles_sampled": 10.5,  # r11: FUSED — one exact census pass
+                                  # computes both counts (a sampled
+                                  # triangle is an exact triangle whose 3
+                                  # edges pass the md5 coin), deleting the
+                                  # second census and its sparsified wedge
+                                  # stream; budget now tracks q123 plus a
+                                  # hair (solo steady 6.5-7.2 vs q123's
+                                  # 5.5-6.4). The sampled-only production
+                                  # path is q130 / BENCHMARKS.md "DOULION"
     "q89_pagerank": 1.5,          # 10 chained iterations, stage-latency
     "q104_pq_ann": 3.5,           # k-means jobs + 256-kernel encode
                                   # (codegen compile dominates at toy SF).
