@@ -18,17 +18,24 @@ import org.apache.spark.sql.functions._
   * (PlanAuditSpec pins the pruned scan; the in-plan observe counter
   * carries scanned rows into the bench artifact).
   *
-  * Design choice, documented: codes quantize the RAW vectors, not the
-  * per-cluster residuals of classic IVFADC. Residual PQ buys recall when
-  * clusters are tight (the residual has smaller dynamic range than the
-  * vector); on this corpus's near-random unit vectors the clusters are
-  * diffuse and the measured recall with raw-vector codes already sits in
-  * the single-query band the contract floors are calibrated to — while
-  * raw codes keep the codebooks SHARED with the flat-PQ index (q122: one
-  * encode serves both layouts) and keep every correctness story
-  * (encode determinism, ADC == table lookups) identical. The residual
-  * variant drops in behind the same ingest/query split if a future
-  * corpus needs it.
+  * Design choice, documented: the DEFAULT codes quantize the RAW
+  * vectors, not the per-cluster residuals of classic IVFADC. Residual
+  * PQ buys recall when clusters are tight (the residual has smaller
+  * dynamic range than the vector); on this corpus's near-random unit
+  * vectors the clusters are diffuse and the measured recall with
+  * raw-vector codes already sits in the single-query band the contract
+  * floors are calibrated to — while raw codes keep the codebooks SHARED
+  * with the flat-PQ index (q122: one encode serves both layouts) and
+  * keep every correctness story (encode determinism, ADC == table
+  * lookups) identical. Since r11 the residual variant IS implemented
+  * behind the same ingest/append/query split (`residual = true` — the
+  * mode rides in the standing payload so appends can never mix codes;
+  * SimilaritySpec demonstrates the recall win on a deliberately
+  * CLUSTERED corpus — recall@10 0.575 raw → 0.80 residual at nprobe=k,
+  * refine=2, a pure quantization-quality difference — and pins the raw
+  * path unchanged). The batched path
+  * serves raw-code indexes; residual batching needs per-(query, cluster)
+  * tables (Q·k·M·K literals) and lands when a workload needs it.
   *
   * Standing + reused: the (dataset, app)-keyed root carries an
   * ops.Standing validity marker whose payload holds corpus size,
@@ -37,15 +44,21 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
-  /** Serialized model: n, then k centroid rows, then M×K codebook rows —
-    * [[Pq.floatRowHex]] rows (bit-exact round trip; one codec shared
-    * with the flat-PQ serializer so the format cannot fork). */
+  /** Serialized model: n, then a header (k, M, K, and the code MODE —
+    * raw vectors or per-cluster residuals), then k centroid rows, then
+    * M×K codebook rows — [[Pq.floatRowHex]] rows (bit-exact round trip;
+    * one codec shared with the flat-PQ serializer so the format cannot
+    * fork). The mode rides in the payload because maintenance
+    * ([[ivfPqAppend]]) must encode new vectors EXACTLY as the standing
+    * index did — a raw append into a residual index would corrupt every
+    * appended distance silently. */
   private def payload(cents: Array[Array[Float]], books: Pq.Codebooks,
-                      n: Long): String = {
+                      n: Long, residual: Boolean): String = {
     val sb = new StringBuilder
     sb.append(n).append('\n')
     sb.append(cents.length).append(' ')
-      .append(books.length).append(' ').append(books.head.length).append('\n')
+      .append(books.length).append(' ').append(books.head.length)
+      .append(' ').append(if (residual) "res" else "raw").append('\n')
     cents.foreach(c => sb.append(Pq.floatRowHex(c)).append('\n'))
     for (m <- books; cent <- m)
       sb.append(Pq.floatRowHex(cent)).append('\n')
@@ -53,15 +66,16 @@ object IvfPq {
   }
 
   private def parse(p: String)
-      : (Array[Array[Float]], Pq.Codebooks, Long) = {
+      : (Array[Array[Float]], Pq.Codebooks, Long, Boolean) = {
     val lines = p.split("\n")
     val n = lines(0).toLong
     val dims = lines(1).split(" ")
     val (kc, m, k) = (dims(0).toInt, dims(1).toInt, dims(2).toInt)
+    val residual = dims.length > 3 && dims(3) == "res"
     val cents = Array.tabulate(kc)(i => Pq.parseFloatRowHex(lines(2 + i)))
     val books: Pq.Codebooks = Array.tabulate(m, k)((mi, ki) =>
       Pq.parseFloatRowHex(lines(2 + kc + mi * k + ki)))
-    (cents, books, n)
+    (cents, books, n, residual)
   }
 
   /** INGEST: train IVF centroids + PQ codebooks, assign + encode the
@@ -70,22 +84,23 @@ object IvfPq {
     * (vec_id, codes) partitionBy(cluster). Returns everything the query
     * side needs. Standing-reused per the corpus fingerprint. */
   def ivfPqIngest(spark: SparkSession, d: String, root0: String = null,
-                  nClusters: Int = 16)
+                  nClusters: Int = 16, residual: Boolean = false)
       : (Array[Array[Float]], Pq.Codebooks, Long, String) = {
     val root =
       if (root0 != null) root0
-      else graft.ops.Scratch.root(spark, d, "ivfpq")
+      else graft.ops.Scratch.root(spark, d,
+        if (residual) "ivfpq_res" else "ivfpq")
     // the fingerprint covers the MODEL hyperparameters, not just the
-    // source bytes: a later call with a different nClusters must rebuild,
-    // not silently reuse a stale index whose parsed payload would
-    // override the caller's argument (r11 review find). PQ M/K are
-    // Tuning constants, not per-call knobs, so the source+k pair is the
-    // full configuration surface of this ingest.
+    // source bytes: a later call with a different nClusters (or code
+    // mode) must rebuild, not silently reuse a stale index whose parsed
+    // payload would override the caller's arguments (r11 review find).
+    // PQ M/K are Tuning constants, not per-call knobs, so source + k +
+    // mode is the full configuration surface of this ingest.
     val fp = graft.ops.Standing.fingerprint(s"$d/embeddings.parquet") +
-      s":k=$nClusters"
+      s":k=$nClusters" + (if (residual) ":res" else "")
     graft.ops.Standing.validPayload(root, fp) match {
       case Some(p) =>
-        val (cents, books, n) = parse(p)
+        val (cents, books, n, _) = parse(p)
         (cents, books, n, root)
       case None =>
         val emb = Tables.embeddings(spark, d)
@@ -93,14 +108,32 @@ object IvfPq {
         val par = spark.sparkContext.defaultParallelism
         val fanout = if (n >= graft.Tuning.PqFanoutGateVectors) par else 0
         val cents = Similarity.trainCentroids(emb, nClusters)
-        val books = Pq.trainCodebooks(emb, fanout = fanout)
         val embP = if (fanout > 0) emb.repartition(fanout) else emb
-        Pq.encode(Similarity.assignClusters(embP, cents), books)
+        val assigned = Similarity.assignClusters(embP, cents)
+        // residual mode (classic IVFADC, Jégou et al. §V): codebooks
+        // train on and codes quantize r = x − centroid(cluster(x)) — the
+        // residual's dynamic range shrinks with cluster tightness, which
+        // is exactly when the same M bytes buy more recall
+        val toCode = if (residual) residualized(assigned, cents) else assigned
+        val books = Pq.trainCodebooks(
+          if (residual) toCode else emb, fanout = fanout)
+        Pq.encode(toCode, books)
           .select("vec_id", "cluster", "codes")
           .write.partitionBy("cluster").mode("overwrite").parquet(root)
-        graft.ops.Standing.markValid(root, fp, payload(cents, books, n))
+        graft.ops.Standing.markValid(root, fp,
+          payload(cents, books, n, residual))
         (cents, books, n, root)
     }
+  }
+
+  /** Replace `embedding` with the per-cluster residual x − c_cluster(x)
+    * (float arithmetic, centroids a plan literal — map-only). */
+  private[graft] def residualized(assigned: DataFrame,
+                                  cents: Array[Array[Float]]): DataFrame = {
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    assigned.withColumn("embedding",
+      zip_with(col("embedding"), element_at(centsLit, col("cluster") + 1),
+        (x, c) => x - c))
   }
 
   /** INCREMENTAL append — the parity the gram/shingle indexes already
@@ -133,12 +166,16 @@ object IvfPq {
     val (fp, p) = graft.ops.Standing.current(root).getOrElse(sys.error(
       s"ivfPqAppend: no standing IVF-PQ index at $root — run ivfPqIngest" +
         " first (appends extend a trained model; they never train one)"))
-    val (cents, books, n) = parse(p)
+    val (cents, books, n, residual) = parse(p)
     val delta = newEmb.count()
-    Pq.encode(Similarity.assignClusters(newEmb, cents), books)
+    val assigned = Similarity.assignClusters(newEmb, cents)
+    // encode exactly as the standing index does — mode from the payload
+    val toCode = if (residual) residualized(assigned, cents) else assigned
+    Pq.encode(toCode, books)
       .select("vec_id", "cluster", "codes")
       .write.partitionBy("cluster").mode("append").parquet(root)
-    graft.ops.Standing.markValid(root, fp, payload(cents, books, n + delta))
+    graft.ops.Standing.markValid(root, fp,
+      payload(cents, books, n + delta, residual))
     (cents, books, n + delta)
   }
 
@@ -153,7 +190,8 @@ object IvfPq {
                 cents: Array[Array[Float]], books: Pq.Codebooks,
                 queryVecId: Long, k: Int, nprobe: Int = 4,
                 corpusSize: Long = -1L, refine: Int = 0,
-                observeName: String = "ivfpq"): DataFrame = {
+                observeName: String = "ivfpq",
+                residual: Boolean = false): DataFrame = {
     val q = emb.filter(col("vec_id") === queryVecId)
       .select("embedding").head().getSeq[Float](0).toArray
     val probe = probeClusters(cents, q, nprobe)
@@ -165,14 +203,67 @@ object IvfPq {
     // path (r11 review find; in-repo callers pass corpusSize explicitly).
     val corpusN = if (corpusSize >= 0L) corpusSize
       else spark.read.parquet(root).count()
-    val pruned = spark.read.parquet(root)
+    if (!residual) {
+      val pruned = spark.read.parquet(root)
+        .filter(col("cluster").isInCollection(probe))
+        .select("vec_id", "codes")
+        // the pruning ratio, in-artifact: scanned codes rows ≈ n·nprobe/k
+        .observe(observeName, count(lit(1)).as("scanned_rows"))
+      return Pq.adcTopKOnCodes(pruned, emb, queryVecId, k, books,
+        refine = refine, corpusSize = corpusN,
+        observeName = observeName + "_pq")
+    }
+    // RESIDUAL ADC (classic IVFADC): codes quantize r = x − c_cluster, so
+    // ||q − x̃||² = ||(q − c_cluster) − r̃||² — the distance table is
+    // per-CLUSTER, built driver-side from (q − c) for each PROBED cluster
+    // (nprobe·M·K doubles — model-sized; unprobed slots ride as zeros and
+    // are unreachable behind the partition pruning). Same plan shape as
+    // the raw path otherwise: pruned scan over codes, proportional
+    // shortlist, exact re-rank.
+    val m = books.length
+    val sub = books.head.head.length
+    val refine2 = if (refine > 0) refine
+      else Pq.proportionalShortlist(corpusN)
+    val probed = probe.toSet
+    val table: Seq[Seq[Seq[Double]]] = cents.indices.map { c =>
+      if (!probed.contains(c)) books.map(_.map(_ => 0.0).toSeq).toSeq
+      else books.zipWithIndex.map { case (cw, mi) =>
+        cw.map { code =>
+          var s = 0.0
+          var i = 0
+          while (i < sub) {
+            val dlt = q(mi * sub + i).toDouble - cents(c)(mi * sub + i) -
+              code(i)
+            s += dlt * dlt
+            i += 1
+          }
+          s
+        }.toSeq
+      }.toSeq
+    }
+    val t = typedlit(table)
+    val adc = (0 until m).map(mi =>
+        element_at(element_at(element_at(t, col("cluster") + 1), mi + 1),
+          element_at(col("codes"), mi + 1) + 1))
+      .reduce(_ + _)
+    val shortlist = spark.read.parquet(root)
       .filter(col("cluster").isInCollection(probe))
-      .select("vec_id", "codes")
-      // the pruning ratio, in-artifact: scanned codes rows ≈ n·nprobe/k
+      .select(col("vec_id"), col("cluster"), col("codes"))
       .observe(observeName, count(lit(1)).as("scanned_rows"))
-    Pq.adcTopKOnCodes(pruned, emb, queryVecId, k, books,
-      refine = refine, corpusSize = corpusN,
-      observeName = observeName + "_pq")
+      .filter(col("vec_id") =!= queryVecId)
+      .withColumn("adc_dist", adc)
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k * refine2)
+      .select("vec_id")
+      .observe(observeName + "_pq", count(lit(1)).as("shortlist_rows"))
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(emb.filter(col("vec_id") === queryVecId)
+        .select(col("embedding").as("q_embedding"))))
+      .select(col("vec_id"),
+        round(Similarity.cosCol(col("embedding"), col("q_embedding")), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** Driver-side probe selection: dot(q, centroid) over the k-row model

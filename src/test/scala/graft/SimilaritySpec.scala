@@ -236,6 +236,92 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("residual IVF-PQ (classic IVFADC) beats raw codes on a clustered " +
+       "corpus; appends honor the standing mode; raw path unchanged") {
+    import graft.similarity.IvfPq
+    import spark.implicits._
+    // a deliberately CLUSTERED corpus — the regime residual codes exist
+    // for (tight clusters → residual dynamic range << vector range).
+    // Deterministic: fixed-seed noise, unit-normalized.
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val kClusters = 16
+    val centers = Array.fill(kClusters, dim)(rnd.nextGaussian().toFloat)
+      .map { c =>
+        val n = math.sqrt(c.map(x => x.toDouble * x).sum).toFloat
+        c.map(_ / n)
+      }
+    val vecs = (0 until 2000).map { i =>
+      val c = centers(i % kClusters)
+      val v = c.map(x => x + 0.08f * rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, v.map(_ / n).toSeq)
+    }
+    val srcDir = java.nio.file.Files.createTempDirectory("ivfpq_res_src")
+      .toString
+    vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+      .write.parquet(srcDir + "/embeddings.parquet")
+    val emb = Tables.embeddings(spark, srcDir)
+    val qIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    def bf(q: Long) = Similarity.bruteForceTopK(emb, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val truth = qIds.map(q => q -> bf(q)).toMap
+    // nprobe = all clusters: recall differences are PURE quantization
+    // error, not IVF pruning; refine=2 keeps the shortlist tight enough
+    // that ADC ranking quality is what decides recall
+    def recall(root: String, cents: Array[Array[Float]],
+               books: graft.similarity.Pq.Codebooks,
+               residual: Boolean): Double = {
+      val hits = qIds.map { q =>
+        val got = IvfPq.ivfPqTopK(spark, root, emb, cents, books, q, 10,
+            nprobe = kClusters, corpusSize = 2000L, refine = 2,
+            residual = residual)
+          .collect().map(_.getLong(0)).toSet
+        (got intersect truth(q)).size
+      }.sum
+      hits.toDouble / (qIds.size * 10)
+    }
+    val rootRaw = java.nio.file.Files.createTempDirectory("ivfpq_res_raw")
+      .toString + "/idx"
+    val rootRes = java.nio.file.Files.createTempDirectory("ivfpq_res_res")
+      .toString + "/idx"
+    val (cRaw, bRaw, _, _) = IvfPq.ivfPqIngest(spark, srcDir, rootRaw)
+    val (cRes, bRes, nRes, _) =
+      IvfPq.ivfPqIngest(spark, srcDir, rootRes, residual = true)
+    val rRaw = recall(rootRaw, cRaw, bRaw, residual = false)
+    val rRes = recall(rootRes, cRes, bRes, residual = true)
+    info(s"clustered-corpus recall@10: raw=$rRaw residual=$rRes")
+    assert(rRes > rRaw,
+      s"residual codes must beat raw on a clustered corpus: $rRes vs $rRaw")
+    // appends honor the standing MODE (payload-carried): appended codes
+    // equal the fixed-model residual rebuild over the full corpus
+    val half = emb.filter(col("vec_id") < 1000)
+    val rest = emb.filter(col("vec_id") >= 1000)
+    val srcHalf = java.nio.file.Files.createTempDirectory("ivfpq_res_half")
+      .toString
+    half.write.parquet(srcHalf + "/embeddings.parquet")
+    val rootApp = java.nio.file.Files.createTempDirectory("ivfpq_res_app")
+      .toString + "/idx"
+    val (cA, bA, _, _) =
+      IvfPq.ivfPqIngest(spark, srcHalf, rootApp, residual = true)
+    IvfPq.ivfPqAppend(rest, rootApp)
+    def codeRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cluster").cast("int"),
+        col("codes").cast("string"))
+      .collect().map(_.toString).sorted.toSeq
+    val appended = codeRows(spark.read.parquet(rootApp))
+    // the fixed-model residual rebuild, via a query-side re-ingest of the
+    // same model: re-encode full corpus with cA/bA in residual mode
+    val rebuilt = codeRows(graft.similarity.Pq.encode(
+      IvfPq.residualized(Similarity.assignClusters(emb, cA), cA), bA)
+      .select("vec_id", "cluster", "codes"))
+    assert(appended == rebuilt,
+      "append into a residual index must encode residuals with the " +
+        "standing model")
+  }
+
   test("IVF-PQ incremental append == rebuild with the fixed model: codes " +
        "table identical, consumers unchanged, marker tracks corpus size") {
     import graft.similarity.{IvfPq, Pq, Similarity}
