@@ -32,7 +32,7 @@ object Bench {
   private val observedInPlan = Set("q123_triangles", "q124_triangles_sampled",
     "q104_pq_ann", "q122_pq_scan", "q73_dedup_clusters", "q126_pq_batch",
     "q125_gram_index", "q127_shingle_index", "q128_shingle_bucketed",
-    "q129_ivf_pq", "q130_triangles_budget")
+    "q129_ivf_pq", "q130_triangles_budget", "q131_ivf_pq_residual")
 
   /** Per-query JVM isolation (`SPARK_GRAFT_BENCH_FORK=1`): run every
     * registry query in a FRESH child JVM and aggregate the children's

@@ -462,8 +462,32 @@ object IvfPq {
     annContractBatchAvg(ann, emb, qIds, 10, minAvgRecall = 0.35)
   }
 
+  /** q131: the RESIDUAL index under the same batch-average recall
+    * contract as q129 — registered so classic IVFADC is a first-class,
+    * oracle-gated query, not a spec-only variant. Same four queries,
+    * same floor: on this near-uniform corpus residual and raw codes tie
+    * (the clustered-corpus win is SimilaritySpec's measurement — here
+    * the contract pins that residual codes are AS GOOD, i.e. the mode
+    * changes representation, never correctness). Queries run through
+    * the single-query residual plan (the batch path serves raw codes;
+    * the union below is four independent pruned scans). */
+  def qIvfPqResidual(spark: SparkSession, d: String): DataFrame = {
+    val (cents, books, n, root) = ivfPqIngest(spark, d, residual = true)
+    val emb = Tables.embeddings(spark, d)
+    val refine = Pq.proportionalShortlist(n, mult = 2)
+    val qIds = Seq(0L, 1L, 2L, 3L)
+    val ann = qIds.zipWithIndex.map { case (q, i) =>
+        ivfPqTopK(spark, root, emb, cents, books, q, k = 10, nprobe = 6,
+            corpusSize = n, refine = refine, residual = true,
+            observeName = s"ivfpq_res_q$i")
+          .select(lit(q).as("q_id"), col("vec_id"))
+      }.reduce(_ unionByName _)
+    annContractBatchAvg(ann, emb, qIds, 10, minAvgRecall = 0.35)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q129_ivf_pq" -> (qIvfPq _))
+    "q129_ivf_pq" -> (qIvfPq _),
+    "q131_ivf_pq_residual" -> (qIvfPqResidual _))
 
   /** q129's oracle: per-query exact top-k accounting (the q126 shape) —
     * DuckDB recomputes each query's brute-force top-10 min cosine and
@@ -484,5 +508,10 @@ object IvfPq {
     FROM ranked WHERE rn <= 10 GROUP BY q_id ORDER BY q_id"""
 
   val oracles: Map[String, String] = Map(
-    "q129_ivf_pq" -> ivfPqOracle)
+    "q129_ivf_pq" -> ivfPqOracle,
+    // q131 carries the identical accounting contract: the oracle is a
+    // property of the EXACT side (brute-force top-10 per query) plus the
+    // pinned-TRUE recall boolean, independent of which ANN index
+    // produced the candidates
+    "q131_ivf_pq_residual" -> ivfPqOracle)
 }
