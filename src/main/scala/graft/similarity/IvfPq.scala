@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF-PQ: the composed production ANN index (the FAISS "IVFADC" shape —
@@ -33,9 +33,10 @@ import org.apache.spark.sql.functions._
   * SimilaritySpec demonstrates the recall win on a deliberately
   * CLUSTERED corpus — recall@10 0.575 raw → 0.80 residual at nprobe=k,
   * refine=2, a pure quantization-quality difference — and pins the raw
-  * path unchanged). The batched path
-  * serves raw-code indexes; residual batching needs per-(query, cluster)
-  * tables (Q·k·M·K literals) and lands when a workload needs it.
+  * path unchanged). The batched path serves BOTH modes: residual
+  * batching carries per-(query, cluster) tables as one 4-D literal
+  * (≈1 MB at the chunk size), pinned batch == singles like the raw
+  * path.
   *
   * Standing + reused: the (dataset, app)-keyed root carries an
   * ops.Standing validity marker whose payload holds corpus size,
@@ -305,7 +306,8 @@ object IvfPq {
                      cents: Array[Array[Float]], books: Pq.Codebooks,
                      queryIds: Seq[Long], k: Int, nprobe: Int = 4,
                      corpusSize: Long = -1L, refine: Int = 0,
-                     maxChunk: Int = graft.Tuning.AdcBatchMaxQ): DataFrame = {
+                     maxChunk: Int = graft.Tuning.AdcBatchMaxQ,
+                     residual: Boolean = false): DataFrame = {
     require(queryIds.nonEmpty, "ivfPqTopKBatch: empty query batch")
     require(maxChunk > 0, "ivfPqTopKBatch: maxChunk must be positive")
     if (queryIds.distinct.size > maxChunk) {
@@ -318,13 +320,15 @@ object IvfPq {
       return chunkByProbeOverlap(qIds, probes, maxChunk).zipWithIndex
         .map { case (chunk, i) =>
           ivfPqBatchOne(spark, root, emb, cents, books, chunk, k, nprobe,
-            n, refine, observeName = s"ivfpq_batch_c$i", qVecs0 = qVecs)
+            n, refine, observeName = s"ivfpq_batch_c$i", qVecs0 = qVecs,
+            residual = residual)
         }
         .reduce(_ unionByName _)
         .orderBy("q_id", "rk")
     }
     ivfPqBatchOne(spark, root, emb, cents, books, queryIds, k, nprobe,
-      corpusSize, refine, observeName = "ivfpq_batch")
+      corpusSize, refine, observeName = "ivfpq_batch",
+      residual = residual)
   }
 
   /** Greedy min-union chunking: seed each chunk with the lowest
@@ -360,8 +364,8 @@ object IvfPq {
                             books: Pq.Codebooks, queryIds: Seq[Long],
                             k: Int, nprobe: Int, corpusSize: Long,
                             refine: Int, observeName: String,
-                            qVecs0: Map[Long, Array[Float]] = null)
-      : DataFrame = {
+                            qVecs0: Map[Long, Array[Float]] = null,
+                            residual: Boolean = false): DataFrame = {
     val qIds = queryIds.distinct.sorted
     val qVecs = if (qVecs0 != null) qVecs0 else Pq.collectQueryVecs(emb, qIds)
     val probes: Seq[Seq[Int]] =
@@ -378,14 +382,68 @@ object IvfPq {
       // union-scan volume: rows read once for the whole batch
       .observe(observeName, count(lit(1)).as("scanned_rows"))
     val probesLit = typedlit(probes)
-    val pairs = Pq.adcPairs(scanned, books, qIds, qVecs)
+    val rawPairs =
+      if (residual) residualAdcPairs(scanned, books, cents, qIds, qVecs,
+        probes)
+      else Pq.adcPairs(scanned, books, qIds, qVecs)
+    val pairs = rawPairs
       // per-(query, row) candidate restriction: only rows in THIS
       // query's probe clusters compete — the single-query contract
+      // (in residual mode this also discards the zero-table garbage
+      // distances of non-probed (query, cluster) slots)
       .filter(array_contains(
         element_at(probesLit, col("qi") + 1), col("cluster")))
       .select("vec_id", "qi", "adc_dist")
     Pq.batchShortlistRerank(pairs, emb, qIds, k, refine2,
       observeName + "_pq")
+  }
+
+  /** The residual-mode batch scorer: one 4-D plan literal holds each
+    * query's PER-CLUSTER distance tables (Q·k·M·K doubles — at the
+    * AdcBatchMaxQ chunk size ≈1 MB, still model-sized), built only for
+    * the (query, cluster) slots the query actually probes; everything
+    * else rides as zeros and is discarded by the probe restriction
+    * before it can compete. Same posexplode shape as [[Pq.adcPairs]],
+    * with the table lookup keyed by the row's cluster. */
+  private def residualAdcPairs(scanned: DataFrame, books: Pq.Codebooks,
+                               cents: Array[Array[Float]], qIds: Seq[Long],
+                               qVecs: Map[Long, Array[Float]],
+                               probes: Seq[Seq[Int]]): DataFrame = {
+    val m = books.length
+    val sub = books.head.head.length
+    val tables: Seq[Seq[Seq[Seq[Double]]]] = qIds.zipWithIndex.map {
+      case (id, qi) =>
+        val q = qVecs(id)
+        val probed = probes(qi).toSet
+        cents.indices.map { c =>
+          if (!probed.contains(c)) books.map(_.map(_ => 0.0).toSeq).toSeq
+          else books.zipWithIndex.map { case (cw, mi) =>
+            cw.map { code =>
+              var s = 0.0
+              var i = 0
+              while (i < sub) {
+                val dlt = q(mi * sub + i).toDouble -
+                  cents(c)(mi * sub + i) - code(i)
+                s += dlt * dlt
+                i += 1
+              }
+              s
+            }.toSeq
+          }.toSeq
+        }
+    }
+    val t = typedlit(tables)
+    val qIdsLit = typedlit(qIds)
+    def adcFor(qi: Int): Column = (0 until m).map { mi =>
+      element_at(element_at(element_at(element_at(t, qi + 1),
+        col("cluster") + 1), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+    scanned
+      .select(col("*"),
+        posexplode(array(qIds.indices.map(adcFor): _*))
+          .as(Seq("qi", "adc_dist")))
+      .filter(element_at(qIdsLit, col("qi") + 1) =!= col("vec_id"))
   }
 
   /** Batch-average recall contract — the metric ANN benchmarks actually
@@ -468,20 +526,18 @@ object IvfPq {
     * same floor: on this near-uniform corpus residual and raw codes tie
     * (the clustered-corpus win is SimilaritySpec's measurement — here
     * the contract pins that residual codes are AS GOOD, i.e. the mode
-    * changes representation, never correctness). Queries run through
-    * the single-query residual plan (the batch path serves raw codes;
-    * the union below is four independent pruned scans). */
+    * changes representation, never correctness). Served through the
+    * batched residual plan — one union-of-probes scan, per-(query,
+    * cluster) tables — pinned row-identical to the residual singles by
+    * SimilaritySpec, same as q129's raw batch. */
   def qIvfPqResidual(spark: SparkSession, d: String): DataFrame = {
     val (cents, books, n, root) = ivfPqIngest(spark, d, residual = true)
     val emb = Tables.embeddings(spark, d)
     val refine = Pq.proportionalShortlist(n, mult = 2)
     val qIds = Seq(0L, 1L, 2L, 3L)
-    val ann = qIds.zipWithIndex.map { case (q, i) =>
-        ivfPqTopK(spark, root, emb, cents, books, q, k = 10, nprobe = 6,
-            corpusSize = n, refine = refine, residual = true,
-            observeName = s"ivfpq_res_q$i")
-          .select(lit(q).as("q_id"), col("vec_id"))
-      }.reduce(_ unionByName _)
+    val ann = ivfPqTopKBatch(spark, root, emb, cents, books, qIds, k = 10,
+        nprobe = 6, corpusSize = n, refine = refine, residual = true)
+      .select(col("q_id"), col("vec_id"))
     annContractBatchAvg(ann, emb, qIds, 10, minAvgRecall = 0.35)
   }
 

@@ -320,6 +320,32 @@ class SimilaritySpec extends SparkSpec {
     assert(appended == rebuilt,
       "append into a residual index must encode residuals with the " +
         "standing model")
+    // residual BATCH == residual singles, row-for-row (the q129 raw-path
+    // contract carried to the 4-D per-(query, cluster) table plan),
+    // chunking included
+    val batch = IvfPq.ivfPqTopKBatch(spark, rootRes, emb, cRes, bRes,
+        qIds, k = 10, nprobe = 6, corpusSize = 2000L, refine = 2,
+        residual = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    for (q <- qIds) {
+      val single = IvfPq.ivfPqTopK(spark, rootRes, emb, cRes, bRes, q,
+          k = 10, nprobe = 6, corpusSize = 2000L, refine = 2,
+          residual = true)
+        .collect().zipWithIndex
+        .map { case (r, i) => (q, i + 1, r.getLong(0), r.getDouble(1)) }
+        .toSeq
+      assert(batch.filter(_._1 == q) == single,
+        s"residual batch diverges for query $q")
+    }
+    val chunked = IvfPq.ivfPqTopKBatch(spark, rootRes, emb, cRes, bRes,
+        qIds, k = 10, nprobe = 6, corpusSize = 2000L, refine = 2,
+        residual = true, maxChunk = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(chunked == batch)
   }
 
   test("IVF-PQ incremental append == rebuild with the fixed model: codes " +

@@ -133,12 +133,15 @@ TYPICAL = {
                                   # — slightly slower than q127 at toy
                                   # sf, 1.5x faster at sf1/sf10;
                                   # measured 3.32 at box 0.87)
-    "q131_ivf_pq_residual": 2.5,  # r11: the residual (classic IVFADC)
+    "q131_ivf_pq_residual": 4.5,  # r11: the residual (classic IVFADC)
                                   # twin of q129 — 4 SINGLE-query pruned
                                   # scans (the batch path serves raw
                                   # codes) + the contract's exact scan;
                                   # ingest lives in warmup via the
-                                  # standing marker like q129
+                                  # standing marker like q129. Solo
+                                  # probed steady 4.3-5.4s with tiny
+                                  # volume (45KB shuffle) — four plans'
+                                  # fixed stage latency, not data
     "q129_ivf_pq": 2.0,           # composed IVF-PQ: 4 partition-pruned
                                   # probe scans + the batch-mean recall
                                   # contract's one exact corpus scan
