@@ -406,15 +406,11 @@ object Dedup {
       : DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum,
       s"similarityJoin: tau must be in (0, 1], got $tauNum/$tauDen")
-    if (tauNum * 4 <= tauDen)
+    val ratio = pairRowsPerPostingHint
+      .getOrElse(probePairRowsPerPostingFromPostings(posting))
+    if (ratio <= PostingMaxPairRowsPerPosting)
       similarityJoinPostingCountFromPostings(posting, tauNum, tauDen)
-    else {
-      val ratio = pairRowsPerPostingHint
-        .getOrElse(probePairRowsPerPostingFromPostings(posting))
-      if (ratio <= PostingMaxPairRowsPerPosting)
-        similarityJoinPostingCountFromPostings(posting, tauNum, tauDen)
-      else similarityJoinPrefixVerifyFromPostings(posting, sets, tauNum, tauDen)
-    }
+    else similarityJoinPrefixVerifyFromPostings(posting, sets, tauNum, tauDen)
   }
 
   def similarityJoin(docs: DataFrame, tauNum: Long, tauDen: Long,
@@ -423,39 +419,34 @@ object Dedup {
       s"similarityJoin: tau must be in (0, 1], got $tauNum/$tauDen")
     // Two exact regimes (both return the identical pair set — DedupSpec
     // pins each against brute force AND against each other at every
-    // probed τ), dispatched in two steps:
+    // probed τ), dispatched on the MEASURED gram-df tail at EVERY τ (the
+    // Percentiles.grouped precedent: one cheap probe picks the physical
+    // regime). The posting join's cost is exactly Σ_g df·(df−1)/2 pair
+    // rows REGARDLESS of τ; prefix filtering sorts hot grams (huge df)
+    // to the end of every doc's rare-first order so they never enter a
+    // prefix. The evidence on both sides of the threshold:
     //
-    //  1. τ ≤ 1/4 → POSTING-COUNT unconditionally. At small τ a doc's
-    //     prefix is nearly its whole set ((1−τ)·n + 1 grams), so prefix
-    //     filtering prunes almost nothing and the prefix plan degenerates
-    //     into the posting join PLUS a df window, a rarity sort, and an
-    //     array-shipping verify. Measured at the sf1→sf10 decade (10×
-    //     docs): the array-shipping verify grew shuffle write 158×
-    //     (88 MB → 13.9 GB) with 50 GB of SMJ spill — wall 5.5 → 160 s —
-    //     while the posting plan shuffles only 16-byte pair rows
-    //     (Vernica et al., SIGMOD'10).
-    //  2. HIGH τ → dispatch on the MEASURED gram-df tail, not on τ (the
-    //     Percentiles.grouped precedent: one cheap probe picks the
-    //     physical regime). The posting join's cost is exactly
-    //     Σ_g df·(df−1)/2 pair rows REGARDLESS of τ; prefix filtering at
-    //     high τ sorts hot grams (huge df) to the end of every doc's
-    //     rare-first order so they never enter a prefix. On a
-    //     bounded-df corpus (every GenScale sf: ratio ≈ 0.5–4.9)
-    //     posting-count still wins at τ = 1/2 — measured 1.5–3× in wall
-    //     and 3–4× in shuffle at sf1/sf10 — but ONE gram shared by the
-    //     whole corpus (ratio 51.5 in the planted probe) makes the
-    //     posting join quadratic while prefix+verify stays linear
-    //     (2.9× faster already at 5k docs). τ > 1/4 is exactly where
-    //     prefix pruning becomes effective, so the heavy-tail escape
-    //     hatch exists only there.
-    if (tauNum * 4 <= tauDen)
+    //  - Bounded-df corpus (every GenScale sf: ratio ≈ 0.5–4.9) →
+    //    POSTING-COUNT. At low τ the prefix is nearly the whole set
+    //    ((1−τ)·n + 1 grams), so the prefix plan degenerates into the
+    //    posting join PLUS a df window, a rarity sort, and an
+    //    array-shipping verify — measured at the sf1→sf10 decade: the
+    //    verify grew shuffle write 158× (88 MB → 13.9 GB) with 50 GB of
+    //    SMJ spill, wall 5.5 → 160 s, while the posting plan shuffles
+    //    16-byte pair rows (Vernica et al., SIGMOD'10). At high τ
+    //    posting still wins 1.5–3× wall on this corpus shape.
+    //  - Heavy df tail (ratio 51.5 in the planted corpus-wide-gram
+    //    probe) → PREFIX+VERIFY at every τ. One gram shared by the
+    //    whole corpus makes the posting join QUADRATIC in the corpus:
+    //    measured at sf1, τ=1/20 — posting-count 218 s with 250 GB of
+    //    aggregate spill vs prefix+verify 10.1 s, zero spill (r11; the
+    //    pre-r11 dispatcher sent τ ≤ 1/4 to posting UNCONDITIONALLY and
+    //    rode straight into that cliff). The probe costs one g-keyed
+    //    aggregation — the cheapest insurance in this file.
+    val ratio = pairRowsPerPostingHint.getOrElse(probePairRowsPerPosting(docs))
+    if (ratio <= PostingMaxPairRowsPerPosting)
       similarityJoinPostingCount(docs, tauNum, tauDen)
-    else {
-      val ratio = pairRowsPerPostingHint.getOrElse(probePairRowsPerPosting(docs))
-      if (ratio <= PostingMaxPairRowsPerPosting)
-        similarityJoinPostingCount(docs, tauNum, tauDen)
-      else similarityJoinPrefixVerify(docs, tauNum, tauDen)
-    }
+    else similarityJoinPrefixVerify(docs, tauNum, tauDen)
   }
 
   /** Shared shingle-set prep for both [[similarityJoin]] regimes. */
@@ -764,6 +755,79 @@ object Dedup {
 
   def qSimJoinPrefix(spark: SparkSession, d: String): DataFrame =
     similarityJoin(Tables.documents(spark, d), tauNum = 1, tauDen = 2)
+      .orderBy("doc_a", "doc_b")
+
+  /** RARE-GRAM similarity join — the declared-contract scale variant of
+    * the exact low-τ join, born from round 11's measured dead end: the
+    * exact posting-count plan's pair shuffle is Σ_g df(g)² rows, which
+    * no lossless prune can touch (PairCompositionProbe: ≥99.9% of rows
+    * are chance pairs whose single co-occurrence IS their evidence), and
+    * ONE corpus-wide gram makes it quadratic in the corpus. This
+    * operator changes the CONTRACT instead of chasing the impossible
+    * prune: Jaccard over the df ≤ `dfCap` gram SUB-UNIVERSE — each
+    * doc's shingle set restricted to grams rarer than the cap, set
+    * sizes recomputed over that restriction, threshold and score exact
+    * within it. The semantics are not an approximation of full Jaccard;
+    * they are a different, well-defined similarity that near-dup
+    * practice often PREFERS: corpus-frequent shingles are boilerplate
+    * (headers, licenses, navigation), and boilerplate co-occurrence is
+    * the classic false-positive source (the same reason
+    * [[contaminationPairs]] keys on RARE grams only, dfCap=20, and the
+    * q68 boilerplate detector exists). Exactly oracle-checkable — DuckDB
+    * recomputes the sub-universe, sizes, counts, and scores (q132).
+    *
+    * The scale property bought: pair rows = Σ_{df≤cap} df(df−1)/2 ≤
+    * (cap−1)/2 · |postings| — LINEAR in the corpus with a cap-sized
+    * constant, versus the uncapped plan's df² blowup on heavy-tailed
+    * corpora (measured: TauProbe's planted corpus-wide gram). Costs
+    * beyond the capped pair join are all linear and keyed: one df
+    * aggregation (g), one semi join (g — exchange-free off the bucketed
+    * index), one size recount + attach (doc_id). `dfCap ≥ max df`
+    * degenerates to exactly [[similarityJoinPostingCount]]'s result
+    * (DedupSpec pins it). */
+  def similarityJoinRareGrams(docs: DataFrame, tauNum: Long, tauDen: Long,
+                              dfCap: Long): DataFrame =
+    similarityJoinRareGramsFromPostings(
+      shinglePostings(shingleSets(docs)), tauNum, tauDen, dfCap)
+
+  /** [[similarityJoinRareGrams]] over the POSTING half of a standing
+    * index (plain or bucketed — on the bucketed table the df aggregation
+    * and semi join plan without an exchange on g). */
+  def similarityJoinRareGramsFromPostings(posting: DataFrame, tauNum: Long,
+                                          tauDen: Long,
+                                          dfCap: Long): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum,
+      s"similarityJoinRareGrams: tau must be in (0, 1], got $tauNum/$tauDen")
+    require(dfCap >= 1, s"similarityJoinRareGrams: dfCap must be ≥ 1")
+    val rare = posting.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("g")
+    val rp = posting.select("doc_id", "g")
+      .join(rare, Seq("g"), "left_semi")
+    // sizes over the SUB-universe (n changes with the cap — the contract)
+    val sizes = rp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val p = rp.join(sizes, "doc_id")
+    p.as("a").join(p.as("b"),
+        col("a.g") === col("b.g") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") * lit(tauDen) >= col("b.n") * lit(tauNum) &&
+        col("b.n") * lit(tauDen) >= col("a.n") * lit(tauNum))
+      // s-slimmed pair aggregation, as in the uncapped plan
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.n") + col("b.n")).as("s"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * lit(tauDen) >=
+        (col("s") - col("inter")) * lit(tauNum))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("s") - col("inter")))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** q132: the rare-gram join on the harness corpus at the near-dup
+    * τ=1/20 with the contamination family's cap — full pair set, both
+    * scores exact within the declared sub-universe. */
+  def qSimJoinRareCap(spark: SparkSession, d: String): DataFrame =
+    similarityJoinRareGrams(Tables.documents(spark, d),
+        tauNum = 1, tauDen = 20, dfCap = 20)
       .orderBy("doc_a", "doc_b")
 
   /** Dedup cluster assignment: connected components over the near-dup
@@ -1682,6 +1746,7 @@ object Dedup {
     "q81_edit_distance"  -> (qEditDistance _),
     "q94_bloom_dedup"    -> (qBloomDedup _),
     "q103_simjoin_prefix" -> (qSimJoinPrefix _),
+    "q132_simjoin_rarecap" -> (qSimJoinRareCap _),
     "q115_repeated_spans" -> (qRepeatedSpans _),
     "q119_decontaminate" -> (qDecontaminate _),
     "q125_gram_index"    -> (qGramIndex _),
@@ -1765,6 +1830,31 @@ object Dedup {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       SELECT doc_a, doc_b, jaccard FROM pairs
       WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+    // q132: fully exact within the DECLARED df ≤ 20 gram sub-universe —
+    // the oracle recomputes the sub-universe, per-doc sizes, pair
+    // counts, integer threshold, and score; jaccard is the same
+    // int/int → double division on both engines.
+    "q132_simjoin_rarecap" -> s"""
+      WITH sh AS (
+        SELECT doc_id, $duckShinglesSql AS shingles
+        FROM (SELECT doc_id, ${Text.duckTokens} AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+      rare AS (SELECT g FROM post GROUP BY g HAVING COUNT(*) <= 20),
+      rp AS (SELECT doc_id, g FROM post SEMI JOIN rare USING (g)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM rp GROUP BY doc_id),
+      pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    COUNT(*) AS inter
+             FROM rp a JOIN rp b
+               ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+      FROM pr
+      JOIN sz na ON na.doc_id = doc_a
+      JOIN sz nb ON nb.doc_id = doc_b
+      WHERE inter * 20 >= (na.n + nb.n - inter) * 1
+      ORDER BY doc_a, doc_b""",
     "q62_contamination" -> s"""
       WITH toks AS (
         SELECT doc_id, source, ${Text.duckTokens} AS toks FROM documents),

@@ -39,7 +39,15 @@ object TauProbe {
         org.apache.spark.sql.functions.col("text")))
     val regimes = Seq(
       "posting_count" -> graft.dedup.Dedup.similarityJoinPostingCount _,
-      "prefix_verify" -> graft.dedup.Dedup.similarityJoinPrefixVerify _)
+      "prefix_verify" -> graft.dedup.Dedup.similarityJoinPrefixVerify _,
+      // the declared-contract scale variant (r11): Jaccard over the
+      // df ≤ 20 gram sub-universe — DIFFERENT pair set by design (its
+      // count is not comparable to the exact regimes'); probed here
+      // because its pair-row volume is the one that stays linear when
+      // the hotgram flag makes the exact plans quadratic
+      "rare_cap20" -> ((d: org.apache.spark.sql.DataFrame, tn: Long,
+                        td: Long) =>
+        graft.dedup.Dedup.similarityJoinRareGrams(d, tn, td, dfCap = 20)))
     for ((tn, td) <- taus; (rname, fn) <- regimes; r <- 1 to reps) {
       metrics.reset()
       val t0 = System.nanoTime()

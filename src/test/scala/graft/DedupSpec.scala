@@ -580,6 +580,41 @@ class DedupSpec extends SparkSpec {
     assert(setsDirs == 1, "compaction must merge the sets sidecar")
   }
 
+  test("rare-gram similarity join: cap ≥ max df degenerates to the exact " +
+       "join; a corpus-wide hot gram is excluded by contract") {
+    val docs = Tables.documents(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // degenerate cap: the sub-universe is the full universe, so the
+    // result equals the exact posting-count join bit-for-bit
+    for ((tn, td) <- Seq((1L, 20L), (1L, 2L)))
+      assert(pairs(Dedup.similarityJoinRareGrams(docs, tn, td,
+          dfCap = Long.MaxValue)) ==
+        pairs(Dedup.similarityJoinPostingCount(docs, tn, td)),
+        s"cap=∞ must equal the exact join at tau=$tn/$td")
+    // planted contract check: d1/d2 share ONLY the corpus-wide hot
+    // phrase → excluded under the cap (no rare co-occurrence), while the
+    // exact join reports them; the near-identical pair survives both
+    import spark.implicits._
+    val hot = "hotx hoty hotz"
+    val planted = Seq(
+      (1L, s"$hot alpha beta gamma delta"),
+      (2L, s"$hot epsilon zeta eta theta"),
+      (3L, s"$hot lorem ipsum dolor sit amet consectetur"),
+      (4L, s"$hot lorem ipsum dolor sit amet consectetuz"))
+      .toDF("doc_id", "text")
+    val capped = pairs(Dedup.similarityJoinRareGrams(planted, 1, 20,
+      dfCap = 2)).map(p => (p._1, p._2))
+    val exact = pairs(Dedup.similarityJoinPostingCount(planted, 1, 20))
+      .map(p => (p._1, p._2))
+    assert(exact.contains((1L, 2L)),
+      "exact join must report the boilerplate-only pair")
+    assert(!capped.contains((1L, 2L)),
+      "rare-gram join must drop the boilerplate-only pair")
+    assert(capped.contains((3L, 4L)),
+      "rare-gram join must keep the genuinely near-identical pair")
+  }
+
   test("standing indexes are reused within a session: a second query call " +
        "leaves the index files untouched and returns the same rows") {
     def files(p: String) = {
@@ -686,9 +721,13 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("row_number"))
     assert(!Dedup.similarityJoin(docs, 1, 2, Some(1.0))
       .queryExecution.executedPlan.toString.contains("row_number"))
-    // low tau never probes: prefix pruning is ineffective there regardless
-    // of the tail, so posting-count is unconditional
-    assert(!Dedup.similarityJoin(docs, 1, 20, Some(1e9))
+    // r11: LOW tau dispatches on the tail too — the planted-hot-gram
+    // measurement (TauProbe hotgram, sf1, tau=1/20: posting-count 218 s
+    // with 250 GB spill vs prefix 10.1 s) killed the old "low tau never
+    // probes" rule; a heavy tail routes to prefix at every tau now
+    assert(Dedup.similarityJoin(docs, 1, 20, Some(1e9))
+      .queryExecution.executedPlan.toString.contains("row_number"))
+    assert(!Dedup.similarityJoin(docs, 1, 20, Some(1.0))
       .queryExecution.executedPlan.toString.contains("row_number"))
   }
 
