@@ -54,8 +54,9 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY narrows the forked sweep the same way it
     // narrows the in-suite pass (each child still gets exactly one name)
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
-      case Some(ns) => SparkEntry.queries.keys.toSeq.filter(ns.split(",").toSet)
-      case None => SparkEntry.queries.keys.toSeq
+      case Some(ns) =>
+        SparkEntry.queries.keys.toSeq.filter(ns.split(",").toSet).sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
     }
     val results = names.map { name =>
       val cmd = (Seq(javaBin) ++ opens ++ Seq(
@@ -117,12 +118,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_BENCH_ONLY=<name[,name]>: bench a subset (the fork
     // children run exactly one query each)
-    val queries = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+    // SORTED name order, not Map order: a HashMap's iteration order
+    // reshuffles whenever the key SET changes, so adding one query used
+    // to re-deal every query's in-suite neighborhood — r11 measured q14
+    // (0.4 s solo, 3 KB shuffle) reading 1.1–3.9 s purely because the
+    // 131→133 re-deal parked it right behind q123's 456 MB wedge
+    // shuffle. Sorted order pins each query's predecessor across rounds:
+    // in-suite deltas compare apples to apples, and a new qNNN appends
+    // near its numeric neighbors instead of reshuffling the deck.
+    val queries = (sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(names) =>
         val keep = names.split(",").toSet
         SparkEntry.queries.filter { case (n, _) => keep(n) }
       case None => SparkEntry.queries
-    }
+    }).toSeq.sortBy(_._1)
     // Warmup pass: JIT + codegen compilation + parquet footer caches. The
     // timed pass then measures steady-state query compute, which is what a
     // long-lived cluster session sees. Progress goes to stderr so a JVM
@@ -174,7 +183,7 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    emit(results, sfDir, observed = observedOut.toSeq)
+    emit(results.toMap, sfDir, observed = observedOut.toSeq)
     spark.stop()
   }
 

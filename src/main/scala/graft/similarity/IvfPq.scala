@@ -180,6 +180,47 @@ object IvfPq {
     (cents, books, n + delta)
   }
 
+  /** MAINTENANCE: rewrite the codes table to one file per cluster
+    * partition. Every [[ivfPqAppend]] adds a part-file set per touched
+    * cluster directory (`mode("append")`), so after N daily batches a
+    * probe pays N footer opens + N small row groups per probed cluster —
+    * the same file-accretion cost `gramIndexCompact` bounds for the df
+    * sidecar, here multiplied by nprobe on every query. Compact reads
+    * the standing index once, rewrites it `partitionBy(cluster)` with
+    * each cluster hash-routed to one task (`repartition(k, cluster)` →
+    * exactly one file per directory; two clusters sharing a task still
+    * emit one file EACH), swaps directories, and re-marks the UNCHANGED
+    * fingerprint + payload — the model, corpus size, and code mode are
+    * untouched; this is a file-layout operation, invisible to every
+    * query (SimilaritySpec pins post-compact top-k row-identical and
+    * the per-cluster file count at 1).
+    *
+    * Crash window: the old root is moved aside before the rewrite moves
+    * in, so a crash between the two renames leaves NO standing index —
+    * which is safe, not lossy: the codes are DERIVED state, and the
+    * next `ivfPqIngest` call sees no validity marker and rebuilds from
+    * the source embeddings. Maintenance-window only, like every compact
+    * in this library (single writer; appends must not race it). */
+  def ivfPqCompact(spark: SparkSession, root: String): Unit = {
+    val (fp, p) = graft.ops.Standing.current(root).getOrElse(sys.error(
+      s"ivfPqCompact: no standing IVF-PQ index at $root — nothing to" +
+        " compact (run ivfPqIngest first)"))
+    val (cents, _, _, _) = parse(p)
+    val tmp = root + "_compact_tmp"
+    val old = root + "_compact_old"
+    graft.ops.Scratch.deleteRec(new java.io.File(tmp))
+    graft.ops.Scratch.deleteRec(new java.io.File(old))
+    spark.read.parquet(root)
+      .repartition(cents.length, col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(tmp)
+    java.nio.file.Files.move(java.nio.file.Paths.get(root),
+      java.nio.file.Paths.get(old))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(root))
+    graft.ops.Scratch.deleteRec(new java.io.File(old))
+    graft.ops.Standing.markValid(root, fp, p)
+  }
+
   /** QUERY: rank the k centroids against the query DRIVER-SIDE (the
     * model is k×dim floats — no Spark job), scan only the nprobe nearest
     * cluster partitions (partition pruning: unprobed clusters are never

@@ -322,6 +322,87 @@ object Similarity {
       .limit(20)
   }
 
+  /** Fixed-point micro copy of a float vector: ⌊v·10⁶⌋ as long — the
+    * exact-integer representation the portable signature already dots;
+    * exposed so threshold DECISIONS (not just bucket layout) can be
+    * engine-exact too ([[semDeDup]]). */
+  def microCol(vecCol: Column): Column =
+    transform(vecCol, v => floor(v.cast("double") * lit(1e6)).cast("long"))
+
+  /** Exact integer dot of two micro vectors (64 terms ≤ 10¹² each — no
+    * long overflow below |v| ≈ 380). */
+  private def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup —
+    * cluster the embedding corpus, find near-duplicate pairs WITHIN
+    * clusters only (the clustering is what bounds the O(n²) pair space),
+    * connect the duplicate graph, keep ONE representative per connected
+    * component. Returns one row per vector: (vec_id, component, keep)
+    * with keeper = component minimum (the q54 canonical-keeper
+    * discipline — deterministic, no tie to break).
+    *
+    * Two portability choices make the ENTIRE keep-list oracle-exact,
+    * not a contract check:
+    *  - clustering = the md5-derived LSH signature
+    *    ([[portableSignatureCol]]) rather than k-means. The paper scopes
+    *    pairs by k-means cluster; trained centroids are engine-side
+    *    state no oracle can recompute, while the portable signature
+    *    rebuilds bit-identically anywhere. On a real corpus swap the
+    *    grouping column for a trained assignment ([[assignClusters]]) —
+    *    everything downstream is unchanged.
+    *  - the cosine THRESHOLD τ = num/den is decided in exact integer
+    *    arithmetic on the ⌊v·10⁶⌋ micro copies: an edge exists iff
+    *    dab ≥ 0 ∧ den²·dab² ≥ num²·daa·dbb (squares compared in
+    *    DECIMAL(38,0); ≤ 10²⁸ here, no overflow). A float cosine
+    *    differs across engines by summation order; one flipped edge at
+    *    the threshold boundary re-labels a whole component, so the
+    *    decision must be order-free integer math, not round(cos, 6).
+    *
+    * Scale shape: per-bucket self-join (bounded by bucket size — grow
+    * `planes` with log₂(corpus) to hold buckets flat), micro dots
+    * codegen'd map-side, then [[graft.graph.Graph.connectedComponentsFast]]
+    * (large/small-star, O(log n) rounds) over only the DUP edges — the
+    * component graph is tiny relative to the corpus by construction. */
+  def semDeDup(emb: DataFrame, planes: Int = NumPlanes,
+               num: Int = 1, den: Int = 4): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val sided = emb
+      .withColumn("sig", portableSignatureCol("embedding", planes, 64))
+      .withColumn("micro", microCol(col("embedding")))
+      .withColumn("dself", dotLong(col("micro"), col("micro")))
+      .select("vec_id", "sig", "micro", "dself")
+    def sq(c: Column) = c.cast(dec) * c.cast(dec)
+    val edges = sided.as("a").join(sided.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dab", dotLong(col("a.micro"), col("b.micro")))
+      .filter(col("dab") >= 0 &&
+        sq(col("dab") * lit(den.toLong)) >=
+          sq(lit(num.toLong)) * col("a.dself").cast(dec) *
+            col("b.dself").cast(dec))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    val (labels, _) = graft.graph.Graph.connectedComponentsFast(
+      edges, emb.select(col("vec_id").as("id")))
+    labels.select(col("id").as("vec_id"), col("label").as("component"),
+      (col("id") === col("label")).as("keep"))
+  }
+
+  /** q133: SemDeDup survival per planted label — for each `label`, the
+    * corpus count and how many vectors survive semantic dedup at
+    * τ = 1/4 (keepers = component minima). The rollup makes the
+    * dedup's interaction with the planted cluster structure visible,
+    * and every number — buckets, integer-exact threshold edges,
+    * components, keepers — is recomputed end-to-end by DuckDB. */
+  def qSemDeDup(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    semDeDup(emb)
+      .join(emb.select("vec_id", "label"), "vec_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("label")
+  }
+
   /** IVF ANN top-10, as its oracle-checkable contract ([[annContract]]);
     * the raw neighbor list + planted-cluster recall stay spec-pinned. */
   def qIvfAnn(spark: SparkSession, d: String): DataFrame = {
@@ -372,6 +453,7 @@ object Similarity {
     "q46_ivf_ann"       -> (qIvfAnn _),
     "q60_quantization"  -> (qQuantization _),
     "q86_knn_join"      -> (qKnnJoin _),
+    "q133_semdedup"     -> (qSemDeDup _),
   )
 
   // DuckDB twin of the sequential-fold cosine. list_inner_product sums in
@@ -473,6 +555,58 @@ object Similarity {
           JOIN embeddings ea ON ea.vec_id = a.vec_id
           JOIN embeddings eb ON eb.vec_id = b.vec_id)
         SELECT * FROM pairs ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""",
+      // q133: the full SemDeDup pipeline recomputed end-to-end — portable
+      // signature buckets, INTEGER-exact τ=1/4 threshold edges
+      // ((4·dab)² ≥ daa·dbb over the ⌊v·10⁶⌋ micro copies; HUGEINT on
+      // DuckDB's side, DECIMAL(38,0) on Spark's — both exact at ≤ 10²⁸),
+      // recursive-CTE connected components (q73's pattern), keeper =
+      // component min, rolled up per planted label.
+      "q133_semdedup" -> """
+        WITH RECURSIVE v AS (
+          SELECT vec_id, i - 1 AS i,
+                 CAST(floor(CAST(e AS DOUBLE) * 1e6) AS BIGINT) AS vi
+          FROM (SELECT vec_id, unnest(embedding) AS e,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings)),
+        w AS (
+          SELECT p, i,
+                 CASE WHEN CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END AS w
+          FROM range(8) t(p) CROSS JOIN range(64) s(i)),
+        sig AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig
+          FROM (SELECT vec_id, p, SUM(vi * w) AS dot
+                FROM v JOIN w USING (i) GROUP BY vec_id, p)
+          GROUP BY vec_id),
+        nrm AS (SELECT vec_id, SUM(vi * vi) AS dself FROM v GROUP BY vec_id),
+        cand AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+        dots AS (
+          SELECT c.va, c.vb, SUM(x.vi * y.vi) AS dab
+          FROM cand c
+          JOIN v x ON x.vec_id = c.va
+          JOIN v y ON y.vec_id = c.vb AND y.i = x.i
+          GROUP BY c.va, c.vb),
+        edges AS (
+          SELECT va, vb FROM dots
+          JOIN nrm na ON na.vec_id = va
+          JOIN nrm nb ON nb.vec_id = vb
+          WHERE dab >= 0
+            AND (4 * CAST(dab AS HUGEINT)) * (4 * CAST(dab AS HUGEINT))
+                >= CAST(na.dself AS HUGEINT) * CAST(nb.dself AS HUGEINT)),
+        e2 AS (SELECT va AS s, vb AS d FROM edges
+               UNION SELECT vb, va FROM edges),
+        cc AS (
+          SELECT vec_id AS id, vec_id AS lab FROM embeddings
+          UNION
+          SELECT e2.d AS id, cc.lab FROM cc JOIN e2 ON e2.s = cc.id),
+        comp AS (SELECT id, MIN(lab) AS component FROM cc GROUP BY id)
+        SELECT e.label, COUNT(*) AS n_vecs,
+               CAST(SUM(CASE WHEN c.component = e.vec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM embeddings e JOIN comp c ON c.id = e.vec_id
+        GROUP BY e.label ORDER BY e.label""",
     )
   }
 }

@@ -193,7 +193,10 @@ class PlanAuditSpec extends SparkSpec {
       // = 4 rows; the window is the one-pass way to attach the mean —
       // a crossJoin of a 1-row agg would re-execute the whole contract
       // pipeline, the annContract double-execution hazard)
-      "q129_ivf_pq" -> "query-batch domain")
+      "q129_ivf_pq" -> "query-batch domain",
+      // q131 is q129's residual-code twin: same annContractBatchAvg
+      // batch-mean window over the ≤ |queries| contract rows
+      "q131_ivf_pq_residual" -> "query-batch domain")
     val allowedCartesian = Set("q08_cross_join")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>

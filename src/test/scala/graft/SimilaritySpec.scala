@@ -547,4 +547,68 @@ class SimilaritySpec extends SparkSpec {
       assert(ids.length == ids.distinct.length, s"$name emitted duplicate vec_ids")
     }
   }
+
+  test("ivfPqCompact: one file per cluster partition after appends, " +
+       "top-k row-identical, standing marker survives") {
+    import graft.similarity.IvfPq
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    val srcDir = java.nio.file.Files.createTempDirectory("ivfpq_cmp_src")
+      .toString
+    half.write.parquet(srcDir + "/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_cmp_spec")
+      .toString + "/idx"
+    val (cents, books, _, _) = IvfPq.ivfPqIngest(spark, srcDir, root)
+    val (_, _, nFull) = IvfPq.ivfPqAppend(rest, root)
+    def partFiles(): Map[String, Int] = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = partFiles()
+    assert(before.values.exists(_ > 1),
+      s"append should accrete files somewhere before compact: $before")
+    def topk() = IvfPq.ivfPqTopK(spark, root, emb, cents, books,
+        queryVecId = 1L, k = 10, nprobe = 16, corpusSize = nFull)
+      .collect().map(_.toString).toSeq
+    val want = topk()
+    IvfPq.ivfPqCompact(spark, root)
+    val after = partFiles()
+    assert(after.keySet == before.keySet, "compact must keep every cluster")
+    assert(after.values.forall(_ == 1),
+      s"compact must leave exactly one file per cluster dir: $after")
+    assert(topk() == want, "compact must be invisible to the query")
+    // marker survived with the same fingerprint + payload: re-ingest
+    // reuses the compacted index (no rebuild) at the appended size
+    val (_, _, nAgain, _) = IvfPq.ivfPqIngest(spark, srcDir, root)
+    assert(nAgain == nFull, "marker must survive compaction unchanged")
+  }
+
+  test("semDeDup: one keeper per component (the minimum), total " +
+       "preserved, a planted exact duplicate collapses onto its source") {
+    val emb = Tables.embeddings(spark, sf)
+    val dd = Similarity.semDeDup(emb).collect()
+    assert(dd.length == emb.count(), "one row per vector")
+    val byComp = dd.groupBy(_.getLong(1))
+    byComp.foreach { case (comp, rows) =>
+      val keepers = rows.filter(_.getBoolean(2)).map(_.getLong(0))
+      assert(keepers.toSeq == Seq(comp),
+        s"component $comp: keeper must be exactly the component min, " +
+          s"got ${keepers.toSeq}")
+      assert(rows.map(_.getLong(0)).min == comp,
+        s"component label must be the member minimum")
+    }
+    // plant an exact duplicate of vec 0: identical embedding → identical
+    // signature bucket and cosine 1 ≥ τ, so the clone must join vec 0's
+    // component and lose the keeper election to the smaller id
+    val clone = emb.filter(col("vec_id") === 0L)
+      .withColumn("vec_id", org.apache.spark.sql.functions.lit(100000L))
+    val dd2 = Similarity.semDeDup(emb.unionByName(clone)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(dd2(100000L)._1 == dd2(0L)._1,
+      "exact duplicate must share its source's component")
+    assert(!dd2(100000L)._2, "the higher-id duplicate must be dropped")
+    assert(dd2.count(_._2._2) == dd2.values.map(_._1).toSet.size,
+      "exactly one keeper per component")
+  }
 }

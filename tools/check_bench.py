@@ -54,6 +54,14 @@ TYPICAL = {
     # their sf0.1 times again (measured 1.6/3.9/1.9 at cpus=8).
     "q31_ngram_jaccard": 1.8,
     "q73_dedup_clusters": 4.5,    # pair join + star-CC rounds
+    "q132_simjoin_rarecap": 1.5,  # standing-index read + rare-gram join
+                                  # (solo r11: steady 1.54-1.56s warm,
+                                  # 9.2 MB shuffle, volume-deterministic)
+    "q133_semdedup": 4.5,         # q73's cost class over embeddings:
+                                  # signature buckets + integer-exact
+                                  # threshold edges + star-CC rounds
+                                  # (solo r11: 4.4-4.7s warm, 374 KB
+                                  # shuffle - stage-latency bound)
     "q81_edit_distance": 2.2,
     "q123_triangles": 10.0,       # exact triangle census of the dense
                                   # co-order graph (degree-oriented plan;
