@@ -359,11 +359,27 @@ object Similarity {
     *    the threshold boundary re-labels a whole component, so the
     *    decision must be order-free integer math, not round(cos, 6).
     *
-    * Scale shape: per-bucket self-join (bounded by bucket size — grow
-    * `planes` with log₂(corpus) to hold buckets flat), micro dots
-    * codegen'd map-side, then [[graft.graph.Graph.connectedComponentsFast]]
-    * (large/small-star, O(log n) rounds) over only the DUP edges — the
-    * component graph is tiny relative to the corpus by construction. */
+    * Scale shape: per-bucket self-join (bounded by bucket size), micro
+    * dots codegen'd map-side, then
+    * [[graft.graph.Graph.connectedComponentsFast]] (large/small-star,
+    * O(log n) rounds) over only the DUP edges.
+    *
+    * The `planes` dial must GROW with log₂(corpus), and for two measured
+    * reasons, not one (tools.SemDedupProbe, sf0.1 n=2k → sf1 n=20k):
+    *  - COST: candidate pairs ~ n²/2^planes. Fixed planes=8 at 10× the
+    *    corpus grew candidates 9,155 → 912,731 (100×, exactly
+    *    quadratic); planes=12 (+log₂ 10) held them to 77,574 (8.5×,
+    *    ≈ linear in n).
+    *  - SEMANTICS: the cluster scope is not merely a cost bound — it is
+    *    what stops transitive CHAIN COLLAPSE. Ground truth at sf0.1:
+    *    the exact ALL-PAIRS τ=1/4 graph (44,380 edges) is ONE connected
+    *    component — full-recall candidate generation (or aggressive
+    *    banding à la q32) would "dedup" 1,999 of 2,000 vectors. Fixed
+    *    planes=8 at sf1 drifts toward the same cliff (19,558/20,000
+    *    dropped); planes=12 keeps the scope local (8,115 dropped).
+    *    SemDeDup's within-cluster restriction (paper §2) is doing
+    *    exactly this job; this library keeps it a declared part of the
+    *    similarity, like q132's rare-gram sub-universe. */
   def semDeDup(emb: DataFrame, planes: Int = NumPlanes,
                num: Int = 1, den: Int = 4): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(19, 0)

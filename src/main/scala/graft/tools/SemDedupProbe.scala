@@ -1,0 +1,57 @@
+package graft.tools
+
+import graft.{Sessions, Tables}
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+/** Scale probe for [[Similarity.semDeDup]]'s one tunable cost: the
+  * signature PLANE COUNT. At fixed planes the per-bucket self-join grows
+  * quadratically with corpus size (expected bucket occupancy n/2^planes,
+  * pair rows ~ n²/2^planes); the scaladoc's dial is "grow planes with
+  * log₂(corpus) to hold buckets flat" — each added plane halves expected
+  * occupancy, so pairs/n stays constant when planes tracks log₂ n. This
+  * rig measures that claim: candidate-pair count (deterministic — the
+  * real work unit), dup-edge count, component count, and wall per
+  * (sfDir, planes) cell. Edge/keeper SEMANTICS change with planes only
+  * in that buckets must agree — a clustered-corpus recall check is the
+  * spec's job; here the planted GenScale corpus (orthogonal per-copy
+  * transforms → cross-copy cosines ≈ 0) keeps true dup structure
+  * per-copy, so dup edges should scale ~linearly while candidates are
+  * the knob under test.
+  *
+  * Usage: runMain graft.tools.SemDedupProbe <sfDir> [planesList] [reps]
+  */
+object SemDedupProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val planesList = args.lift(1).getOrElse("8,12").split(",").map(_.toInt)
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val spark = Sessions.local("graft-semdedup-probe")
+    val metrics = new QueryProbe.TaskMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    for (planes <- planesList) {
+      // candidate pairs = the within-bucket self-join size BEFORE the
+      // threshold — the quantity the plane count exists to bound
+      val sig = emb.withColumn("sig",
+        Similarity.portableSignatureCol("embedding", planes, 64))
+        .select("vec_id", "sig")
+      val cands = sig.groupBy("sig").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1)).cast("long"))
+        .collect()(0).getLong(0) / 2
+      for (rep <- 1 to reps) {
+        metrics.reset()
+        val t0 = System.nanoTime()
+        val dd = Similarity.semDeDup(emb, planes).collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val comps = dd.map(_.getLong(1)).distinct.length
+        val dropped = dd.count(r => !r.getBoolean(2))
+        println(f"SEMDEDUP sfDir=$sfDir planes=$planes rep=$rep n=$n " +
+          f"cand_pairs=$cands dropped=$dropped components=$comps " +
+          f"sec=$sec%.2f ${metrics.line}")
+      }
+    }
+    spark.stop()
+  }
+}
