@@ -382,14 +382,33 @@ object Similarity {
     *    similarity, like q132's rare-gram sub-universe. */
   def semDeDup(emb: DataFrame, planes: Int = NumPlanes,
                num: Int = 1, den: Int = 4): DataFrame = {
+    val edges = dupEdges(signatureTable(emb, planes), num, den)
+    val (labels, _) = graft.graph.Graph.connectedComponentsFast(
+      edges, emb.select(col("vec_id").as("id")))
+    labels.select(col("id").as("vec_id"), col("label").as("component"),
+      (col("id") === col("label")).as("keep"))
+  }
+
+  /** The signature table both dedup rules and the standing index share:
+    * (vec_id, sig, micro, dself) — the portable bucket key plus the
+    * exact-integer pieces the threshold decision needs. */
+  private[similarity] def signatureTable(emb: DataFrame,
+                                         planes: Int): DataFrame = emb
+    .withColumn("sig", portableSignatureCol("embedding", planes, 64))
+    .withColumn("micro", microCol(col("embedding")))
+    .withColumn("dself", dotLong(col("micro"), col("micro")))
+    .select("vec_id", "sig", "micro", "dself")
+
+  /** Within-bucket τ-threshold duplicate edges (src < dst), decided in
+    * exact integer arithmetic — see [[semDeDup]]. `left`/`right` are
+    * [[signatureTable]] frames; pass the same frame twice for the
+    * self-join case. Only (left.vec_id < right.vec_id) pairs emit. */
+  private[similarity] def dupEdges(left: DataFrame, num: Int, den: Int,
+                                   right0: DataFrame = null): DataFrame = {
+    val right = if (right0 == null) left else right0
     val dec = org.apache.spark.sql.types.DecimalType(19, 0)
-    val sided = emb
-      .withColumn("sig", portableSignatureCol("embedding", planes, 64))
-      .withColumn("micro", microCol(col("embedding")))
-      .withColumn("dself", dotLong(col("micro"), col("micro")))
-      .select("vec_id", "sig", "micro", "dself")
     def sq(c: Column) = c.cast(dec) * c.cast(dec)
-    val edges = sided.as("a").join(sided.as("b"),
+    left.as("a").join(right.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("dab", dotLong(col("a.micro"), col("b.micro")))
       .filter(col("dab") >= 0 &&
@@ -397,10 +416,6 @@ object Similarity {
           sq(lit(num.toLong)) * col("a.dself").cast(dec) *
             col("b.dself").cast(dec))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-    val (labels, _) = graft.graph.Graph.connectedComponentsFast(
-      edges, emb.select(col("vec_id").as("id")))
-    labels.select(col("id").as("vec_id"), col("label").as("component"),
-      (col("id") === col("label")).as("keep"))
   }
 
   /** q133: SemDeDup survival per planted label — for each `label`, the
@@ -412,6 +427,134 @@ object Similarity {
   def qSemDeDup(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
     semDeDup(emb)
+      .join(emb.select("vec_id", "label"), "vec_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("label")
+  }
+
+  /** DIRECT-rule semantic dedup — the chain-free, append-exact twin of
+    * [[semDeDup]]: drop a vector iff a SMALLER-id within-bucket
+    * τ-neighbor exists. Direct evidence only — no duplicate-graph
+    * transitivity — so the chain-collapse cliff the CC rule's planes
+    * dial must steer around (BENCHMARKS.md: all-pairs τ=1/4 at sf0.1 is
+    * ONE component) cannot exist here: a vector is only ever dropped
+    * because a specific earlier near-duplicate of IT exists. Every CC
+    * keeper is also a direct keeper (a component minimum has no smaller
+    * neighbor — neighbors are component-mates), so direct keeps ⊇ CC
+    * keeps, spec-pinned.
+    *
+    * The id order is what makes the rule INCREMENTAL-EXACT: a verdict
+    * depends only on smaller ids, and appended vectors get larger ids,
+    * so earlier verdicts never change — [[semDeDupAppend]] == one-shot
+    * ingest, row-for-row (SimilaritySpec), the first-seen-wins
+    * discipline of streaming dedup (q30/Streams) expressed as id order.
+    * Returns (vec_id, keep). */
+  def semDeDupDirect(emb: DataFrame, planes: Int = NumPlanes,
+                     num: Int = 1, den: Int = 4): DataFrame =
+    directVerdicts(signatureTable(emb, planes), num, den)
+
+  /** keep = no smaller-id τ-neighbor, over a [[signatureTable]]. */
+  private def directVerdicts(sigs: DataFrame, num: Int,
+                             den: Int): DataFrame = {
+    val dupped = dupEdges(sigs, num, den)
+      .select(col("dst").as("vec_id")).distinct()
+    sigs.select("vec_id")
+      .join(dupped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("hit").isNull.as("keep"))
+  }
+
+  /** INGEST: persist the standing semantic-dedup index — the signature
+    * table plus each vector's direct-rule verdict — and mark it valid
+    * (ops.Standing; fingerprint covers the source AND the (planes, τ)
+    * hyperparameters, the q129 lesson). At 100 TB the signature pass is
+    * a full-corpus map; paying it once and appending O(batch) after is
+    * the same amortization argument as the gram/shingle/PQ indexes. */
+  def semDeDupIngest(spark: SparkSession, d: String, root0: String = null,
+                     planes: Int = NumPlanes, num: Int = 1,
+                     den: Int = 4): (Long, Long) = {
+    val root = if (root0 != null) root0
+      else graft.ops.Scratch.root(spark, d, "semdedup_idx")
+    val fp = graft.ops.Standing.fingerprint(s"$d/embeddings.parquet") +
+      s":p=$planes:t=$num/$den"
+    graft.ops.Standing.validPayload(root, fp) match {
+      case Some(p) =>
+        val a = p.trim.split(" "); (a(0).toLong, a(1).toLong)
+      case None =>
+        val emb = Tables.embeddings(spark, d)
+        val sigs = signatureTable(emb, planes)
+        sigs.join(directVerdicts(sigs, num, den), "vec_id")
+          .select("vec_id", "sig", "micro", "dself", "keep")
+          .write.mode("overwrite").parquet(root)
+        val idx = spark.read.parquet(root)
+        val n = idx.count()
+        val kept = idx.filter(col("keep")).count()
+        val maxId = idx.agg(max("vec_id")).collect()(0).getLong(0)
+        graft.ops.Standing.markValid(root, fp,
+          s"$n $kept $maxId $planes $num $den")
+        (n, kept)
+    }
+  }
+
+  /** APPEND: O(batch) incremental maintenance of the standing index,
+    * EXACT — not approximately — equal to a from-scratch rebuild,
+    * because the direct rule's verdicts depend only on smaller ids and
+    * appended ids are required to exceed every standing id (enforced;
+    * violating arrival order would rewrite history). A new vector is
+    * dropped iff it has a τ-neighbor among standing vectors (all
+    * necessarily smaller) or smaller ids in its own batch; standing
+    * verdicts are never touched. Hyperparameters ride the payload, so
+    * an append can never mix a different (planes, τ) into the index. */
+  def semDeDupAppend(newEmb: DataFrame, root: String): (Long, Long) = {
+    val (fp, p) = graft.ops.Standing.current(root).getOrElse(sys.error(
+      s"semDeDupAppend: no standing semantic-dedup index at $root — run" +
+        " semDeDupIngest first"))
+    val a = p.trim.split(" ")
+    val (n, kept, maxId) = (a(0).toLong, a(1).toLong, a(2).toLong)
+    val (planes, num, den) = (a(3).toInt, a(4).toInt, a(5).toInt)
+    val minNew = newEmb.agg(min("vec_id")).collect()(0).getLong(0)
+    require(minNew > maxId,
+      s"semDeDupAppend: new vec_ids must exceed the standing max $maxId" +
+        s" (got $minNew) — the direct rule is id-order-exact")
+    val newSigs = signatureTable(newEmb, planes)
+    // drop iff a τ-neighbor among (standing ∪ smaller-in-batch): both
+    // joins are bucket joins on sig; the standing side is semi-filtered
+    // to the batch's buckets by the join itself
+    val standing = newEmb.sparkSession.read.parquet(root)
+      .select("vec_id", "sig", "micro", "dself")
+    val vsStanding = dupEdges(standing, num, den, newSigs)
+      .select(col("dst").as("vec_id"))
+    val vsBatch = dupEdges(newSigs, num, den)
+      .select(col("dst").as("vec_id"))
+    val dupped = vsStanding.union(vsBatch).distinct()
+      .withColumn("hit", lit(true))
+    val verdicts = newSigs
+      .join(dupped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("sig"), col("micro"), col("dself"),
+        col("hit").isNull.as("keep"))
+    verdicts.write.mode("append").parquet(root)
+    val dNew = newEmb.count()
+    val dKept = newEmb.sparkSession.read.parquet(root)
+      .filter(col("vec_id") >= minNew && col("keep")).count()
+    val newMax = newEmb.sparkSession.read.parquet(root)
+      .agg(max("vec_id")).collect()(0).getLong(0)
+    graft.ops.Standing.markValid(root, fp,
+      s"${n + dNew} ${kept + dKept} $newMax $planes $num $den")
+    (n + dNew, kept + dKept)
+  }
+
+  /** q134: direct-rule semantic dedup survival per planted label,
+    * answered from the STANDING index (built once per session, reused
+    * via the validity marker — the q125 discipline). Same rollup shape
+    * as q133, so the two rules' drop behavior is directly comparable:
+    * the CC rule merges transitively (chain-prone, planes-guarded), the
+    * direct rule drops only on direct evidence. */
+  def qSemDeDupDirect(spark: SparkSession, d: String): DataFrame = {
+    val root = graft.ops.Scratch.root(spark, d, "semdedup_idx")
+    semDeDupIngest(spark, d, root)
+    val emb = Tables.embeddings(spark, d)
+    spark.read.parquet(root).select("vec_id", "keep")
       .join(emb.select("vec_id", "label"), "vec_id")
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
@@ -470,6 +613,7 @@ object Similarity {
     "q60_quantization"  -> (qQuantization _),
     "q86_knn_join"      -> (qKnnJoin _),
     "q133_semdedup"     -> (qSemDeDup _),
+    "q134_semdedup_direct" -> (qSemDeDupDirect _),
   )
 
   // DuckDB twin of the sequential-fold cosine. list_inner_product sums in
@@ -622,6 +766,48 @@ object Similarity {
         SELECT e.label, COUNT(*) AS n_vecs,
                CAST(SUM(CASE WHEN c.component = e.vec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM embeddings e JOIN comp c ON c.id = e.vec_id
+        GROUP BY e.label ORDER BY e.label""",
+      // q134: the direct rule needs no recursion — dropped = "has any
+      // smaller within-bucket τ-neighbor", one EXISTS over the same
+      // integer-exact edge set q133's oracle builds.
+      "q134_semdedup_direct" -> """
+        WITH v AS (
+          SELECT vec_id, i - 1 AS i,
+                 CAST(floor(CAST(e AS DOUBLE) * 1e6) AS BIGINT) AS vi
+          FROM (SELECT vec_id, unnest(embedding) AS e,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings)),
+        w AS (
+          SELECT p, i,
+                 CASE WHEN CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END AS w
+          FROM range(8) t(p) CROSS JOIN range(64) s(i)),
+        sig AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig
+          FROM (SELECT vec_id, p, SUM(vi * w) AS dot
+                FROM v JOIN w USING (i) GROUP BY vec_id, p)
+          GROUP BY vec_id),
+        nrm AS (SELECT vec_id, SUM(vi * vi) AS dself FROM v GROUP BY vec_id),
+        cand AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+        dots AS (
+          SELECT c.va, c.vb, SUM(x.vi * y.vi) AS dab
+          FROM cand c
+          JOIN v x ON x.vec_id = c.va
+          JOIN v y ON y.vec_id = c.vb AND y.i = x.i
+          GROUP BY c.va, c.vb),
+        dup AS (
+          SELECT DISTINCT vb AS vec_id FROM dots
+          JOIN nrm na ON na.vec_id = va
+          JOIN nrm nb ON nb.vec_id = vb
+          WHERE dab >= 0
+            AND (4 * CAST(dab AS HUGEINT)) * (4 * CAST(dab AS HUGEINT))
+                >= CAST(na.dself AS HUGEINT) * CAST(nb.dself AS HUGEINT))
+        SELECT e.label, COUNT(*) AS n_vecs,
+               CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM embeddings e LEFT JOIN dup d ON d.vec_id = e.vec_id
         GROUP BY e.label ORDER BY e.label""",
     )
   }

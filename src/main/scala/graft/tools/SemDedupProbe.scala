@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
   * the knob under test.
   *
   * Usage: runMain graft.tools.SemDedupProbe <sfDir> [planesList] [reps]
+  *        [rule: cc|direct]
   */
 object SemDedupProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val planesList = args.lift(1).getOrElse("8,12").split(",").map(_.toInt)
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val rule = args.lift(3).getOrElse("cc")
     val spark = Sessions.local("graft-semdedup-probe")
     val metrics = new QueryProbe.TaskMetricsListener
     spark.sparkContext.addSparkListener(metrics)
@@ -43,13 +45,19 @@ object SemDedupProbe {
       for (rep <- 1 to reps) {
         metrics.reset()
         val t0 = System.nanoTime()
-        val dd = Similarity.semDeDup(emb, planes).collect()
+        val (dropped, comps) = rule match {
+          case "direct" =>
+            val dd = Similarity.semDeDupDirect(emb, planes).collect()
+            (dd.count(r => !r.getBoolean(1)).toLong, -1L)
+          case _ =>
+            val dd = Similarity.semDeDup(emb, planes).collect()
+            (dd.count(r => !r.getBoolean(2)).toLong,
+              dd.map(_.getLong(1)).distinct.length.toLong)
+        }
         val sec = (System.nanoTime() - t0) / 1e9
-        val comps = dd.map(_.getLong(1)).distinct.length
-        val dropped = dd.count(r => !r.getBoolean(2))
-        println(f"SEMDEDUP sfDir=$sfDir planes=$planes rep=$rep n=$n " +
-          f"cand_pairs=$cands dropped=$dropped components=$comps " +
-          f"sec=$sec%.2f ${metrics.line}")
+        println(f"SEMDEDUP rule=$rule sfDir=$sfDir planes=$planes " +
+          f"rep=$rep n=$n cand_pairs=$cands dropped=$dropped " +
+          f"components=$comps sec=$sec%.2f ${metrics.line}")
       }
     }
     spark.stop()

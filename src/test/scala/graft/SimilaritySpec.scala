@@ -611,4 +611,50 @@ class SimilaritySpec extends SparkSpec {
     assert(dd2.count(_._2._2) == dd2.values.map(_._1).toSet.size,
       "exactly one keeper per component")
   }
+
+  test("semDeDupDirect: drop iff a smaller-id neighbor exists, direct " +
+       "keeps are a superset of CC keeps, append == one-shot ingest") {
+    val emb = Tables.embeddings(spark, sf)
+    val direct = Similarity.semDeDupDirect(emb).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // ground truth from the same edge helper the implementation uses is
+    // circular — recompute "has a smaller neighbor" via the CC result's
+    // raw edges instead: every CC keeper (component min) must be kept
+    // by the direct rule too (its neighbors are component-mates, all
+    // larger), while the direct rule may keep MORE (no transitivity)
+    val cc = Similarity.semDeDup(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    cc.filter(_._3).foreach { case (id, _, _) =>
+      assert(direct(id), s"CC keeper $id must be a direct keeper") }
+    assert(direct.count(_._2) >= cc.count(_._3),
+      "direct rule keeps at least as many as the CC rule")
+    assert(direct(direct.keys.min), "the global minimum id is always kept")
+    // standing index: ingest the first half (by id), append the second —
+    // the table must equal the one-shot full ingest row-for-row,
+    // verdicts included (the direct rule is id-order-exact)
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val srcHalf = java.nio.file.Files.createTempDirectory("semdd_src").toString
+    emb.filter(col("vec_id") < mid)
+      .write.parquet(srcHalf + "/embeddings.parquet")
+    val rootInc = java.nio.file.Files.createTempDirectory("semdd_inc")
+      .toString + "/idx"
+    Similarity.semDeDupIngest(spark, srcHalf, rootInc)
+    val (nInc, keptInc) =
+      Similarity.semDeDupAppend(emb.filter(col("vec_id") >= mid), rootInc)
+    def tbl(root: String) = spark.read.parquet(root)
+      .select("vec_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
+    val oneShot = Similarity.semDeDupDirect(emb).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
+    assert(tbl(rootInc) == oneShot,
+      "append must equal the one-shot ingest, verdicts included")
+    assert(nInc == emb.count() && keptInc == oneShot.count(_._2),
+      "payload counters must track the appended totals")
+    // out-of-order append is refused: history must never be rewritten
+    val err = intercept[IllegalArgumentException] {
+      Similarity.semDeDupAppend(emb.filter(col("vec_id") < mid), rootInc)
+    }
+    assert(err.getMessage.contains("id-order"))
+  }
 }
