@@ -470,7 +470,15 @@ object Similarity {
     * (ops.Standing; fingerprint covers the source AND the (planes, τ)
     * hyperparameters, the q129 lesson). At 100 TB the signature pass is
     * a full-corpus map; paying it once and appending O(batch) after is
-    * the same amortization argument as the gram/shingle/PQ indexes. */
+    * the same amortization argument as the gram/shingle/PQ indexes.
+    *
+    * Layout: the gram-index batch discipline — the ingest lands in a
+    * `base` subdirectory, each append in its own `batch_<id>` (a
+    * namespace streaming batch ids, which start at 0, can never collide
+    * with); a dir's `_SUCCESS` is the commit, and [[semDeDupIndex]]
+    * reads COMMITTED batches only, so a crashed half-written append is
+    * invisible until its replay overwrites it, and a replayed committed
+    * batch no-ops — exactly-once under streaming replay for free. */
   def semDeDupIngest(spark: SparkSession, d: String, root0: String = null,
                      planes: Int = NumPlanes, num: Int = 1,
                      den: Int = 4): (Long, Long) = {
@@ -480,68 +488,107 @@ object Similarity {
       s":p=$planes:t=$num/$den"
     graft.ops.Standing.validPayload(root, fp) match {
       case Some(p) =>
-        val a = p.trim.split(" "); (a(0).toLong, a(1).toLong)
+        val a = p.trim.split(" "); (a(3).toLong, a(4).toLong)
       case None =>
         val emb = Tables.embeddings(spark, d)
         val sigs = signatureTable(emb, planes)
         sigs.join(directVerdicts(sigs, num, den), "vec_id")
           .select("vec_id", "sig", "micro", "dself", "keep")
-          .write.mode("overwrite").parquet(root)
-        val idx = spark.read.parquet(root)
-        val n = idx.count()
-        val kept = idx.filter(col("keep")).count()
-        val maxId = idx.agg(max("vec_id")).collect()(0).getLong(0)
+          .write.mode("overwrite").parquet(s"$root/base")
+        val (n, kept, _) = indexStats(spark, root)
         graft.ops.Standing.markValid(root, fp,
-          s"$n $kept $maxId $planes $num $den")
+          s"$planes $num $den $n $kept")
         (n, kept)
     }
+  }
+
+  /** The committed standing index: union of every `batch_<id>` whose
+    * `_SUCCESS` exists. Half-written (crashed) batches are invisible. */
+  def semDeDupIndex(spark: SparkSession, root: String): DataFrame = {
+    val dirs = committedBatchDirs(root)
+    require(dirs.nonEmpty, s"no committed semantic-dedup batches at $root")
+    spark.read.parquet(dirs: _*)
+  }
+
+  private def committedBatchDirs(root: String): Seq[String] = {
+    val kids = new java.io.File(root).listFiles()
+    if (kids == null) Seq.empty
+    else {
+      // `base` = the one-shot ingest; `batch_<id>` = appends. Streaming
+      // batch ids start at 0, so the ingest dir must NOT share their
+      // namespace — a streaming batch 0 would otherwise see the ingest's
+      // _SUCCESS and silently no-op (drop its own rows).
+      val base = kids.toSeq.filter(f => f.isDirectory &&
+        f.getName == "base" && new java.io.File(f, "_SUCCESS").exists)
+      val batches = kids.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_") &&
+          new java.io.File(f, "_SUCCESS").exists)
+        .sortBy(_.getName.stripPrefix("batch_").toLong)
+      (base ++ batches).map(_.getPath)
+    }
+  }
+
+  /** (n, kept, maxId) recomputed from the COMMITTED data — never from
+    * payload arithmetic, so a crash between a batch commit and its
+    * marker update self-heals on the next call instead of drifting. */
+  private def indexStats(spark: SparkSession,
+                         root: String): (Long, Long, Long) = {
+    val idx = semDeDupIndex(spark, root)
+    val r = idx.agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L)),
+      max("vec_id")).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** APPEND: O(batch) incremental maintenance of the standing index,
     * EXACT — not approximately — equal to a from-scratch rebuild,
     * because the direct rule's verdicts depend only on smaller ids and
-    * appended ids are required to exceed every standing id (enforced;
-    * violating arrival order would rewrite history). A new vector is
-    * dropped iff it has a τ-neighbor among standing vectors (all
-    * necessarily smaller) or smaller ids in its own batch; standing
-    * verdicts are never touched. Hyperparameters ride the payload, so
-    * an append can never mix a different (planes, τ) into the index. */
-  def semDeDupAppend(newEmb: DataFrame, root: String): (Long, Long) = {
+    * appended ids are required to exceed every committed standing id
+    * (enforced; violating arrival order would rewrite history). A new
+    * vector is dropped iff it has a τ-neighbor among standing vectors
+    * (all necessarily smaller) or smaller ids in its own batch;
+    * standing verdicts are never touched. Hyperparameters ride the
+    * payload, so an append can never mix a different (planes, τ) into
+    * the index; stats are recomputed from data, never accumulated.
+    *
+    * Exactly-once: `batchId` keys the write to its own overwrite dir —
+    * a committed replay no-ops, a crashed replay overwrites its own
+    * partial, and auto-ids go through the durable `_claims` protocol
+    * ([[graft.dedup.Dedup.claimBatchId]]). */
+  def semDeDupAppend(newEmb: DataFrame, root: String,
+                     batchId: Long = -1L): (Long, Long) = {
+    val spark = newEmb.sparkSession
     val (fp, p) = graft.ops.Standing.current(root).getOrElse(sys.error(
       s"semDeDupAppend: no standing semantic-dedup index at $root — run" +
         " semDeDupIngest first"))
     val a = p.trim.split(" ")
-    val (n, kept, maxId) = (a(0).toLong, a(1).toLong, a(2).toLong)
-    val (planes, num, den) = (a(3).toInt, a(4).toInt, a(5).toInt)
-    val minNew = newEmb.agg(min("vec_id")).collect()(0).getLong(0)
-    require(minNew > maxId,
-      s"semDeDupAppend: new vec_ids must exceed the standing max $maxId" +
-        s" (got $minNew) — the direct rule is id-order-exact")
-    val newSigs = signatureTable(newEmb, planes)
-    // drop iff a τ-neighbor among (standing ∪ smaller-in-batch): both
-    // joins are bucket joins on sig; the standing side is semi-filtered
-    // to the batch's buckets by the join itself
-    val standing = newEmb.sparkSession.read.parquet(root)
-      .select("vec_id", "sig", "micro", "dself")
-    val vsStanding = dupEdges(standing, num, den, newSigs)
-      .select(col("dst").as("vec_id"))
-    val vsBatch = dupEdges(newSigs, num, den)
-      .select(col("dst").as("vec_id"))
-    val dupped = vsStanding.union(vsBatch).distinct()
-      .withColumn("hit", lit(true))
-    val verdicts = newSigs
-      .join(dupped, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("sig"), col("micro"), col("dself"),
-        col("hit").isNull.as("keep"))
-    verdicts.write.mode("append").parquet(root)
-    val dNew = newEmb.count()
-    val dKept = newEmb.sparkSession.read.parquet(root)
-      .filter(col("vec_id") >= minNew && col("keep")).count()
-    val newMax = newEmb.sparkSession.read.parquet(root)
-      .agg(max("vec_id")).collect()(0).getLong(0)
-    graft.ops.Standing.markValid(root, fp,
-      s"${n + dNew} ${kept + dKept} $newMax $planes $num $den")
-    (n + dNew, kept + dKept)
+    val (planes, num, den) = (a(0).toInt, a(1).toInt, a(2).toInt)
+    val id = if (batchId >= 0) batchId
+      else graft.dedup.Dedup.claimBatchId(root)
+    val bDir = s"$root/batch_$id"
+    if (!new java.io.File(s"$bDir/_SUCCESS").exists) {
+      val (_, _, maxId) = indexStats(spark, root)
+      val minNew = newEmb.agg(min("vec_id")).collect()(0).getLong(0)
+      require(minNew > maxId,
+        s"semDeDupAppend: new vec_ids must exceed the standing max" +
+          s" $maxId (got $minNew) — the direct rule is id-order-exact")
+      val newSigs = signatureTable(newEmb, planes)
+      // drop iff a τ-neighbor among (standing ∪ smaller-in-batch): both
+      // joins are bucket joins on sig; the standing side is semi-filtered
+      // to the batch's buckets by the join itself
+      val standing = semDeDupIndex(spark, root)
+        .select("vec_id", "sig", "micro", "dself")
+      val dupped = dupEdges(standing, num, den, newSigs)
+        .select(col("dst").as("vec_id"))
+        .union(dupEdges(newSigs, num, den).select(col("dst").as("vec_id")))
+        .distinct().withColumn("hit", lit(true))
+      newSigs.join(dupped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("sig"), col("micro"), col("dself"),
+          col("hit").isNull.as("keep"))
+        .write.mode("overwrite").parquet(bDir)
+    }
+    val (n, kept, _) = indexStats(spark, root)
+    graft.ops.Standing.markValid(root, fp, s"$planes $num $den $n $kept")
+    (n, kept)
   }
 
   /** q134: direct-rule semantic dedup survival per planted label,
@@ -554,7 +601,7 @@ object Similarity {
     val root = graft.ops.Scratch.root(spark, d, "semdedup_idx")
     semDeDupIngest(spark, d, root)
     val emb = Tables.embeddings(spark, d)
-    spark.read.parquet(root).select("vec_id", "keep")
+    semDeDupIndex(spark, root).select("vec_id", "keep")
       .join(emb.select("vec_id", "label"), "vec_id")
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),

@@ -351,4 +351,26 @@ object Streams {
         graft.dedup.Dedup.shingleIndexAppend(batch, root, batchId = batchId)
       }
       .start()
+
+  /** Streaming maintenance of the standing SEMANTIC-dedup index
+    * (q134's direct rule — [[graft.similarity.Similarity.semDeDupAppend]]):
+    * each micro-batch of embeddings gets its verdicts against the
+    * standing corpus plus its own smaller ids, exactly as the one-shot
+    * ingest would have assigned them (the direct rule is id-order-exact,
+    * so stream == batch is an EQUALITY, not an approximation —
+    * StreamingSpec pins it). Replays are exactly-once via the
+    * batch-dir commit protocol the append already implements. The
+    * stream must deliver vec_ids in nondecreasing batches (arrival
+    * order IS the dedup order — the rule's semantics, not a limitation:
+    * first-seen-wins). */
+  def streamingSemDedupIngest(emb: DataFrame, root: String,
+                              checkpoint: String): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.similarity.Similarity.semDeDupAppend(batch, root,
+          batchId = batchId)
+        ()
+      }
+      .start()
 }

@@ -640,9 +640,10 @@ class SimilaritySpec extends SparkSpec {
     val rootInc = java.nio.file.Files.createTempDirectory("semdd_inc")
       .toString + "/idx"
     Similarity.semDeDupIngest(spark, srcHalf, rootInc)
+    val rest = emb.filter(col("vec_id") >= mid)
     val (nInc, keptInc) =
-      Similarity.semDeDupAppend(emb.filter(col("vec_id") >= mid), rootInc)
-    def tbl(root: String) = spark.read.parquet(root)
+      Similarity.semDeDupAppend(rest, rootInc, batchId = 7L)
+    def tbl(root: String) = Similarity.semDeDupIndex(spark, root)
       .select("vec_id", "keep").collect()
       .map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
     val oneShot = Similarity.semDeDupDirect(emb).collect()
@@ -650,7 +651,14 @@ class SimilaritySpec extends SparkSpec {
     assert(tbl(rootInc) == oneShot,
       "append must equal the one-shot ingest, verdicts included")
     assert(nInc == emb.count() && keptInc == oneShot.count(_._2),
-      "payload counters must track the appended totals")
+      "reported counters must track the appended totals")
+    // exactly-once: replaying the committed batch id no-ops (the dup
+    // rows a naive append would create are the silent-corruption class
+    // the batch-dir layout exists to prevent)
+    val (nReplay, keptReplay) =
+      Similarity.semDeDupAppend(rest, rootInc, batchId = 7L)
+    assert(tbl(rootInc) == oneShot && nReplay == nInc &&
+      keptReplay == keptInc, "committed replay must be a no-op")
     // out-of-order append is refused: history must never be rewritten
     val err = intercept[IllegalArgumentException] {
       Similarity.semDeDupAppend(emb.filter(col("vec_id") < mid), rootInc)

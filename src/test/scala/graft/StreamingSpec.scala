@@ -777,4 +777,47 @@ class StreamingSpec extends SparkSpec {
       assert(finalRows == batch)
     } finally q.stop()
   }
+
+  test("streaming semantic-dedup ingest: micro-batch-maintained index == " +
+       "one-shot direct-rule verdicts of the full corpus") {
+    import org.apache.spark.sql.types._
+    import graft.similarity.Similarity
+    val emb = graft.Tables.embeddings(spark, sf)
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    // the index stands on the historical first third...
+    val srcBase = java.nio.file.Files.createTempDirectory("sdd_base").toString
+    emb.filter(col("vec_id") < cut1)
+      .write.parquet(s"$srcBase/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("sdd_stream").toString
+    val root = s"$base/idx"
+    Similarity.semDeDupIngest(spark, srcBase, root)
+    // ...and the stream delivers the rest in two id-ordered micro-batches
+    // (arrival order IS the dedup order — the direct rule's semantics)
+    val dir = s"$base/arrivals"
+    new java.io.File(dir).mkdirs()
+    Seq((emb.filter(col("vec_id") >= cut1 && col("vec_id") < cut2), "w1"),
+        (emb.filter(col("vec_id") >= cut2), "w2")).foreach { case (df, w) =>
+      df.coalesce(1).write.parquet(s"$dir/$w")
+      new java.io.File(s"$dir/$w").listFiles
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+          case (f, i) => java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$dir/$w-$i.parquet")) }
+      rmRf(new java.io.File(s"$dir/$w"))
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.streamingSemDedupIngest(stream, root, s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "keep").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
+    // base ingest + two streamed appends == the one-shot direct rule
+    // over the whole corpus, verdict-for-verdict
+    assert(rows(Similarity.semDeDupIndex(spark, root)) ==
+      rows(Similarity.semDeDupDirect(emb)))
+  }
 }
