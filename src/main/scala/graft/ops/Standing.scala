@@ -75,6 +75,15 @@ object Standing {
     }
   }
 
+  /** Remove the validity marker, if any — the first step of a REBUILD
+    * that must also clean derived state (stale append batches): dropping
+    * the marker before deleting anything guarantees no crash window in
+    * which a marker still claims a half-cleaned index valid. */
+  def invalidate(root: String): Unit = {
+    marker(root).delete()
+    ()
+  }
+
   /** Record a completed build of `root` for source fingerprint `fp`,
     * with an optional payload (ingest counters, model sizes) the reuse
     * path hands back without recomputation. Call ONLY after every sink

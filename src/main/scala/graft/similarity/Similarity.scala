@@ -330,7 +330,11 @@ object Similarity {
     transform(vecCol, v => floor(v.cast("double") * lit(1e6)).cast("long"))
 
   /** Exact integer dot of two micro vectors (64 terms ≤ 10¹² each — no
-    * long overflow below |v| ≈ 380). */
+    * long overflow below |v| ≈ 380). NOTE: that bound covers the dot
+    * ALONE — [[dupEdges]] multiplies the dot by its τ denominator, so it
+    * casts to DECIMAL first rather than inheriting this Long bound (the
+    * r11 advisor find: `dab * den` in Long silently wrapped for large
+    * den × large-magnitude vectors, flipping threshold decisions). */
   private def dotLong(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
@@ -408,11 +412,18 @@ object Similarity {
     val right = if (right0 == null) left else right0
     val dec = org.apache.spark.sql.types.DecimalType(19, 0)
     def sq(c: Column) = c.cast(dec) * c.cast(dec)
+    // dab·den is computed in DECIMAL, not Long: dotLong's documented
+    // overflow bound (|v| ≈ 380) covers the dot alone, and a Long
+    // `dab * den` wraps for large den × large vectors, silently flipping
+    // the threshold decision (r11 advisor find). (19,0)×(19,0) widens to
+    // (38,0) — exact for den·dab and num²·daa·dbb up to 10³⁸, far past
+    // any real (τ, corpus) here.
+    val dabDen = col("dab").cast(dec) * lit(den.toLong).cast(dec)
     left.as("a").join(right.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("dab", dotLong(col("a.micro"), col("b.micro")))
       .filter(col("dab") >= 0 &&
-        sq(col("dab") * lit(den.toLong)) >=
+        dabDen * dabDen >=
           sq(lit(num.toLong)) * col("a.dself").cast(dec) *
             col("b.dself").cast(dec))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
@@ -490,6 +501,19 @@ object Similarity {
       case Some(p) =>
         val a = p.trim.split(" "); (a(3).toLong, a(4).toLong)
       case None =>
+        // A REBUILD means a CLEAN index (r11 advisor find): overwrite
+        // only touches `base`, but semDeDupIndex unions base with every
+        // committed batch_* dir — after a source rewrite or a (planes, τ)
+        // change, stale appends from the prior corpus/hyperparameters
+        // would survive and pollute verdicts and the q134 rollup. Drop
+        // the old marker FIRST (a crash mid-clean must not leave a
+        // marker claiming the half-deleted index valid), then the stale
+        // batch dirs and the burned-id _claims namespace.
+        graft.ops.Standing.invalidate(root)
+        val kids = new java.io.File(root).listFiles()
+        if (kids != null) kids.filter(f => f.isDirectory &&
+            (f.getName.startsWith("batch_") || f.getName == "_claims"))
+          .foreach(graft.ops.Scratch.deleteRec)
         val emb = Tables.embeddings(spark, d)
         val sigs = signatureTable(emb, planes)
         sigs.join(directVerdicts(sigs, num, den), "vec_id")
@@ -567,10 +591,19 @@ object Similarity {
     val bDir = s"$root/batch_$id"
     if (!new java.io.File(s"$bDir/_SUCCESS").exists) {
       val (_, _, maxId) = indexStats(spark, root)
-      val minNew = newEmb.agg(min("vec_id")).collect()(0).getLong(0)
-      require(minNew > maxId,
-        s"semDeDupAppend: new vec_ids must exceed the standing max" +
-          s" $maxId (got $minNew) — the direct rule is id-order-exact")
+      // An EMPTY batch is legal (streaming restart / no-data trigger
+      // delivers one — r11 advisor find): min(vec_id) aggregates to SQL
+      // NULL, so getLong would NPE and kill the streaming query. Skip
+      // the order check (vacuously true) and still write the empty
+      // committed batch dir, so a replay of the same batchId no-ops
+      // exactly like any other committed batch.
+      val minRow = newEmb.agg(min("vec_id")).collect()(0)
+      if (!minRow.isNullAt(0)) {
+        val minNew = minRow.getLong(0)
+        require(minNew > maxId,
+          s"semDeDupAppend: new vec_ids must exceed the standing max" +
+            s" $maxId (got $minNew) — the direct rule is id-order-exact")
+      }
       val newSigs = signatureTable(newEmb, planes)
       // drop iff a τ-neighbor among (standing ∪ smaller-in-batch): both
       // joins are bucket joins on sig; the standing side is semi-filtered

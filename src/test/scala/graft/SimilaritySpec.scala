@@ -665,4 +665,45 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(err.getMessage.contains("id-order"))
   }
+
+  test("semDeDup standing index: empty append batch is a committed no-op, " +
+       "rebuild cleans stale append batches (r11 advisor finds)") {
+    val emb = Tables.embeddings(spark, sf)
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val srcHalf = java.nio.file.Files.createTempDirectory("semdd_rb_src").toString
+    emb.filter(col("vec_id") < mid)
+      .write.parquet(srcHalf + "/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("semdd_rb")
+      .toString + "/idx"
+    val (n0, kept0) = Similarity.semDeDupIngest(spark, srcHalf, root)
+    // EMPTY batch (a streaming restart / no-data trigger delivers one):
+    // must not throw (min(vec_id) is SQL NULL — the NPE class), must
+    // leave stats unchanged, and must COMMIT its batch dir so a replay
+    // of the same id no-ops like any other committed batch
+    val none = emb.filter(col("vec_id") < 0)
+    val (nE, keptE) = Similarity.semDeDupAppend(none, root, batchId = 3L)
+    assert((nE, keptE) == (n0, kept0), "empty append must not change stats")
+    assert(new java.io.File(s"$root/batch_3/_SUCCESS").exists,
+      "empty batch must still commit (replay idempotence)")
+    // a real append, then a REBUILD forced by a hyperparameter change:
+    // the rebuilt index must hold ONLY the new base — stale batch dirs
+    // from the old (planes, τ) must be gone, not unioned in
+    val (nApp, _) = Similarity.semDeDupAppend(
+      emb.filter(col("vec_id") >= mid), root, batchId = 4L)
+    assert(nApp == ids.length, "real append lands before the rebuild")
+    val (nRb, _) = Similarity.semDeDupIngest(spark, srcHalf, root,
+      planes = graft.similarity.Similarity.NumPlanes + 2)
+    assert(nRb == ids.count(_ < mid).toLong,
+      s"rebuild must drop stale append batches: expected base-only " +
+        s"${ids.count(_ < mid)} rows, got $nRb")
+    val rebuilt = Similarity.semDeDupIndex(spark, root)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(rebuilt.forall(_ < mid) && rebuilt.length == rebuilt.distinct.length,
+      "rebuilt index holds exactly the new base, no stale batch rows")
+    assert(!new java.io.File(s"$root/batch_4").exists,
+      "stale batch dirs are deleted by the rebuild")
+    assert(!new java.io.File(s"$root/_claims").exists,
+      "the burned-id claims namespace resets with the rebuild")
+  }
 }
