@@ -36,4 +36,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // SPARK_GRAFT_GC_LOG=<file>: GC logging for the forked JVM — the
+  // diagnosis knob for in-suite accumulation effects (BENCHMARKS.md).
+  sys.env.get("SPARK_GRAFT_GC_LOG").map(f => s"-Xlog:gc:$f").toSeq

@@ -34,6 +34,52 @@ object Bench {
     "q125_gram_index", "q127_shingle_index", "q128_shingle_bucketed",
     "q129_ivf_pq", "q130_triangles_budget", "q131_ivf_pq_residual")
 
+  /** The standing indexes, force-built in a SEPARATELY-TIMED ingest pass
+    * before warmup (r11 verdict task #1). Through r11, first-touch ingest
+    * cost landed on whichever registry query touched each index first —
+    * warmup *usually* absorbed it, but warmup failures were silent, and
+    * when the driver box's warmup did not establish an index the timed
+    * q125/q126 read 8–16 s against reuse-path budgets (two consecutive
+    * red gates on accounting, not plans). Now the accounting is
+    * deterministic by construction: each Bench JVM builds every index it
+    * will need HERE, on a named `xN_ingest_*` line with its own budget in
+    * tools/check_bench.py, and the query lines always measure the serving
+    * path their typicals describe (the honest production split — ingest
+    * is a once-per-corpus cost, serving is the hot path). Failures are
+    * LOUD: a dead ingest is recorded in `failed`, which check_bench
+    * treats as exit 1.
+    *
+    * Entry: (ingest line name, registry queries that read the index,
+    * ensure fn). The query set scopes the pass under
+    * SPARK_GRAFT_BENCH_ONLY / fork mode — a child benching one query
+    * builds only that query's indexes. Short ids x1…x7 keep the compact
+    * JSON line's one-prefix-per-entry convention collision-free. */
+  private val standingIngests
+      : Seq[(String, Set[String], (SparkSession, String) => String)] = Seq(
+    ("x1_ingest_gram", Set("q125_gram_index"),
+      (s, d) => { val (_, c) = graft.dedup.Dedup.ensureGramIndex(s, d)
+        s"postings=${c._1}" }),
+    ("x2_ingest_shingle", Set("q127_shingle_index"),
+      (s, d) => { val (_, c) = graft.dedup.Dedup.ensureShingleIndex(s, d)
+        s"postings=${c._2}" }),
+    ("x3_ingest_shingle_bkt", Set("q128_shingle_bucketed"),
+      (s, d) => { val (_, c) = graft.dedup.Dedup.ensureShingleBucketed(s, d)
+        s"postings=${c._2}" }),
+    ("x4_ingest_pq", Set("q122_pq_scan", "q126_pq_batch"),
+      (s, d) => { val (_, n, _) = graft.similarity.Pq.pqIngest(s, d)
+        s"vectors=$n" }),
+    ("x5_ingest_ivfpq", Set("q129_ivf_pq"),
+      (s, d) => { val (_, _, n, _) = graft.similarity.IvfPq.ivfPqIngest(s, d)
+        s"vectors=$n" }),
+    ("x6_ingest_ivfpq_res", Set("q131_ivf_pq_residual"),
+      (s, d) => { val (_, _, n, _) =
+        graft.similarity.IvfPq.ivfPqIngest(s, d, residual = true)
+        s"vectors=$n" }),
+    ("x7_ingest_semdedup", Set("q134_semdedup_direct"),
+      (s, d) => { val (n, kept) =
+        graft.similarity.Similarity.semDeDupIngest(s, d)
+        s"n=$n kept=$kept" }))
+
   /** Per-query JVM isolation (`SPARK_GRAFT_BENCH_FORK=1`): run every
     * registry query in a FRESH child JVM and aggregate the children's
     * JSON. In-suite numbers share one JVM across 242 executions, and
@@ -132,6 +178,30 @@ object Bench {
         SparkEntry.queries.filter { case (n, _) => keep(n) }
       case None => SparkEntry.queries
     }).toSeq.sortBy(_._1)
+    // INGEST pass (before warmup): force-build every standing index any
+    // selected query reads, each on its own timed line — see
+    // standingIngests. Deterministic first-touch accounting: the timed
+    // query pass below always measures the serving (reuse) path.
+    val selected = queries.map(_._1).toSet
+    val ingests = standingIngests.filter(_._2.exists(selected))
+    val ingestFailed = scala.collection.mutable.ArrayBuffer[String]()
+    val ingestResults = ingests.map { case (name, _, fn) =>
+      System.err.println(s"BENCH_INGEST $name")
+      val t0 = System.nanoTime()
+      try {
+        val stats = fn(spark, sfDir)
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"BENCH_INGEST_DONE $name $sec%.2fs $stats")
+        name -> sec
+      } catch {
+        case e: Throwable =>
+          // LOUD: a dead ingest means every query over this index will
+          // pay first-touch (or fail) — record it so check_bench exits 1
+          System.err.println(s"BENCH_INGEST_FAIL $name: $e")
+          ingestFailed += name
+          name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
     // Warmup pass: JIT + codegen compilation + parquet footer caches. The
     // timed pass then measures steady-state query compute, which is what a
     // long-lived cluster session sees. Progress goes to stderr so a JVM
@@ -139,17 +209,32 @@ object Bench {
     // SPARK_GRAFT_BENCH_NOWARM=1 skips it — for A/B sweeps of a config
     // knob at big sf, where both arms are equally cold and a second full
     // pass doubles the sweep's wall cost for no comparative signal.
+    // Failures print (r11 verdict: the silent catch discarded the only
+    // evidence when the driver box's warmup died mid-pass) but don't
+    // abort — the timed pass will surface the same failure as BENCH_FAIL.
     if (!sys.env.get("SPARK_GRAFT_BENCH_NOWARM").contains("1"))
       queries.foreach { case (name, fn) =>
         System.err.println(s"BENCH_WARM $name")
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try fn(spark, sfDir).count() catch {
+          case e: Throwable => System.err.println(s"BENCH_WARM_FAIL $name: $e")
+        }
       }
     // One explicit GC between passes: the timed pass starts from a clean
     // old gen instead of inheriting the warmup's garbage.
     System.gc()
     val observedOut = scala.collection.mutable.LinkedHashMap[String, String]()
+    // SPARK_GRAFT_BENCH_GC_BEFORE=<name[,name]>: explicit System.gc()
+    // immediately before the named queries' timed runs — the r12
+    // experiment knob for the in-suite multiplier on the heavy-shuffle
+    // lines (q123/q124 read 2-3.4x their solo time late in a 134-query
+    // session; the hypothesis is accumulated old-gen state, and a
+    // pre-query full GC isolates it). Diagnostic only — not set by the
+    // driver; results recorded in BENCHMARKS.md.
+    val gcBefore = sys.env.get("SPARK_GRAFT_BENCH_GC_BEFORE")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val results = queries.map { case (name, fn) =>
       System.err.println(s"BENCH_RUN $name")
+      if (gcBefore(name)) System.gc()
       val t0 = System.nanoTime()
       // stdout stays a single JSON line; failures go to stderr so a broken
       // query is visible instead of silently benching as wall-clock-to-throw
@@ -183,7 +268,8 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    emit(results.toMap, sfDir, observed = observedOut.toSeq)
+    emit((ingestResults ++ results).toMap, sfDir,
+      failed = ingestFailed.toSeq, observed = observedOut.toSeq)
     spark.stop()
   }
 

@@ -504,7 +504,7 @@ object Dedup {
                          batchId: Long = -1L): Unit = {
     val id = if (batchId >= 0) batchId else claimBatchId(root)
     val dir = s"$root/batch_$id"
-    if (new java.io.File(s"$dir/_SUCCESS").exists) return // committed: no-op
+    if (graft.ops.IndexFs.exists(s"$dir/_SUCCESS")) return // committed: no-op
     shingleSets(newDocs).write.mode("overwrite").parquet(dir)
   }
 
@@ -526,7 +526,7 @@ object Dedup {
     val setsPath = root + "_sets"
     graft.ops.Scratch.track(setsPath)
     resetBucketedTable(docs.sparkSession, table)
-    graft.ops.Scratch.deleteRec(new java.io.File(setsPath))
+    graft.ops.IndexFs.delete(setsPath)
     val sets = shingleSets(docs).persist()
     try {
       val obs = sets.observe("shingle_ingest",
@@ -570,8 +570,8 @@ object Dedup {
     val id = if (batchId >= 0) batchId
       else claimId(meta, bucketedBatchIds(table) :+ compactedThrough(meta))
     if (id <= compactedThrough(meta)) return // absorbed: replay no-op
-    val setsDone = new java.io.File(s"$setsRoot/batch_$id/_SUCCESS").exists
-    if (new java.io.File(s"$meta/batches/$id").exists && setsDone)
+    val setsDone = graft.ops.IndexFs.exists(s"$setsRoot/batch_$id/_SUCCESS")
+    if (graft.ops.IndexFs.exists(s"$meta/batches/$id") && setsDone)
       return // committed: replay no-op
     val sets = shingleSets(newDocs).persist() // one tokenize, two sinks
     try {
@@ -601,13 +601,12 @@ object Dedup {
     // while raising the high-water mark over its id, so the replay's
     // skip would leave its postings missing forever
     val meta = bucketedMeta(table)
-    val setsIds = Option(new java.io.File(setsRoot).listFiles())
-      .map(_.toSeq).getOrElse(Seq.empty)
-      .collect { case f if f.isDirectory && f.getName.startsWith("batch_") &&
-          new java.io.File(f, "_SUCCESS").exists =>
-        f.getName.stripPrefix("batch_").toLong }
+    val setsIds = graft.ops.IndexFs.childNames(setsRoot, dirsOnly = true)
+      .collect { case n if n.startsWith("batch_") &&
+          graft.ops.IndexFs.exists(s"$setsRoot/$n/_SUCCESS") =>
+        n.stripPrefix("batch_").toLong }
     val orphans = setsIds.filter(id => id > compactedThrough(meta) &&
-      !new java.io.File(s"$meta/batches/$id").exists)
+      !graft.ops.IndexFs.exists(s"$meta/batches/$id"))
     require(orphans.isEmpty,
       s"shingleIndexCompactBucketed: batch(es) ${orphans.sorted.mkString(",")}" +
         " have committed sets but no postings manifest (crash between the" +
@@ -617,11 +616,9 @@ object Dedup {
     graft.ops.Scratch.track(tmp)
     spark.read.option("recursiveFileLookup", "true").parquet(setsRoot)
       .write.mode("overwrite").parquet(tmp)
-    graft.ops.Scratch.deleteRec(new java.io.File(setsRoot))
-    new java.io.File(setsRoot).mkdirs()
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(s"$setsRoot/batch_$maxId"))
+    graft.ops.IndexFs.delete(setsRoot)
+    graft.ops.IndexFs.mkdirs(setsRoot)
+    graft.ops.IndexFs.rename(tmp, s"$setsRoot/batch_$maxId")
     ()
   }
 
@@ -820,6 +817,72 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") /
         (col("s") - col("inter")))
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** DERIVE the rare-gram df cap from the corpus's own df tail (r11
+    * verdict task #6 — the cap was a caller constant; the dispatcher
+    * already measures exactly the statistic that picks it). The
+    * principle: the capped join's pair shuffle is Σ_{df≤cap} df(df−1)/2
+    * rows over Σ_{df≤cap} df retained postings, and the dispatcher's
+    * measured-safe envelope for a posting-style self-join is
+    * [[PostingMaxPairRowsPerPosting]] pair rows per posting — so the
+    * derived cap is the LARGEST df whose cumulative sub-universe stays
+    * inside that envelope. The cumulative ratio is nondecreasing in the
+    * cap (each df's marginal contribution is (df−1)/2 pair rows per
+    * posting, increasing), so the crossing is unique and the scan stops
+    * at the first breach. On a bounded-df corpus the whole universe fits
+    * the budget and the cap degenerates to max df (the capped join ==
+    * the exact posting-count join — DedupSpec pins both properties).
+    *
+    * Cost: one df aggregation (g-keyed — exchange-free off the bucketed
+    * index) collapsed to a df HISTOGRAM (one row per distinct df value —
+    * model-sized by construction; a 10¹¹-posting corpus has at most
+    * thousands of distinct df values) scanned on the driver. */
+  def deriveRareGramCap(posting: DataFrame,
+      pairRowsPerPostingBudget: Double = PostingMaxPairRowsPerPosting): Long = {
+    val hist = posting.groupBy("g").agg(count(lit(1)).as("df"))
+      .groupBy("df").agg(count(lit(1)).as("n_grams"))
+      .orderBy("df").collect()
+    var cumPairs = 0.0
+    var cumPost = 0.0
+    var cap = 1L
+    for (r <- hist) {
+      val df = r.getLong(0)
+      val n = r.getLong(1).toDouble
+      val p = cumPairs + n * df * (df - 1) / 2
+      val q = cumPost + n * df
+      if (p <= pairRowsPerPostingBudget * q) {
+        cap = df; cumPairs = p; cumPost = q
+      } else return cap // monotone marginal: every larger df also breaches
+    }
+    cap
+  }
+
+  /** The (doc_id, n, g) posting table of a document frame — the
+    * from-scratch twin of a standing index's posting half, public so cap
+    * derivation and specs can probe the same statistics the dispatcher
+    * sees. */
+  def shinglePostingsOf(docs: DataFrame): DataFrame =
+    shinglePostings(shingleSets(docs))
+
+  /** [[similarityJoinRareGrams]] with the cap DERIVED from the corpus
+    * ([[deriveRareGramCap]]). The cap defines the similarity's
+    * sub-universe, so it stays part of the output contract: it rides the
+    * plan as the `rare_cap` in-plan observation (the bench-artifact
+    * discipline), and callers who need it programmatically call
+    * [[deriveRareGramCap]] themselves and use the explicit-cap form. */
+  def similarityJoinRareGrams(docs: DataFrame, tauNum: Long,
+                              tauDen: Long): DataFrame = {
+    val posting = shinglePostings(shingleSets(docs))
+    similarityJoinRareGramsFromPostings(posting, tauNum, tauDen)
+  }
+
+  /** The derived-cap form over a standing index's posting half. */
+  def similarityJoinRareGramsFromPostings(posting: DataFrame, tauNum: Long,
+                                          tauDen: Long): DataFrame = {
+    val cap = deriveRareGramCap(posting)
+    similarityJoinRareGramsFromPostings(posting, tauNum, tauDen, cap)
+      .observe("rare_cap", max(lit(cap)).as("derived_df_cap"))
   }
 
   /** q132: the rare-gram join on the harness corpus at the near-dup
@@ -1144,9 +1207,8 @@ object Dedup {
     * from this corpus", never "append to whatever was there". */
   private def resetBucketedTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    graft.ops.Scratch.deleteRec(
-      new java.io.File(graft.ops.Scale.bucketPath(table)))
-    graft.ops.Scratch.deleteRec(new java.io.File(bucketedMeta(table)))
+    graft.ops.IndexFs.delete(graft.ops.Scale.bucketPath(table))
+    graft.ops.IndexFs.delete(bucketedMeta(table))
   }
 
   /** The bucketed standing index (metastore table, bucket-aware scan).
@@ -1163,7 +1225,7 @@ object Dedup {
     * batch rewrites only its own partition instead of double-appending,
     * and a crashed write leaves no committed files (the v1 committer
     * moves task output at job commit), so replay repairs every crash
-    * point. A `_batches/<id>` manifest marker (atomic mkdir, written
+    * point. A `_batches/<id>` manifest marker (presence-only, written
     * AFTER the data commits — the `_SUCCESS` discipline) short-circuits
     * committed replays without a Spark job, and `batchId < 0`
     * auto-claims an unused id durably (`_claims`, the
@@ -1182,7 +1244,7 @@ object Dedup {
     val id = if (batchId >= 0) batchId
       else claimId(meta, bucketedBatchIds(table) :+ compactedThrough(meta))
     if (id <= compactedThrough(meta)) return // absorbed: replay no-op
-    if (new java.io.File(s"$meta/batches/$id").exists)
+    if (graft.ops.IndexFs.exists(s"$meta/batches/$id"))
       return // committed: replay no-op
     writeBucketedBatch(gramPostings(newDocs, n), table, id, buckets)
   }
@@ -1229,20 +1291,16 @@ object Dedup {
       // session still holds the pre-overwrite file listing — refresh it
       spark.catalog.refreshTable(table)
     }
-    new java.io.File(s"${bucketedMeta(table)}/batches").mkdirs()
-    new java.io.File(s"${bucketedMeta(table)}/batches/$id").mkdir()
+    graft.ops.IndexFs.mkdirs(s"${bucketedMeta(table)}/batches/$id")
     ()
   }
 
   /** Partition ids (`batch=<id>` dirs) of a bucketed index table. */
-  private def bucketedBatchIds(table: String): Seq[Long] = {
-    val kids = new java.io.File(graft.ops.Scale.bucketPath(table)).listFiles()
-    if (kids == null) Seq.empty
-    else kids.toSeq.collect {
-      case f if f.isDirectory && f.getName.startsWith("batch=") =>
-        f.getName.stripPrefix("batch=").toLong
-    }
-  }
+  private def bucketedBatchIds(table: String): Seq[Long] =
+    graft.ops.IndexFs
+      .childNames(graft.ops.Scale.bucketPath(table), dirsOnly = true)
+      .collect { case n if n.startsWith("batch=") =>
+        n.stripPrefix("batch=").toLong }
 
   /** COMPACTION of the bucketed gram index — [[gramIndexCompact]] one
     * level up (r10 verdict item): every append adds one file set per
@@ -1278,10 +1336,9 @@ object Dedup {
     // table rewrite, so committed replays stay no-ops on their own; the
     // high-water mark additionally floors auto ids and covers batches
     // whose data was absorbed without a manifest
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(bucketedMeta(table), "_COMPACTED"),
-      maxId.toString.getBytes("UTF-8"))
-    graft.ops.Scratch.deleteRec(new java.io.File(tmp))
+    graft.ops.IndexFs.writeString(
+      s"${bucketedMeta(table)}/_COMPACTED", maxId.toString)
+    graft.ops.IndexFs.delete(tmp)
   }
 
   /** Mergeable df state of ONE postings batch — the gram-index twin of
@@ -1323,9 +1380,9 @@ object Dedup {
     val id = if (batchId >= 0) batchId else claimBatchId(root)
     val pDir = s"$root/batch_$id"
     val dfDir = s"${root}_df/batch_$id"
-    val dfDone = new java.io.File(s"$dfDir/_SUCCESS").exists ||
+    val dfDone = graft.ops.IndexFs.exists(s"$dfDir/_SUCCESS") ||
       id <= compactedThrough(root + "_df") // partial absorbed by compaction
-    if (new java.io.File(s"$pDir/_SUCCESS").exists && dfDone)
+    if (graft.ops.IndexFs.exists(s"$pDir/_SUCCESS") && dfDone)
       return // committed: replay no-op
     val p = gramPostings(newDocs, n).persist() // one tokenize pass, two sinks
     try {
@@ -1336,26 +1393,25 @@ object Dedup {
   }
 
   /** Ids of the committed `batch_<id>` subdirectories under `root`. */
-  private def batchIds(root: String): Seq[Long] = {
-    val kids = new java.io.File(root).listFiles()
-    if (kids == null) Seq.empty
-    else kids.toSeq.collect {
-      case f if f.isDirectory && f.getName.startsWith("batch_") =>
-        f.getName.stripPrefix("batch_").toLong
-    }
-  }
+  private def batchIds(root: String): Seq[Long] =
+    graft.ops.IndexFs.childNames(root, dirsOnly = true)
+      .collect { case n if n.startsWith("batch_") =>
+        n.stripPrefix("batch_").toLong }
 
-  /** Claim the next unused auto batch id by atomic mkdir of a DURABLE
-    * marker under `_claims/` — a directory no data write ever touches.
-    * A plain max+1 read is a TOCTOU race (two concurrent appenders pick
-    * the same id — the r10 review find), and the first fix claimed the
-    * `batch_<id>` DATA directory itself, which the subsequent
-    * mode("overwrite") write DELETES before recreating: in that window a
-    * concurrent auto-id appender could re-claim the freed id and the two
-    * batches would silently overwrite each other — the exact silent-loss
-    * class the claim exists to prevent (the r11 review find). Claim
-    * markers are empty dirs created atomically (local/HDFS mkdir
-    * semantics; object stores lack atomic mkdir — there, name your
+  /** Claim the next unused auto batch id by ATOMIC create-if-absent of
+    * a DURABLE marker file under `_claims/` — a namespace no data write
+    * ever touches. A plain max+1 read is a TOCTOU race (two concurrent
+    * appenders pick the same id — the r10 review find), and the first
+    * fix claimed the `batch_<id>` DATA directory itself, which the
+    * subsequent mode("overwrite") write DELETES before recreating: in
+    * that window a concurrent auto-id appender could re-claim the freed
+    * id and the two batches would silently overwrite each other — the
+    * exact silent-loss class the claim exists to prevent (the r11 review
+    * find). Claim markers are empty FILES created via
+    * [[graft.ops.IndexFs.createExclusive]] (atomic on local/HDFS — the
+    * r12 FileSystem port; HDFS `mkdirs` returns true on existing dirs,
+    * so the old local `File.mkdir` claim could not port as a dir.
+    * Object stores lack ANY atomic create-if-absent — there, name your
     * batches) and NEVER removed, so a claim outlives any crash or
     * rewrite of its batch: the id is burned, never reusable. The
     * underscore-prefixed parent keeps Spark's file index from ever
@@ -1368,12 +1424,11 @@ object Dedup {
   /** The shared claim mechanism: atomic mkdir under `root/_claims`,
     * candidates starting past both `existing` ids and prior claims. */
   private def claimId(root: String, existing: Seq[Long]): Long = {
-    val claims = new java.io.File(root, "_claims")
-    claims.mkdirs()
-    val claimed = Option(claims.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(_.isDirectory).map(_.getName.toLong)
+    val claims = s"$root/_claims"
+    graft.ops.IndexFs.mkdirs(claims)
+    val claimed = graft.ops.IndexFs.childNames(claims).map(_.toLong)
     var cand = (existing ++ claimed).foldLeft(-1L)(math.max) + 1L
-    while (!new java.io.File(claims, cand.toString).mkdir()) cand += 1
+    while (!graft.ops.IndexFs.createExclusive(s"$claims/$cand")) cand += 1
     cand
   }
 
@@ -1381,12 +1436,9 @@ object Dedup {
     * batch id ≤ this has been merged into the compacted partial, so a
     * REPLAY of such a batch must not re-emit its df state (it would
     * double-count — the r10 review find). -1 when never compacted. */
-  private def compactedThrough(side: String): Long = {
-    val m = new java.io.File(side, "_COMPACTED")
-    if (!m.exists) -1L
-    else new String(
-      java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim.toLong
-  }
+  private def compactedThrough(side: String): Long =
+    graft.ops.IndexFs.readStringOpt(s"$side/_COMPACTED")
+      .map(_.trim.toLong).getOrElse(-1L)
 
   /** The maintained df aggregate: merge the appended partials by sum —
     * equals `gramPostings(allDocs).groupBy(g).count()` exactly, without
@@ -1426,8 +1478,8 @@ object Dedup {
     // complete, so only ids above it can be orphans.
     val mark = compactedThrough(side)
     val orphans = batchIds(root).filter(id => id > mark &&
-      new java.io.File(s"$root/batch_$id/_SUCCESS").exists &&
-      !new java.io.File(s"$side/batch_$id/_SUCCESS").exists)
+      graft.ops.IndexFs.exists(s"$root/batch_$id/_SUCCESS") &&
+      !graft.ops.IndexFs.exists(s"$side/batch_$id/_SUCCESS"))
     require(orphans.isEmpty,
       s"gramIndexCompact: postings batch(es) ${orphans.sorted.mkString(",")}" +
         " lack their df sidecar (crash between the append's two writes?)" +
@@ -1439,14 +1491,10 @@ object Dedup {
       .select(col("g"), col("df").as("df_part"))
     val tmp = side + "_compact_tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    graft.ops.Scratch.deleteRec(new java.io.File(side))
-    new java.io.File(side).mkdirs()
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(s"$side/batch_${ids.max}"))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(side, "_COMPACTED"),
-      ids.max.toString.getBytes("UTF-8"))
+    graft.ops.IndexFs.delete(side)
+    graft.ops.IndexFs.mkdirs(side)
+    graft.ops.IndexFs.rename(tmp, s"$side/batch_${ids.max}")
+    graft.ops.IndexFs.writeString(s"$side/_COMPACTED", ids.max.toString)
     ()
   }
 
@@ -1598,6 +1646,65 @@ object Dedup {
   def qDupCoverage(spark: SparkSession, d: String): DataFrame =
     dupCoverage(Tables.documents(spark, d))
 
+  /** ENSURE the standing gram index for dataset `d` (the q125 index):
+    * build + mark if absent or stale, reuse otherwise. Returns
+    * (root, (nPostings, nGrams)). Shared by [[qGramIndex]] and Bench's
+    * separately-timed ingest pass, so first-touch ingest cost lands on
+    * a named ingest line instead of whichever query touches the index
+    * first (the r11 gate lesson: accounting must be deterministic).
+    * Collision-free (dataset, app id)-keyed root — see ops.Scratch —
+    * with a content-addressed validity marker (ops.Standing). */
+  def ensureGramIndex(spark: SparkSession,
+                      d: String): (String, (Long, Long)) = {
+    val root = graft.ops.Scratch.root(spark, d, "gram_index")
+    val fp = graft.ops.Standing.fingerprint(s"$d/documents.parquet")
+    val c = graft.ops.Standing.validPayload(root, fp) match {
+      case Some(p) =>
+        val a = p.trim.split(" "); (a(0).toLong, a(1).toLong)
+      case None =>
+        val c = gramIndexIngest(Tables.documents(spark, d), root)
+        graft.ops.Standing.markValid(root, fp, s"${c._1} ${c._2}")
+        c
+    }
+    (root, c)
+  }
+
+  /** ENSURE the standing shingle index (q127) — the [[ensureGramIndex]]
+    * twin for the similarity-join family. Returns
+    * (root, (nDocs, nPostings)). */
+  def ensureShingleIndex(spark: SparkSession,
+                         d: String): (String, (Long, Long)) = {
+    val root = graft.ops.Scratch.root(spark, d, "shingle_index")
+    val fp = graft.ops.Standing.fingerprint(s"$d/documents.parquet")
+    val c = graft.ops.Standing.validPayload(root, fp) match {
+      case Some(p) =>
+        val a = p.trim.split(" "); (a(0).toLong, a(1).toLong)
+      case None =>
+        val c = shingleIndexIngest(Tables.documents(spark, d), root)
+        graft.ops.Standing.markValid(root, fp, s"${c._1} ${c._2}")
+        c
+    }
+    (root, c)
+  }
+
+  /** ENSURE the BUCKETED standing shingle index (q128). Returns
+    * (table name, (nDocs, nPostings)). */
+  def ensureShingleBucketed(spark: SparkSession,
+                            d: String): (String, (Long, Long)) = {
+    val table = graft.ops.Scratch.bucketedTable(spark, d, "shingle_ix")
+    val fp = graft.ops.Standing.fingerprint(s"$d/documents.parquet")
+    val tablePath = graft.ops.Scale.bucketPath(table)
+    val c = graft.ops.Standing.validPayload(tablePath, fp) match {
+      case Some(p) =>
+        val a = p.trim.split(" "); (a(0).toLong, a(1).toLong)
+      case None =>
+        val c = shingleIndexIngestBucketed(Tables.documents(spark, d), table)
+        graft.ops.Standing.markValid(tablePath, fp, s"${c._1} ${c._2}")
+        c
+    }
+    (table, c)
+  }
+
   /** q125: the standing gram index made real — postings written once
     * ([[gramIndexIngest]]), then BOTH heavy gram consumers answered from
     * the index without touching document text: per-source duplication
@@ -1609,19 +1716,7 @@ object Dedup {
     * index-only. The write is the one-time cost a curation pass
     * amortizes over every gram query it runs. */
   def qGramIndex(spark: SparkSession, d: String): DataFrame = {
-    // collision-free (dataset, app id)-keyed root — see ops.Scratch — with
-    // a content-addressed validity marker so a completed index is REUSED
-    // by later calls in the session instead of rebuilt (ops.Standing)
-    val root = graft.ops.Scratch.root(spark, d, "gram_index")
-    val fp = graft.ops.Standing.fingerprint(s"$d/documents.parquet")
-    val (nPostings, nGrams) = graft.ops.Standing.validPayload(root, fp) match {
-      case Some(p) =>
-        val a = p.trim.split(" "); (a(0).toLong, a(1).toLong)
-      case None =>
-        val c = gramIndexIngest(Tables.documents(spark, d), root)
-        graft.ops.Standing.markValid(root, fp, s"${c._1} ${c._2}")
-        c
-    }
+    val (root, (nPostings, nGrams)) = ensureGramIndex(spark, d)
     val postings = gramIndex(spark, root)
     val cov = dupCoverageFrom(postings)
     val docSource = postings.select(col("doc_id"), col("source")).distinct()
@@ -1650,16 +1745,7 @@ object Dedup {
     * cycle feeding every similarity query, with joins reading 8-byte
     * hashes instead of document bytes. */
   def qShingleIndex(spark: SparkSession, d: String): DataFrame = {
-    val root = graft.ops.Scratch.root(spark, d, "shingle_index")
-    val fp = graft.ops.Standing.fingerprint(s"$d/documents.parquet")
-    val (nDocs, nPostings) = graft.ops.Standing.validPayload(root, fp) match {
-      case Some(p) =>
-        val a = p.trim.split(" "); (a(0).toLong, a(1).toLong)
-      case None =>
-        val c = shingleIndexIngest(Tables.documents(spark, d), root)
-        graft.ops.Standing.markValid(root, fp, s"${c._1} ${c._2}")
-        c
-    }
+    val (root, (nDocs, nPostings)) = ensureShingleIndex(spark, d)
     val sets = shingleIndex(spark, root)
     val low = similarityJoinFromShingles(sets, 1, 20)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(20)
@@ -1683,18 +1769,7 @@ object Dedup {
     * reduction at sf10 (BENCHMARKS.md "Bucketed index measured"), and
     * tools.ShingleIndexBench records this family's own A/B. */
   def qShingleBucketed(spark: SparkSession, d: String): DataFrame = {
-    val table = graft.ops.Scratch.bucketedTable(spark, d, "shingle_ix")
-    val fp = graft.ops.Standing.fingerprint(s"$d/documents.parquet")
-    val tablePath = graft.ops.Scale.bucketPath(table)
-    val (nDocs, nPostings) =
-      graft.ops.Standing.validPayload(tablePath, fp) match {
-        case Some(p) =>
-          val a = p.trim.split(" "); (a(0).toLong, a(1).toLong)
-        case None =>
-          val c = shingleIndexIngestBucketed(Tables.documents(spark, d), table)
-          graft.ops.Standing.markValid(tablePath, fp, s"${c._1} ${c._2}")
-          c
-      }
+    val (table, (nDocs, nPostings)) = ensureShingleBucketed(spark, d)
     val posting = shinglePostingsBucketed(spark, table)
     val sets = shingleSetsSidecar(spark, table)
     val low = similarityJoinFromPostings(posting, sets, 1, 20)

@@ -21,6 +21,13 @@ package graft.ops
   * The marker is written AFTER the build completes (the `_SUCCESS`
   * discipline, one level up): a crash mid-build leaves no marker, so the
   * next call rebuilds — never serves a half-written index.
+  *
+  * All I/O goes through [[IndexFs]] (Hadoop `FileSystem` API, r12), so
+  * index roots and source paths may live on any Hadoop-supported store
+  * (local, HDFS, object stores) — see IndexFs's declared atomicity
+  * scope. The marker itself needs no atomicity: it is written once,
+  * after the build, and a torn read of a half-written marker fails the
+  * fingerprint compare and rebuilds — safe, not wrong.
   */
 object Standing {
 
@@ -31,33 +38,24 @@ object Standing {
     * no Spark job runs, which is the point: the check must be free
     * relative to the ingest it may skip. */
   def fingerprint(paths: String*): String = {
-    def walk(f: java.io.File): Seq[java.io.File] = {
-      val kids = f.listFiles()
-      if (kids == null) Seq(f)
-      else kids.sortBy(_.getName).toSeq.flatMap(walk)
-    }
-    val stats = paths.flatMap(p => walk(new java.io.File(p)))
-      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+    val stats = paths.flatMap(IndexFs.statWalk)
+      .map { case (p, len, mtime) => s"$p:$len:$mtime" }
       .mkString("\n")
     java.security.MessageDigest.getInstance("MD5")
       .digest(stats.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
   }
 
-  private def marker(root: String) = new java.io.File(root, "_GRAFT_VALID")
+  private def marker(root: String) = s"$root/_GRAFT_VALID"
 
   /** The payload stored by [[markValid]], iff `root` holds a completed
     * build for exactly this fingerprint; None → caller must (re)build. */
-  def validPayload(root: String, fp: String): Option[String] = {
-    val m = marker(root)
-    if (!m.exists) None
-    else {
-      val lines = new String(
-        java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").split("\n", 2)
+  def validPayload(root: String, fp: String): Option[String] =
+    IndexFs.readStringOpt(marker(root)).flatMap { text =>
+      val lines = text.split("\n", 2)
       if (lines.head == fp) Some(if (lines.length > 1) lines(1) else "")
       else None
     }
-  }
 
   /** The marker's (fingerprint, payload) regardless of fingerprint — for
     * MAINTENANCE operations (incremental appends) that must read the
@@ -65,33 +63,23 @@ object Standing {
     * an append changes the index contents but not the source the
     * fingerprint guards, so the guard survives and a SOURCE rewrite
     * still forces the full rebuild. */
-  def current(root: String): Option[(String, String)] = {
-    val m = marker(root)
-    if (!m.exists) None
-    else {
-      val lines = new String(
-        java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").split("\n", 2)
-      Some((lines.head, if (lines.length > 1) lines(1) else ""))
+  def current(root: String): Option[(String, String)] =
+    IndexFs.readStringOpt(marker(root)).map { text =>
+      val lines = text.split("\n", 2)
+      (lines.head, if (lines.length > 1) lines(1) else "")
     }
-  }
 
   /** Remove the validity marker, if any — the first step of a REBUILD
     * that must also clean derived state (stale append batches): dropping
     * the marker before deleting anything guarantees no crash window in
     * which a marker still claims a half-cleaned index valid. */
-  def invalidate(root: String): Unit = {
-    marker(root).delete()
-    ()
-  }
+  def invalidate(root: String): Unit =
+    IndexFs.delete(marker(root))
 
   /** Record a completed build of `root` for source fingerprint `fp`,
     * with an optional payload (ingest counters, model sizes) the reuse
     * path hands back without recomputation. Call ONLY after every sink
     * of the build is fully written. */
-  def markValid(root: String, fp: String, payload: String = ""): Unit = {
-    val m = marker(root)
-    m.getParentFile.mkdirs()
-    java.nio.file.Files.write(m.toPath, (fp + "\n" + payload).getBytes("UTF-8"))
-    ()
-  }
+  def markValid(root: String, fp: String, payload: String = ""): Unit =
+    IndexFs.writeString(marker(root), fp + "\n" + payload)
 }

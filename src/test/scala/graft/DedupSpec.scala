@@ -615,6 +615,64 @@ class DedupSpec extends SparkSpec {
       "rare-gram join must keep the genuinely near-identical pair")
   }
 
+  test("derived rare-gram cap: equals the brute-force largest in-budget " +
+       "cap, degenerates to max df on a bounded-df corpus, excludes a " +
+       "dominant hot gram") {
+    val docs = Tables.documents(spark, sf)
+    val posting = Dedup.shinglePostingsOf(docs)
+    // brute-force reference: largest df whose cumulative sub-universe
+    // stays within pair-rows-per-posting budget, from the same histogram
+    def bruteCap(p: org.apache.spark.sql.DataFrame, budget: Double): Long = {
+      val hist = p.groupBy("g")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("df"))
+        .groupBy("df").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var best = 1L
+      for (cap <- hist.map(_._1)) {
+        val in = hist.filter(_._1 <= cap)
+        val pairs = in.map { case (df, n) => n.toDouble * df * (df - 1) / 2 }.sum
+        val posts = in.map { case (df, n) => n.toDouble * df }.sum
+        if (pairs <= budget * posts) best = cap
+      }
+      best
+    }
+    val cap = Dedup.deriveRareGramCap(posting)
+    assert(cap == bruteCap(posting, Dedup.PostingMaxPairRowsPerPosting),
+      "derived cap must equal the brute-force largest in-budget cap")
+    // the harness corpus has a bounded df tail (dispatcher ratio ≈ 0.5–5
+    // ≪ budget 16), so the derived cap covers the full universe and the
+    // derived join degenerates to the EXACT posting-count join
+    val maxDf = posting.groupBy("g")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
+      .agg(org.apache.spark.sql.functions.max("df")).collect()(0).getLong(0)
+    assert(cap == maxDf, s"bounded-df corpus: derived cap $cap == max df $maxDf")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(Dedup.similarityJoinRareGrams(docs, 1, 20)) ==
+      pairs(Dedup.similarityJoinPostingCount(docs, 1, 20)),
+      "derived-cap join must equal the exact join on a bounded-df corpus")
+    // a DOMINANT hot gram (df=100 over a 300-posting corpus: 4950 pair
+    // rows > 16 × 300 postings) breaches the cumulative budget, so the
+    // derived cap excludes it — exactly the corpus class the cap knob
+    // exists for (one corpus-wide gram turns the exact join quadratic)
+    import spark.implicits._
+    val hotDocs = (1 to 100).map(i =>
+      (i.toLong, s"hotx hoty hotz u${i}a u${i}b")).toDF("doc_id", "text")
+    val hotPosting = Dedup.shinglePostingsOf(hotDocs)
+    val hotCap = Dedup.deriveRareGramCap(hotPosting)
+    assert(hotCap < 100L,
+      s"dominant hot gram must be excluded by the derived cap, got $hotCap")
+    assert(hotCap == bruteCap(hotPosting, Dedup.PostingMaxPairRowsPerPosting),
+      "derived cap must match brute force on the hot corpus too")
+    // and the derived-cap join over that corpus matches the explicit form
+    assert(pairs(Dedup.similarityJoinRareGrams(hotDocs, 1, 20)) ==
+      pairs(Dedup.similarityJoinRareGrams(hotDocs, 1, 20, hotCap)),
+      "derived-cap join == explicit join at the derived cap")
+  }
+
   test("standing indexes are reused within a session: a second query call " +
        "leaves the index files untouched and returns the same rows") {
     def files(p: String) = {

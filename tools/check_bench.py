@@ -89,16 +89,30 @@ TYPICAL = {
                                   # IDENTICAL volume (shuffle 50KB, zero
                                   # spill) — in-suite accumulation/jitter,
                                   # the q92 class; 3.0 left zero margin
-    "q126_pq_batch": 2.0,         # r10: standing reuse (ops.Standing) —
-                                  # warmup ingests+marks, timed pass is
-                                  # the 4-query batched ADC + per-query
-                                  # exact contract over the standing
-                                  # codes (measured 1.58 at box 0.87,
-                                  # with the 2x contract shortlist)
-    "q122_pq_scan": 1.2,          # r10: standing reuse — timed pass is
-                                  # the ADC query + recall contract only
-                                  # (measured 0.76 at box 0.87); ingest
-                                  # cost lives in PqBench's split rows
+    "q126_pq_batch": 1.5,         # r12: the SERVING path only — Bench's
+                                  # separately-timed ingest pass
+                                  # (x4_ingest_pq) always builds the
+                                  # standing codes before warmup, so the
+                                  # first-touch regime that made r10/r11
+                                  # gates red cannot land here anymore
+                                  # (measured 1.12 at box 0.79)
+    "q122_pq_scan": 1.0,          # r12: serving only, like q126
+                                  # (measured 0.51 at box 0.79)
+    # Bench's separately-timed standing-index INGEST lines (r12): each
+    # fresh Bench JVM force-builds every standing index before warmup, on
+    # these named lines — deterministic first-touch accounting (the r11
+    # verdict's task #1; two consecutive rounds were red because ingest
+    # landed on whichever query touched an index first). Ingest is always
+    # cold (per-app scratch roots), so these typicals describe the full
+    # build: tokenize/train/encode + write. Calibrated on the clean r12
+    # cpus=32 run at box 0.79.
+    "x1_ingest_gram": 5.5,        # 8-gram postings + df sidecar write
+    "x2_ingest_shingle": 2.1,     # 3-gram-hash sets, single sink
+    "x3_ingest_shingle_bkt": 8.5, # bucketBy(32, g) CTAS + sets sidecar
+    "x4_ingest_pq": 8.2,          # PQ codebook training + corpus encode
+    "x5_ingest_ivfpq": 5.4,       # + IVF centroids, partitioned write
+    "x6_ingest_ivfpq_res": 5.8,   # residual mode (same stages)
+    "x7_ingest_semdedup": 3.3,    # signatures + direct verdicts + base
     "q101_fasta_roundtrip": 1.0,  # write-bound: renders + rewrites corpus
     "q44_partition_pruning": 1.5, # write-bound by design
     "q114_bm25_rerank": 1.2,      # BM25 shortlist + pruned LM stage
@@ -127,14 +141,13 @@ TYPICAL = {
                                   # single-task sort)
     "q93_ntile_curriculum": 1.5,  # per-lang quartile windows
     "q87_dup_coverage": 1.3,      # 8-gram explode + df join
-    "q125_gram_index": 1.8,       # writes the postings index, then answers
-                                  # q87+q62 from it (ingest-then-scan)
+    "q125_gram_index": 1.8,       # serving only since r12 (ingest on
+                                  # x1's line): answers q87+q62 from the
+                                  # standing postings
     "q127_shingle_index": 2.8,    # answers q31's tau=1/20 top-20 AND
                                   # q103's tau=1/2 join from the standing
-                                  # index (r10: warmup ingests + marks
-                                  # valid, timed pass reuses — the two
-                                  # similarity joins dominate; measured
-                                  # 3.05 at box 0.87)
+                                  # index (serving only; ingest on x2's
+                                  # line since r12)
     "q128_shingle_bucketed": 3.3, # q127's consumers from the BUCKETED
                                   # index (32-bucket scan trades AQE
                                   # coalescing for exchange-free g joins
@@ -142,19 +155,16 @@ TYPICAL = {
                                   # sf, 1.5x faster at sf1/sf10;
                                   # measured 3.32 at box 0.87)
     "q131_ivf_pq_residual": 4.5,  # r11: the residual (classic IVFADC)
-                                  # twin of q129 — 4 SINGLE-query pruned
-                                  # scans (the batch path serves raw
-                                  # codes) + the contract's exact scan;
-                                  # ingest lives in warmup via the
-                                  # standing marker like q129. Solo
-                                  # probed steady 4.3-5.4s with tiny
-                                  # volume (45KB shuffle) — four plans'
-                                  # fixed stage latency, not data
-    "q129_ivf_pq": 2.0,           # composed IVF-PQ: 4 partition-pruned
-                                  # probe scans + the batch-mean recall
-                                  # contract's one exact corpus scan
-                                  # (ingest lives in warmup via the
-                                  # standing marker, like q122/q126)
+                                  # twin of q129, served through the
+                                  # residual BATCH plan; ingest on x6's
+                                  # line since r12. Solo probed steady
+                                  # 4.3-5.4s with tiny volume (45KB
+                                  # shuffle) — fixed stage latency, not
+                                  # data
+    "q129_ivf_pq": 2.0,           # composed IVF-PQ: the batched
+                                  # union-of-probes scan + the batch-mean
+                                  # recall contract's one exact corpus
+                                  # scan (ingest on x5's line since r12)
     "q130_triangles_budget": 4.0, # budget-adaptive DOULION: co-order
                                   # edge build + localCheckpoint + edge
                                   # count probe + the sampled census at
