@@ -180,6 +180,53 @@ object IvfPq {
     (cents, books, n + delta)
   }
 
+  /** REPLAY-SAFE append — the streaming twin's building block (r11
+    * verdict task #4). [[ivfPqAppend]] is NOT replay-idempotent: the
+    * `partitionBy(cluster)` layout has no per-batch subdirectory (one
+    * would break partition discovery), so a replayed micro-batch would
+    * double-append its codes. Codes are ORDER-INDEPENDENT, so the exact
+    * dedup mechanism is presence, not arrival order: append only the
+    * batch rows whose `vec_id` is not already in the standing index
+    * (anti join against the codes table's pruned vec_id column — 8
+    * bytes × corpus, the batch side broadcast-small). Every crash point
+    * replays to exactly-once: a committed append's rows anti-join away;
+    * a crashed job's rows are invisible (task output moves at job
+    * commit) and re-append whole; even a torn job commit (the v1
+    * committer moves task dirs sequentially — a crash mid-commit can
+    * expose SOME tasks' files) re-appends exactly the missing rows.
+    * A replay that reaches the no-op path also self-heals the payload's
+    * corpus count if a crash landed between a data commit and its
+    * marker update (the semDeDup "stats recomputed from data"
+    * discipline). The upstream contract is the same as every index
+    * here: `vec_id` is the row's identity — two different vectors under
+    * one id are upstream corruption no dedup can repair.
+    * Returns the updated (centroids, codebooks, corpus size). */
+  def ivfPqAppendDedup(newEmb: DataFrame, root: String)
+      : (Array[Array[Float]], Pq.Codebooks, Long) = {
+    val spark = newEmb.sparkSession
+    val (fp, p) = graft.ops.Standing.current(root).getOrElse(sys.error(
+      s"ivfPqAppendDedup: no standing IVF-PQ index at $root — run" +
+        " ivfPqIngest first (appends extend a trained model)"))
+    val (cents, books, n, residual) = parse(p)
+    val standingIds = spark.read.parquet(root).select("vec_id")
+    val actual = standingIds.count() // true standing size, straight from data
+    val missing = newEmb.join(standingIds, Seq("vec_id"), "left_anti")
+      .persist() // read by the append's count AND its encode+write
+    try {
+      val missN = missing.count()
+      val trueN = actual + missN
+      if (missN > 0L) ivfPqAppend(missing, root)
+      // the payload count is recomputed FROM DATA, never trusted from
+      // arithmetic over the prior payload (which goes stale if a crash
+      // landed between a data commit and its markValid): re-mark
+      // whenever the healed total differs from what the marker now says
+      if (trueN != (if (missN > 0L) n + missN else n))
+        graft.ops.Standing.markValid(root, fp,
+          payload(cents, books, trueN, residual))
+      (cents, books, trueN)
+    } finally { missing.unpersist(); () }
+  }
+
   /** MAINTENANCE: rewrite the codes table to one file per cluster
     * partition. Every [[ivfPqAppend]] adds a part-file set per touched
     * cluster directory (`mode("append")`), so after N daily batches a
@@ -208,16 +255,16 @@ object IvfPq {
     val (cents, _, _, _) = parse(p)
     val tmp = root + "_compact_tmp"
     val old = root + "_compact_old"
-    graft.ops.Scratch.deleteRec(new java.io.File(tmp))
-    graft.ops.Scratch.deleteRec(new java.io.File(old))
+    graft.ops.IndexFs.delete(tmp)
+    graft.ops.IndexFs.delete(old)
     spark.read.parquet(root)
       .repartition(cents.length, col("cluster"))
       .write.partitionBy("cluster").mode("overwrite").parquet(tmp)
-    java.nio.file.Files.move(java.nio.file.Paths.get(root),
-      java.nio.file.Paths.get(old))
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(root))
-    graft.ops.Scratch.deleteRec(new java.io.File(old))
+    // two renames (atomic on local/HDFS — IndexFs's declared scope; on
+    // object stores prefer rebuilding over compacting)
+    graft.ops.IndexFs.rename(root, old)
+    graft.ops.IndexFs.rename(tmp, root)
+    graft.ops.IndexFs.delete(old)
     graft.ops.Standing.markValid(root, fp, p)
   }
 

@@ -397,11 +397,51 @@ object Similarity {
     * (vec_id, sig, micro, dself) — the portable bucket key plus the
     * exact-integer pieces the threshold decision needs. */
   private[similarity] def signatureTable(emb: DataFrame,
-                                         planes: Int): DataFrame = emb
-    .withColumn("sig", portableSignatureCol("embedding", planes, 64))
-    .withColumn("micro", microCol(col("embedding")))
-    .withColumn("dself", dotLong(col("micro"), col("micro")))
-    .select("vec_id", "sig", "micro", "dself")
+                                         planes: Int): DataFrame =
+    signatureTableWith(emb, portableSignatureCol("embedding", planes, 64))
+
+  /** [[signatureTable]] under an arbitrary bucket key — the seam where
+    * the LSH signature and a trained k-means assignment swap
+    * ([[semDeDupKMeans]]); everything downstream (integer-exact τ
+    * edges, CC, direct verdicts) is key-agnostic. */
+  private def signatureTableWith(emb: DataFrame, sig: Column): DataFrame =
+    emb.withColumn("sig", sig)
+      .withColumn("micro", microCol(col("embedding")))
+      .withColumn("dself", dotLong(col("micro"), col("micro")))
+      .select("vec_id", "sig", "micro", "dself")
+
+  /** SemDeDup over a TRAINED k-means clustering — the paper's actual
+    * shape (Abbas et al. §2 scopes candidate pairs by k-means cluster;
+    * the registered q133/q134 use the portable LSH signature precisely
+    * so a SQL oracle can recompute the buckets). Bucket key = the
+    * [[assignClusters]] assignment under [[trainCentroids]]'s
+    * deterministic training; the integer-exact τ decision, the CC
+    * labeling, and the min-id keeper election are unchanged. Trained
+    * centroids are engine-side state no oracle can recompute, so this
+    * form is spec-pinned on planted structure (SimilaritySpec) and
+    * measured in BENCHMARKS.md, not oracle-gated. Same contract as
+    * [[semDeDup]]: (vec_id, component, keep). */
+  def semDeDupKMeans(emb: DataFrame, k: Int = 16, num: Int = 1,
+                     den: Int = 4): DataFrame = {
+    val cents = trainCentroids(emb, k)
+    val sigs = signatureTableWith(assignClusters(emb, cents),
+      col("cluster").cast("long"))
+    val edges = dupEdges(sigs, num, den)
+    val (labels, _) = graft.graph.Graph.connectedComponentsFast(
+      edges, emb.select(col("vec_id").as("id")))
+    labels.select(col("id").as("vec_id"), col("label").as("component"),
+      (col("id") === col("label")).as("keep"))
+  }
+
+  /** The chain-free direct rule ([[semDeDupDirect]]) over the trained
+    * clustering: drop iff a smaller-id τ-neighbor shares the k-means
+    * cluster. Returns (vec_id, keep). */
+  def semDeDupDirectKMeans(emb: DataFrame, k: Int = 16, num: Int = 1,
+                           den: Int = 4): DataFrame = {
+    val cents = trainCentroids(emb, k)
+    directVerdicts(signatureTableWith(assignClusters(emb, cents),
+      col("cluster").cast("long")), num, den)
+  }
 
   /** Within-bucket τ-threshold duplicate edges (src < dst), decided in
     * exact integer arithmetic — see [[semDeDup]]. `left`/`right` are
@@ -510,10 +550,9 @@ object Similarity {
         // marker claiming the half-deleted index valid), then the stale
         // batch dirs and the burned-id _claims namespace.
         graft.ops.Standing.invalidate(root)
-        val kids = new java.io.File(root).listFiles()
-        if (kids != null) kids.filter(f => f.isDirectory &&
-            (f.getName.startsWith("batch_") || f.getName == "_claims"))
-          .foreach(graft.ops.Scratch.deleteRec)
+        graft.ops.IndexFs.childNames(root, dirsOnly = true)
+          .filter(n => n.startsWith("batch_") || n == "_claims")
+          .foreach(n => graft.ops.IndexFs.delete(s"$root/$n"))
         val emb = Tables.embeddings(spark, d)
         val sigs = signatureTable(emb, planes)
         sigs.join(directVerdicts(sigs, num, den), "vec_id")
@@ -535,21 +574,16 @@ object Similarity {
   }
 
   private def committedBatchDirs(root: String): Seq[String] = {
-    val kids = new java.io.File(root).listFiles()
-    if (kids == null) Seq.empty
-    else {
-      // `base` = the one-shot ingest; `batch_<id>` = appends. Streaming
-      // batch ids start at 0, so the ingest dir must NOT share their
-      // namespace — a streaming batch 0 would otherwise see the ingest's
-      // _SUCCESS and silently no-op (drop its own rows).
-      val base = kids.toSeq.filter(f => f.isDirectory &&
-        f.getName == "base" && new java.io.File(f, "_SUCCESS").exists)
-      val batches = kids.toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("batch_") &&
-          new java.io.File(f, "_SUCCESS").exists)
-        .sortBy(_.getName.stripPrefix("batch_").toLong)
-      (base ++ batches).map(_.getPath)
-    }
+    // `base` = the one-shot ingest; `batch_<id>` = appends. Streaming
+    // batch ids start at 0, so the ingest dir must NOT share their
+    // namespace — a streaming batch 0 would otherwise see the ingest's
+    // _SUCCESS and silently no-op (drop its own rows).
+    val kids = graft.ops.IndexFs.childNames(root, dirsOnly = true)
+      .filter(n => graft.ops.IndexFs.exists(s"$root/$n/_SUCCESS"))
+    val base = kids.filter(_ == "base")
+    val batches = kids.filter(_.startsWith("batch_"))
+      .sortBy(_.stripPrefix("batch_").toLong)
+    (base ++ batches).map(n => s"$root/$n")
   }
 
   /** (n, kept, maxId) recomputed from the COMMITTED data — never from
@@ -589,7 +623,7 @@ object Similarity {
     val id = if (batchId >= 0) batchId
       else graft.dedup.Dedup.claimBatchId(root)
     val bDir = s"$root/batch_$id"
-    if (!new java.io.File(s"$bDir/_SUCCESS").exists) {
+    if (!graft.ops.IndexFs.exists(s"$bDir/_SUCCESS")) {
       val (_, _, maxId) = indexStats(spark, root)
       // An EMPTY batch is legal (streaming restart / no-data trigger
       // delivers one — r11 advisor find): min(vec_id) aggregates to SQL

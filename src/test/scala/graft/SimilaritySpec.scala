@@ -1,6 +1,6 @@
 package graft
 
-import graft.similarity.Similarity
+import graft.similarity.{IvfPq, Similarity}
 import graft.Tables
 import org.apache.spark.sql.functions.col
 
@@ -705,5 +705,130 @@ class SimilaritySpec extends SparkSpec {
       "stale batch dirs are deleted by the rebuild")
     assert(!new java.io.File(s"$root/_claims").exists,
       "the burned-id claims namespace resets with the rebuild")
+  }
+
+  test("ivfPqAppendDedup: presence-keyed exactly-once — a torn batch " +
+       "re-appends only its missing rows, a replay no-ops, the payload " +
+       "count heals from data") {
+    val emb = Tables.embeddings(spark, sf)
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val (mid, q3) = (ids(ids.length / 2), ids(3 * ids.length / 4))
+    val srcHalf = java.nio.file.Files.createTempDirectory("ivfd_src").toString
+    emb.filter(col("vec_id") < mid)
+      .write.parquet(srcHalf + "/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("ivfd").toString
+    val (root, rootRef) = (s"$base/idx", s"$base/ref")
+    IvfPq.ivfPqIngest(spark, srcHalf, root)
+    IvfPq.ivfPqIngest(spark, srcHalf, rootRef)
+    val batch = emb.filter(col("vec_id") >= mid)
+    IvfPq.ivfPqAppend(batch, rootRef) // the clean one-shot twin
+    // simulate a TORN commit of `batch`: only its first part landed
+    IvfPq.ivfPqAppend(batch.filter(col("vec_id") < q3), root)
+    // the replay delivers the WHOLE batch — presence dedup must append
+    // exactly the missing tail, landing on the twin row-for-row
+    val (_, _, n1) = IvfPq.ivfPqAppendDedup(batch, root)
+    def codes(r: String) = spark.read.parquet(r)
+      .collect().map(_.toString).sorted.toSeq
+    assert(codes(root) == codes(rootRef),
+      "torn-batch replay must re-append exactly the missing rows")
+    assert(n1 == ids.length.toLong, "healed corpus count")
+    // a second full replay is a pure no-op
+    val (_, _, n2) = IvfPq.ivfPqAppendDedup(batch, root)
+    assert(n2 == n1 && codes(root) == codes(rootRef), "replay no-op")
+    // payload heal: corrupt the count (a crash between a data commit and
+    // its markValid leaves exactly this), then a no-op replay repairs it
+    val (fp, p) = graft.ops.Standing.current(root).get
+    val lines = p.split("\n")
+    graft.ops.Standing.markValid(root, fp,
+      (Seq("1") ++ lines.tail).mkString("\n"))
+    val (_, _, n3) = IvfPq.ivfPqAppendDedup(batch, root)
+    assert(n3 == ids.length.toLong,
+      "stale payload count must heal from the data")
+    assert(graft.ops.Standing.current(root).get._2.split("\n")(0).toLong ==
+      ids.length.toLong, "healed count must be re-marked")
+  }
+
+  test("semDeDup on a TRAINED k-means clustering (the paper's shape): " +
+       "planted clusters collapse to few keepers, every planted label " +
+       "survives, CC keepers ⊆ direct keepers, clones drop") {
+    import spark.implicits._
+    // the q131 fixture class: 16 tight planted clusters (σ=0.08 around
+    // unit centers → within-cluster cosine ≫ τ=1/4), deterministic
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val kClusters = 16
+    val centers = Array.fill(kClusters, dim)(rnd.nextGaussian().toFloat)
+      .map { c =>
+        val n = math.sqrt(c.map(x => x.toDouble * x).sum).toFloat
+        c.map(_ / n)
+      }
+    val vecs = (0 until 2000).map { i =>
+      val c = centers(i % kClusters)
+      val v = c.map(x => x + 0.08f * rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, v.map(_ / n).toSeq, i % kClusters)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"), col("label"))
+    // τ = 2/3, not the q133 default 1/4: random unit centers in 32-dim
+    // reach pairwise cosine ≈ 0.25 (and under this seed one pair ≈ 0.5),
+    // so at low τ a trained cluster that merges two such planted
+    // clusters legitimately dedups one away (measured: 3 of 16 labels
+    // erased at τ=1/4, 1 at τ=1/2 — REAL cross-label similarity, not a
+    // bug). At τ=2/3 cross-label cosine cannot reach the threshold
+    // while within-cluster cosine (~0.99 at σ=0.08) clears it, so label
+    // survival is the right pin
+    val cc = Similarity.semDeDupKMeans(emb, k = kClusters, num = 2,
+        den = 3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val direct = Similarity.semDeDupDirectKMeans(emb, k = kClusters,
+        num = 2, den = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(cc.size == 2000 && direct.size == 2000, "one verdict per vector")
+    // the structural containment the portable form pins, under the
+    // trained clustering too: a CC keeper (component min) has no smaller
+    // neighbor, so the direct rule keeps it as well
+    cc.filter(_._2).keys.foreach(id =>
+      assert(direct(id), s"CC keeper $id must be a direct keeper"))
+    // drop quality vs the planted labels: tight clusters mean nearly
+    // every vector has a same-cluster τ-neighbor — both rules must
+    // collapse the corpus to a few keepers per planted label, and every
+    // planted label must SURVIVE (dedup must not erase a whole cluster)
+    val labelOf = vecs.map(v => v._1 -> v._3).toMap
+    def perLabel(keep: Map[Long, Boolean]) =
+      keep.filter(_._2).keys.groupBy(labelOf).view.mapValues(_.size).toMap
+    val ccPer = perLabel(cc)
+    val dirPer = perLabel(direct)
+    assert((0 until kClusters).forall(l => ccPer.getOrElse(l, 0) >= 1),
+      s"every planted label keeps ≥1 CC representative: $ccPer")
+    assert((0 until kClusters).forall(l => dirPer.getOrElse(l, 0) >= 1),
+      s"every planted label keeps ≥1 direct representative: $dirPer")
+    val (nCc, nDir) = (cc.count(_._2), direct.count(_._2))
+    info(s"trained-clustering keepers: CC=$nCc direct=$nDir of 2000 " +
+      s"(16 planted clusters); per-label CC=${ccPer.toSeq.sorted}")
+    assert(nCc <= 200 && nDir <= 200,
+      s"tight planted clusters must collapse hard: CC=$nCc direct=$nDir")
+    // an exact clone of vec 0 under a larger id drops under both rules
+    val clone = emb.filter(col("vec_id") === 0L)
+      .withColumn("vec_id", org.apache.spark.sql.functions.lit(100000L))
+    val withClone = emb.unionByName(clone)
+    val cc2 = Similarity.semDeDupKMeans(withClone, k = kClusters,
+        num = 2, den = 3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val dir2 = Similarity.semDeDupDirectKMeans(withClone, k = kClusters,
+        num = 2, den = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!cc2(100000L) && !dir2(100000L),
+      "the higher-id exact clone must drop under both rules")
+    // and the PORTABLE-signature forms on the same corpus, for the
+    // measured comparison (BENCHMARKS.md): the LSH buckets approximate
+    // what the trained clustering gives exactly
+    val ccP = Similarity.semDeDup(emb, num = 2, den = 3).collect()
+      .count(_.getBoolean(2))
+    val dirP = Similarity.semDeDupDirect(emb, num = 2, den = 3).collect()
+      .count(_.getBoolean(1))
+    info(s"portable-signature keepers on the same corpus: CC=$ccP " +
+      s"direct=$dirP")
   }
 }
