@@ -373,4 +373,30 @@ object Streams {
         ()
       }
       .start()
+
+  /** Streaming maintenance of the standing IVF-PQ index — the last
+    * standing index without a streaming twin through r11 (gram, shingle,
+    * semdedup all had one): each micro-batch of embeddings is encoded
+    * with the STANDING model (no retrain — ivfPqAppend's contract,
+    * including its documented drift limits) and appended into the
+    * cluster-partitioned codes table, so the index ANN queries probe is
+    * never more than one trigger stale. The codes layout has no
+    * per-batch subdirectory (it would break partition-discovery
+    * pruning), so exactly-once under checkpoint replay comes from
+    * [[graft.similarity.IvfPq.ivfPqAppendDedup]]'s presence dedup
+    * instead of the batch-dir protocol: only rows whose vec_id is not
+    * already standing are appended, which replays every crash point —
+    * including a torn job commit — to the one-shot result.
+    * Prerequisite: a completed `ivfPqIngest` (streams extend a trained
+    * model; they never train one). StreamingSpec pins stream-built ==
+    * batch-built and replay no-op. */
+  def streamingIvfPqIngest(emb: DataFrame, root: String,
+                           checkpoint: String): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.similarity.IvfPq.ivfPqAppendDedup(batch, root)
+        ()
+      }
+      .start()
 }

@@ -820,4 +820,54 @@ class StreamingSpec extends SparkSpec {
     assert(rows(Similarity.semDeDupIndex(spark, root)) ==
       rows(Similarity.semDeDupDirect(emb)))
   }
+
+  test("streaming IVF-PQ ingest: micro-batch-maintained codes == the " +
+       "batch append twin, and a checkpoint replay appends nothing") {
+    import org.apache.spark.sql.types._
+    import graft.similarity.IvfPq
+    val emb = graft.Tables.embeddings(spark, sf)
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    // both roots train on the SAME base corpus (deterministic training +
+    // encode, pinned by PqSpec/SimilaritySpec) — one is maintained by
+    // the stream, the other by one batch append
+    val srcBase = java.nio.file.Files.createTempDirectory("ivfs_base").toString
+    emb.filter(col("vec_id") < cut1)
+      .write.parquet(s"$srcBase/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("ivfs_stream").toString
+    val (rootS, rootB) = (s"$base/idxS", s"$base/idxB")
+    IvfPq.ivfPqIngest(spark, srcBase, rootS)
+    IvfPq.ivfPqIngest(spark, srcBase, rootB)
+    val rest = emb.filter(col("vec_id") >= cut1)
+    IvfPq.ivfPqAppend(rest, rootB)
+    // the stream delivers the rest as two micro-batches
+    val dir = s"$base/arrivals"
+    new java.io.File(dir).mkdirs()
+    Seq((emb.filter(col("vec_id") >= cut1 && col("vec_id") < cut2), "w1"),
+        (emb.filter(col("vec_id") >= cut2), "w2")).foreach { case (df, w) =>
+      df.coalesce(1).write.parquet(s"$dir/$w")
+      new java.io.File(s"$dir/$w").listFiles
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+          case (f, i) => java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$dir/$w-$i.parquet")) }
+      rmRf(new java.io.File(s"$dir/$w"))
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.streamingIvfPqIngest(stream, rootS, s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    def codes(root: String) = spark.read.parquet(root)
+      .collect().map(_.toString).sorted.toSeq
+    assert(codes(rootS) == codes(rootB),
+      "stream-built codes must equal the batch-append twin row-for-row")
+    // replay: a fresh stream over the SAME files and checkpoint has no
+    // new data; and even a forced re-delivery appends nothing, because
+    // the dedup append is presence-keyed
+    val (_, _, nBefore) = IvfPq.ivfPqAppendDedup(rest, rootS)
+    assert(codes(rootS) == codes(rootB) && nBefore == ids.length.toLong,
+      "re-delivered batch must be a no-op (presence dedup)")
+  }
 }
