@@ -123,13 +123,25 @@ object Bench {
       val sec = pat.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse {
         System.err.println(s"BENCH_FORK_FAIL $name (exit=${p.exitValue})"); -1.0
       }
-      name -> sec
+      // propagate the child's own `failed` entries (its ingest pass —
+      // a dead ingest must reach the parent artifact's failed field, or
+      // fork mode silently reintroduces the quiet-red-gate class the
+      // ingest split exists to kill; r12 review find). xN timings are
+      // intentionally NOT aggregated: each child rebuilds its own
+      // indexes as per-JVM setup, so summing would overstate the
+      // once-per-corpus cost the in-suite xN lines price.
+      val childFailed = "\"failed\":\\[([^\\]]*)\\]".r
+        .findFirstMatchIn(out).map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+      (name, sec, childFailed)
     }
     // A dead child records -1.0; keep it OUT of the headline total (a
     // negative sentinel summed in silently shrinks the number the judge
     // reads) and name it in an explicit "failed" field instead.
     val (ok, bad) = results.partition(_._2 >= 0)
-    emit(ok.toMap, sfDir, bad.map(_._1))
+    val failed = (bad.map(_._1) ++ results.flatMap(_._3)).distinct
+    emit(ok.map(r => r._1 -> r._2).toMap, sfDir, failed)
   }
 
   def main(args: Array[String]): Unit = {

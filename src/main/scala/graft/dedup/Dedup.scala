@@ -1426,7 +1426,10 @@ object Dedup {
   private def claimId(root: String, existing: Seq[Long]): Long = {
     val claims = s"$root/_claims"
     graft.ops.IndexFs.mkdirs(claims)
-    val claimed = graft.ops.IndexFs.childNames(claims).map(_.toLong)
+    // tolerate non-numeric detritus (NFS tombstones, stray sidecars) —
+    // a foreign file must not brick every future auto-id append
+    val claimed = graft.ops.IndexFs.childNames(claims)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
     var cand = (existing ++ claimed).foldLeft(-1L)(math.max) + 1L
     while (!graft.ops.IndexFs.createExclusive(s"$claims/$cand")) cand += 1
     cand
@@ -1658,15 +1661,8 @@ object Dedup {
                       d: String): (String, (Long, Long)) = {
     val root = graft.ops.Scratch.root(spark, d, "gram_index")
     val fp = graft.ops.Standing.fingerprint(s"$d/documents.parquet")
-    val c = graft.ops.Standing.validPayload(root, fp) match {
-      case Some(p) =>
-        val a = p.trim.split(" "); (a(0).toLong, a(1).toLong)
-      case None =>
-        val c = gramIndexIngest(Tables.documents(spark, d), root)
-        graft.ops.Standing.markValid(root, fp, s"${c._1} ${c._2}")
-        c
-    }
-    (root, c)
+    (root, graft.ops.Standing.ensureCounters(root, fp)(
+      gramIndexIngest(Tables.documents(spark, d), root)))
   }
 
   /** ENSURE the standing shingle index (q127) — the [[ensureGramIndex]]
@@ -1676,15 +1672,8 @@ object Dedup {
                          d: String): (String, (Long, Long)) = {
     val root = graft.ops.Scratch.root(spark, d, "shingle_index")
     val fp = graft.ops.Standing.fingerprint(s"$d/documents.parquet")
-    val c = graft.ops.Standing.validPayload(root, fp) match {
-      case Some(p) =>
-        val a = p.trim.split(" "); (a(0).toLong, a(1).toLong)
-      case None =>
-        val c = shingleIndexIngest(Tables.documents(spark, d), root)
-        graft.ops.Standing.markValid(root, fp, s"${c._1} ${c._2}")
-        c
-    }
-    (root, c)
+    (root, graft.ops.Standing.ensureCounters(root, fp)(
+      shingleIndexIngest(Tables.documents(spark, d), root)))
   }
 
   /** ENSURE the BUCKETED standing shingle index (q128). Returns
@@ -1694,15 +1683,8 @@ object Dedup {
     val table = graft.ops.Scratch.bucketedTable(spark, d, "shingle_ix")
     val fp = graft.ops.Standing.fingerprint(s"$d/documents.parquet")
     val tablePath = graft.ops.Scale.bucketPath(table)
-    val c = graft.ops.Standing.validPayload(tablePath, fp) match {
-      case Some(p) =>
-        val a = p.trim.split(" "); (a(0).toLong, a(1).toLong)
-      case None =>
-        val c = shingleIndexIngestBucketed(Tables.documents(spark, d), table)
-        graft.ops.Standing.markValid(tablePath, fp, s"${c._1} ${c._2}")
-        c
-    }
-    (table, c)
+    (table, graft.ops.Standing.ensureCounters(tablePath, fp)(
+      shingleIndexIngestBucketed(Tables.documents(spark, d), table)))
   }
 
   /** q125: the standing gram index made real — postings written once

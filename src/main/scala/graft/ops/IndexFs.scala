@@ -41,10 +41,23 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * own committers already assume of the store. */
 object IndexFs {
 
-  private def conf: Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  // Built once and cached: newHadoopConf() clones the full Spark+Hadoop
+  // configuration map, and several protocols call IndexFs in driver-side
+  // loops (committedBatchDirs probes per batch dir, claimId retries per
+  // candidate). Every call site in this library runs after the driver
+  // session exists, so the first call captures the session's conf.
+  @volatile private var conf0: Configuration = null
+  private def conf: Configuration = {
+    val c = conf0
+    if (c != null) c
+    else {
+      val built = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration())
+      conf0 = built
+      built
+    }
+  }
 
   private def fsOf(p: String): (FileSystem, Path) = {
     val path = new Path(p)
@@ -89,20 +102,45 @@ object IndexFs {
     ()
   }
 
-  /** Rename `src` → `dst`. Atomic on local/HDFS — see the scope note. */
-  def rename(src: String, dst: String): Boolean = {
+  /** Rename `src` → `dst`, THROWING on failure — Hadoop `rename`
+    * reports failure as `false` where `java.nio.Files.move` (the local
+    * predecessor at every call site) threw, and the compaction swaps
+    * that call this write high-water marks on the very next line: a
+    * silently-failed swap must not be recorded as done (r12 review
+    * find). Atomic on local/HDFS — see the scope note. */
+  def rename(src: String, dst: String): Unit = {
     val (fs, s) = fsOf(src)
-    fs.rename(s, new Path(dst))
+    if (!fs.rename(s, new Path(dst)))
+      sys.error(s"IndexFs.rename failed: $src -> $dst")
   }
 
   /** Atomic create-if-absent of an empty file: true iff THIS call
     * created it. The claim primitive — see the scope note. (The local
     * predecessor was `File.mkdir`; HDFS `mkdirs` returns true on an
-    * EXISTING dir, so dir creation cannot claim — files can.) */
+    * EXISTING dir, so dir creation cannot claim — files can.)
+    *
+    * Two implementations because atomicity lives in different places
+    * (r12 review find): Hadoop's local `create(overwrite=false)` is an
+    * exists-check then a plain open — NOT exclusive — so local paths go
+    * through NIO `Files.createFile` (O_EXCL, one syscall); on HDFS
+    * `create(overwrite=false)` is a single atomic namenode op. Losing
+    * the race returns false; any OTHER I/O error (namenode down,
+    * permissions) PROPAGATES — swallowing it would spin claimId's retry
+    * loop forever on a broken filesystem. */
   def createExclusive(p: String): Boolean = {
     val (fs, path) = fsOf(p)
-    try fs.createNewFile(path)
-    catch { case _: java.io.IOException => false }
+    fs match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val local = java.nio.file.Paths.get(path.toUri.getPath)
+        try { java.nio.file.Files.createFile(local); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case _ =>
+        try fs.createNewFile(path)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+    }
   }
 
   def readStringOpt(p: String): Option[String] = {

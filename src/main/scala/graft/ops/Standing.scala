@@ -82,4 +82,20 @@ object Standing {
     * of the build is fully written. */
   def markValid(root: String, fp: String, payload: String = ""): Unit =
     IndexFs.writeString(marker(root), fp + "\n" + payload)
+
+  /** The reuse-or-build scaffold for indexes whose payload is two
+    * counters — one definition instead of a copy per index (r12 review
+    * find: the gram/shingle/bucketed ensures were three identical
+    * match blocks). Runs `build` (which must fully write the index)
+    * only when no valid marker exists, then records its counters. */
+  def ensureCounters(root: String, fp: String)
+                    (build: => (Long, Long)): (Long, Long) =
+    validPayload(root, fp) match {
+      case Some(p) =>
+        val a = p.trim.split(" "); (a(0).toLong, a(1).toLong)
+      case None =>
+        val c = build
+        markValid(root, fp, s"${c._1} ${c._2}")
+        c
+    }
 }

@@ -248,9 +248,9 @@ def load_bench(raw):
     # still carries "qNN":millis pairs and the trailing metadata; pre-r8
     # artifacts only have verbose "qNN_name":sec pairs — recover those too
     qs = {_SHORT_TO_NAME.get(sid, sid): int(ms) / 1000.0
-          for sid, ms in re.findall(r'"(q\d+)":(\d+)[,}]', text)}
+          for sid, ms in re.findall(r'"([qx]\d+)":(\d+)[,}]', text)}
     qs.update({name: float(sec) for name, sec in
-               re.findall(r'"(q\d+_[a-z0-9_]+)":([0-9.]+)', text)})
+               re.findall(r'"([qx]\d+_[a-z0-9_]+)":([0-9.]+)', text)})
     if qs:
         totals = re.findall(r'"value":([0-9.]+)', text)
         nq = re.findall(r'"n_queries":(\d+)', text)
