@@ -352,6 +352,25 @@ class DedupSpec extends SparkSpec {
       .map(_.getName.stripPrefix("batch_").toLong)
     assert(dataIds.nonEmpty && dataIds.max > math.max(id0, id1),
       s"append must claim past bare claims: got $dataIds vs $id0/$id1")
+    // CONCURRENT claims race to the same candidates and must all win
+    // DISTINCT ids — this is exactly the O_EXCL atomicity the FileSystem
+    // port must preserve (r12 review find: Hadoop's local
+    // create(overwrite=false) is check-then-open, NOT exclusive; the
+    // claim primitive routes local paths through NIO createFile).
+    // A barrier lines all threads up on the same starting candidate.
+    val n = 16
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futures = (0 until n).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = { barrier.await(); Dedup.claimBatchId(root) }
+        })
+      }
+      val claimed = futures.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+      assert(claimed.distinct.length == n,
+        s"concurrent claims must win distinct ids, got $claimed")
+    } finally { pool.shutdownNow(); () }
   }
 
   test("gram index compact refuses while a committed postings batch " +
