@@ -58,19 +58,33 @@ object Tuning {
     envLong("GRAFT_FASTA_WRITE_TARGET_BYTES", 64L << 20)
 
   /** Largest query-batch size adcTopKBatch evaluates in ONE plan before
-    * chunking. The batched projection computes Q ADC distances per codes
-    * row — Q×M nested element_at lookups in one generated method — and
-    * the per-row cost grows super-linearly past Q≈64 as the method
-    * defeats whole-stage codegen (r10 sweep at 20k vectors,
-    * fork-isolated, single-plan: Q=16 2.0 s / 3.4× over singles, Q=64
-    * 10.1 s / 2.8×, Q=128 25.1 s / 2.6×, Q=256 169 s / 0.75× — SLOWER
-    * than 256 singles — plus a 16 GB driver OOM from JIT deopt at
-    * Q=256). Chunked Q=256 by sub-batch size: 16 → 15.2 s, 32 → 13.7 s
-    * (9.3× over singles, the winner — per-chunk scan overhead balances
-    * per-row projection width there), 64 → 18.5 s. Used by
-    * [[graft.similarity.Pq.adcTopKBatch]]. */
+    * chunking. HISTORY: through r11 the batched projection computed Q
+    * ADC distances per codes row as Q×M nested element_at lookups in
+    * one generated method, whose per-row cost grew super-linearly past
+    * Q≈64 as the method defeated whole-stage codegen (r10 sweep at 20k
+    * vectors, single-plan: Q=256 169 s — SLOWER than 256 singles — plus
+    * a 16 GB driver OOM from JIT deopt); 32 was the measured-best chunk.
+    * r12 rewrote the scorer to explode qi FIRST and key the table
+    * lookup by the qi COLUMN, so the generated expression is ONE M-term
+    * sum at any Q — remeasured same-box A/B at Q=256: one plan 18.5 s
+    * vs chunked-32 24.1 s at sf0.1 and 22.0 s vs 25.9 s at sf1, no OOM,
+    * every chunk being a FULL extra codes scan on this path. The
+    * ceiling is now the Q×M×K distance-table plan literal (task-binary
+    * bloat), not codegen: 256 → ~0.5 MB, the largest measured point.
+    * Used by [[graft.similarity.Pq.adcTopKBatch]]. */
   val AdcBatchMaxQ: Int =
-    envLong("GRAFT_ADC_BATCH_MAX_Q", 32L).toInt
+    envLong("GRAFT_ADC_BATCH_MAX_Q", 256L).toInt
+
+  /** The IVF-PQ batch path's chunk ceiling ([[graft.similarity.IvfPq
+    * .ivfPqTopKBatch]]) — SEPARATE from [[AdcBatchMaxQ]] because its
+    * chunking is not overhead: each chunk scans only the UNION of its
+    * members' probe partitions, and greedy probe-overlap packing
+    * measured −13.5% scanned rows at Q=256/nprobe=6 (r11). On a
+    * partition-pruned index, scanned volume — not plan width — is the
+    * 10¹¹-vector cost, so chunks stay small; the r12 explode-first
+    * scorer removed the codegen reason to chunk, not the pruning one. */
+  val IvfPqBatchMaxQ: Int =
+    envLong("GRAFT_IVFPQ_BATCH_MAX_Q", 32L).toInt
 
   /** Row count past which SMJ/cartesian per-key match buffers switch from
     * an on-heap ArrayBuffer to a spillable UnsafeExternalSorter

@@ -377,8 +377,9 @@ object IvfPq {
     * output matches it row-for-row (SimilaritySpec pins it). Shuffle
     * after the scan is O(Q × k·refine) TopKByScore buffers; the exact
     * re-rank touches only shortlist vectors. Chunked at
-    * [[graft.Tuning.AdcBatchMaxQ]] like [[Pq.adcTopKBatch]] (the same
-    * Q-wide-projection codegen ceiling applies), and chunks are packed
+    * [[graft.Tuning.IvfPqBatchMaxQ]] (its OWN ceiling since r12: the
+    * explode-first scorer removed the codegen reason to chunk — here
+    * chunking is kept for SCAN PRUNING), and chunks are packed
     * by PROBE-SET OVERLAP, not id order (r10 verdict item): each chunk
     * scans the union of its members' probe clusters, and at nprobe=6/16
     * a RANDOM 32-query chunk's union approaches all 16 clusters —
@@ -394,7 +395,7 @@ object IvfPq {
                      cents: Array[Array[Float]], books: Pq.Codebooks,
                      queryIds: Seq[Long], k: Int, nprobe: Int = 4,
                      corpusSize: Long = -1L, refine: Int = 0,
-                     maxChunk: Int = graft.Tuning.AdcBatchMaxQ,
+                     maxChunk: Int = graft.Tuning.IvfPqBatchMaxQ,
                      residual: Boolean = false): DataFrame = {
     require(queryIds.nonEmpty, "ivfPqTopKBatch: empty query batch")
     require(maxChunk > 0, "ivfPqTopKBatch: maxChunk must be positive")
@@ -469,34 +470,81 @@ object IvfPq {
       .select("vec_id", "cluster", "codes")
       // union-scan volume: rows read once for the whole batch
       .observe(observeName, count(lit(1)).as("scanned_rows"))
-    val probesLit = typedlit(probes)
-    val rawPairs =
-      if (residual) residualAdcPairs(scanned, books, cents, qIds, qVecs,
-        probes)
-      else Pq.adcPairs(scanned, books, qIds, qVecs)
-    val pairs = rawPairs
-      // per-(query, row) candidate restriction: only rows in THIS
-      // query's probe clusters compete — the single-query contract
-      // (in residual mode this also discards the zero-table garbage
-      // distances of non-probed (query, cluster) slots)
-      .filter(array_contains(
-        element_at(probesLit, col("qi") + 1), col("cluster")))
+    // Per-(query, row) candidate restriction by EXPLODING only the
+    // queries that probe the row's cluster (cluster → [qi] is a
+    // model-sized plan literal), instead of the r11 shape — compute all
+    // Q ADC distances per row, then filter each pair against its
+    // query's probe set. Same surviving pair multiset (specs pin batch
+    // == singles row-for-row), but the ADC work drops from Q to
+    // |probers(cluster)| per scanned row — at nprobe/k = 6/16 that is
+    // ~2.7× less distance compute in the serving hot loop, the term
+    // that IS the query cost at 10¹¹ vectors. It also shrinks the
+    // generated projection from a Q-wide method (the AdcBatchMaxQ
+    // codegen ceiling's cause) to ONE M-term expression with qi as a
+    // runtime column.
+    val kClusters = cents.length
+    val probersByCluster: Seq[Seq[Int]] =
+      (0 until kClusters).map(c => probes.zipWithIndex.collect {
+        case (ps, qi) if ps.contains(c) => qi })
+    val qIdsLit = typedlit(qIds)
+    val exploded = scanned.select(col("*"),
+      explode(element_at(typedlit(probersByCluster), col("cluster") + 1))
+        .as("qi"))
+    val adc =
+      if (residual) residualAdcExpr(books, cents, qIds, qVecs, probes)
+      else rawAdcExpr(books, qIds, qVecs)
+    val pairs = exploded
+      .withColumn("adc_dist", adc)
+      // a query never competes as its own candidate (the bruteForceTopK
+      // convention the contract's exact side follows)
+      .filter(element_at(qIdsLit, col("qi") + 1) =!= col("vec_id"))
       .select("vec_id", "qi", "adc_dist")
     Pq.batchShortlistRerank(pairs, emb, qIds, k, refine2,
       observeName + "_pq")
   }
 
-  /** The residual-mode batch scorer: one 4-D plan literal holds each
-    * query's PER-CLUSTER distance tables (Q·k·M·K doubles — at the
-    * AdcBatchMaxQ chunk size ≈1 MB, still model-sized), built only for
-    * the (query, cluster) slots the query actually probes; everything
-    * else rides as zeros and is discarded by the probe restriction
-    * before it can compete. Same posexplode shape as [[Pq.adcPairs]],
-    * with the table lookup keyed by the row's cluster. */
-  private def residualAdcPairs(scanned: DataFrame, books: Pq.Codebooks,
-                               cents: Array[Array[Float]], qIds: Seq[Long],
-                               qVecs: Map[Long, Array[Float]],
-                               probes: Seq[Seq[Int]]): DataFrame = {
+  /** RAW-mode ADC distance of the exploded (row, qi) pair: the per-query
+    * M×K distance tables ride as one Q×M×K plan literal (as in
+    * [[Pq.adcPairs]]), but `qi` is a runtime COLUMN — one M-term sum
+    * serves every query, so the generated code stays M-sized at any Q. */
+  private def rawAdcExpr(books: Pq.Codebooks, qIds: Seq[Long],
+                         qVecs: Map[Long, Array[Float]]): Column = {
+    val m = books.length
+    val sub = books.head.head.length
+    val tables: Seq[Seq[Seq[Double]]] = qIds.map { id =>
+      val q = qVecs(id)
+      books.zipWithIndex.map { case (cw, mi) =>
+        cw.map { c =>
+          var s = 0.0
+          var i = 0
+          while (i < sub) {
+            val dlt = q(mi * sub + i).toDouble - c(i)
+            s += dlt * dlt
+            i += 1
+          }
+          s
+        }.toSeq
+      }.toSeq
+    }
+    val t = typedlit(tables)
+    (0 until m).map { mi =>
+      element_at(element_at(element_at(t, col("qi") + 1), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** RESIDUAL-mode ADC distance of the exploded (row, qi) pair: one 4-D
+    * plan literal holds each query's PER-CLUSTER distance tables
+    * (Q·k·M·K doubles — at the AdcBatchMaxQ chunk size ≈1 MB, still
+    * model-sized), built only for the (query, cluster) slots the query
+    * actually probes; everything else rides as zeros and — since the
+    * probers-by-cluster explode generates only probed (query, row)
+    * pairs — is never even looked up. `qi` is a runtime column, so the
+    * generated expression is one M-term sum at any Q. */
+  private def residualAdcExpr(books: Pq.Codebooks,
+                              cents: Array[Array[Float]], qIds: Seq[Long],
+                              qVecs: Map[Long, Array[Float]],
+                              probes: Seq[Seq[Int]]): Column = {
     val m = books.length
     val sub = books.head.head.length
     val tables: Seq[Seq[Seq[Seq[Double]]]] = qIds.zipWithIndex.map {
@@ -521,17 +569,11 @@ object IvfPq {
         }
     }
     val t = typedlit(tables)
-    val qIdsLit = typedlit(qIds)
-    def adcFor(qi: Int): Column = (0 until m).map { mi =>
-      element_at(element_at(element_at(element_at(t, qi + 1),
+    (0 until m).map { mi =>
+      element_at(element_at(element_at(element_at(t, col("qi") + 1),
         col("cluster") + 1), mi + 1),
         element_at(col("codes"), mi + 1) + 1)
     }.reduce(_ + _)
-    scanned
-      .select(col("*"),
-        posexplode(array(qIds.indices.map(adcFor): _*))
-          .as(Seq("qi", "adc_dist")))
-      .filter(element_at(qIdsLit, col("qi") + 1) =!= col("vec_id"))
   }
 
   /** Batch-average recall contract — the metric ANN benchmarks actually

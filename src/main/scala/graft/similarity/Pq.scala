@@ -363,13 +363,24 @@ object Pq {
     }
     val t = typedlit(tables)
     val qIdsLit = typedlit(qIds)
-    def adcFor(qi: Int): Column = (0 until m).map { mi =>
-      element_at(element_at(element_at(t, qi + 1), mi + 1),
+    // Explode qi FIRST, then score with qi as a runtime COLUMN (r12) —
+    // the previous shape posexploded a Q-wide array of per-query
+    // expressions, so the generated projection grew Q×M element_at
+    // chains wide and defeated whole-stage codegen past Q≈64 (the
+    // measured AdcBatchMaxQ ceiling, BENCHMARKS.md "ADC batch-size
+    // sweep": Q=256 single-plan ran 0.75× of SINGLES and OOM'd a 16 GB
+    // driver on a JIT deopt of the giant method). With the lookup keyed
+    // by the qi column, the generated code is ONE M-term sum at any Q —
+    // same (row, qi) pair multiset, same distances (PqSpec pins batch ==
+    // singles row-for-row).
+    val adc = (0 until m).map { mi =>
+      element_at(element_at(element_at(t, col("qi") + 1), mi + 1),
         element_at(col("codes"), mi + 1) + 1)
     }.reduce(_ + _)
     codes
       .select(col("*"),
-        posexplode(array(qIds.indices.map(adcFor): _*)).as(Seq("qi", "adc_dist")))
+        explode(typedlit(qIds.indices.toList)).as("qi"))
+      .withColumn("adc_dist", adc)
       .filter(element_at(qIdsLit, col("qi") + 1) =!= col("vec_id"))
   }
 

@@ -50,13 +50,40 @@ object IvfPqProbe {
       spark.stop()
       return
     }
+    if (args.lift(2).contains("qscale")) {
+      // Wall of ONE-plan batches at growing Q vs the chunked default —
+      // the r12 explode-first rewrite claims the generated ADC
+      // projection is M-sized at ANY Q (the old shape posexploded a
+      // Q-wide array of per-query expressions, which defeated
+      // whole-stage codegen past Q≈64: the AdcBatchMaxQ ceiling's
+      // mechanism, BENCHMARKS.md "ADC batch-size sweep"). Warm reps,
+      // min of 2 (the PqBench discipline); same-run comparison so box
+      // noise cancels.
+      val nprobe = 6
+      for (q <- Seq(32, 64, 128, 256)) {
+        val ids = (0L until q.toLong).toSeq
+        def run(mc: Int): Double = {
+          val t0 = System.nanoTime()
+          IvfPq.ivfPqTopKBatch(spark, root, emb, cents, books, ids, k,
+            nprobe, corpusSize = n, maxChunk = mc).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        run(q); run(graft.Tuning.IvfPqBatchMaxQ) // warm both plans
+        val onePlan = (1 to 2).map(_ => run(q)).min
+        val chunked = (1 to 2).map(_ => run(graft.Tuning.IvfPqBatchMaxQ)).min
+        println(f"""{"metric":"ivfpq_qscale","q":$q,""" +
+          f""""one_plan_sec":$onePlan%.2f,"chunked32_sec":$chunked%.2f}""")
+      }
+      spark.stop()
+      return
+    }
     if (args.lift(2).contains("chunks")) {
       // scanned-rows A/B of batch chunking strategies (r11): id-order
       // chunks vs the shipped greedy probe-overlap packing, at the
       // production chunk size. scanned_rows is deterministic for a fixed
       // index+queries (the QueryProbe doctrine), so one pass decides.
       val Q = args.lift(3).map(_.toInt).getOrElse(64)
-      val maxChunk = graft.Tuning.AdcBatchMaxQ
+      val maxChunk = graft.Tuning.IvfPqBatchMaxQ
       val nprobe = args.lift(4).map(_.toInt).getOrElse(6)
       val ids = (0L until Q.toLong).toSeq
       def scannedOf(df: org.apache.spark.sql.DataFrame): Long = {

@@ -24,8 +24,10 @@ import graft.similarity.Pq
   * per-query mean over `singlesSample` queries (running 256 literal
   * singles would cost minutes and add no information).
   *
-  * Usage: runMain graft.tools.PqBench <sfDir> [reps] [sweepQs e.g. 4,16,64,256]
-  * Prints one JSON line for the split phases, then one per sweep Q.
+  * Usage: runMain graft.tools.PqBench <sfDir> [reps] [sweepQs e.g. 4,16,64,256] [maxChunk]
+  * `maxChunk` overrides the chunking ceiling for the sweep (e.g. 1024 =
+  * force ONE plan per Q — the r12 explode-first A/B). Prints one JSON
+  * line for the split phases, then one per sweep Q.
   */
 object PqBench {
   def main(args: Array[String]): Unit = {
@@ -34,6 +36,8 @@ object PqBench {
     val sweepQs: Seq[Int] =
       if (args.length > 2) args(2).split(",").toSeq.map(_.trim.toInt)
       else Seq(4)
+    val maxChunk =
+      if (args.length > 3) args(3).toInt else graft.Tuning.AdcBatchMaxQ
     val spark = Sessions.local()
     val metrics = new QueryProbe.TaskMetricsListener
     spark.sparkContext.addSparkListener(metrics)
@@ -77,7 +81,8 @@ object PqBench {
     for (qn <- sweepQs) {
       val qIds = (0L until qn.toLong).toSeq
       val run = () => {
-        val df = Pq.adcTopKBatch(codes, emb, qIds, 10, books, corpusSize = n)
+        val df = Pq.adcTopKBatch(codes, emb, qIds, 10, books,
+          corpusSize = n, maxChunk = maxChunk)
         df.collect() // collect: the observe lands on THIS QE (not count's)
         // sum across chunk-indexed observations (pq_batch / pq_batch_cN)
         val sp = df.queryExecution.observedMetrics.collect {
@@ -96,7 +101,7 @@ object PqBench {
       metrics.settle()
       val batchSec = batchTimes.sum / reps
       println(s"""{"metric":"pq_batch_sweep","sf":"$sfDir","n_vectors":$n,""" +
-        s""""q":$qn,"batch_sec":${ms(batchSec)},""" +
+        s""""q":$qn,"max_chunk":$maxChunk,"batch_sec":${ms(batchSec)},""" +
         s""""batch_min_sec":${ms(batchTimes.min)},""" +
         s""""singles_per_query_sec":${ms(singlesPer)},""" +
         s""""singles_est_sec":${ms(singlesPer * qn)},""" +
