@@ -410,6 +410,29 @@ object Similarity {
       .withColumn("dself", dotLong(col("micro"), col("micro")))
       .select("vec_id", "sig", "micro", "dself")
 
+  /** The planes dial as a FUNCTION of corpus size — the derived-cap
+    * treatment (q132's `deriveRareGramCap`) applied to semantic dedup's
+    * one scale knob. Candidate pairs grow ~n²/2^planes, so holding them
+    * ~linear in n needs planes to rise with log₂(n); this formula
+    * reproduces the MEASURED ladder exactly (tools.SemDedupProbe,
+    * BENCHMARKS "planes dial": 2k → 8, 20k → 12, 200k → 15 — each the
+    * probed sweet spot at its scale, and the fixed-8 alternative at 20k
+    * measured 100× the candidates and a 19,558/20,000 drop drift toward
+    * the chain-collapse cliff).
+    *
+    * `planes` is part of the SIMILARITY'S DEFINITION (the bucket scope
+    * decides which pairs can be compared — the same declared-contract
+    * status as q132's df cap), so the oracle-gated q133/q134 keep the
+    * portable constant their SQL twins recompute; production corpora
+    * pass `derivePlanes(count)` to [[semDeDup]]/[[semDeDupIngest]],
+    * whose fingerprints already cover the chosen value — a different
+    * derivation rebuilds, never silently mixes. */
+  def derivePlanes(n: Long, base: Long = 2000L,
+                   planes0: Int = NumPlanes): Int =
+    if (n <= base) planes0
+    else planes0 +
+      math.ceil(math.log(n.toDouble / base) / math.log(2.0)).toInt
+
   /** SemDeDup over a TRAINED k-means clustering — the paper's actual
     * shape (Abbas et al. §2 scopes candidate pairs by k-means cluster;
     * the registered q133/q134 use the portable LSH signature precisely

@@ -748,6 +748,28 @@ class SimilaritySpec extends SparkSpec {
       ids.length.toLong, "healed count must be re-marked")
   }
 
+  test("derivePlanes reproduces the measured planes ladder and is " +
+       "monotone with a floor") {
+    // the probed sweet spots (BENCHMARKS "planes dial", SemDedupProbe):
+    // 2k → 8, 20k → 12, 200k → 15 — the formula must land on all three
+    assert(Similarity.derivePlanes(2000L) == 8)
+    assert(Similarity.derivePlanes(20000L) == 12)
+    assert(Similarity.derivePlanes(200000L) == 15)
+    // floor: tiny corpora never go below the portable default
+    assert(Similarity.derivePlanes(10L) == 8)
+    // monotone nondecreasing across three decades
+    val ns = Seq(1L, 2000L, 5000L, 20000L, 90000L, 200000L, 2000000L)
+    val ps = ns.map(Similarity.derivePlanes(_))
+    assert(ps == ps.sorted, s"derivePlanes must be monotone: $ps")
+    // ~linear candidate budget: each 2x of corpus adds ≤1 plane, so
+    // n²/2^planes grows at most linearly
+    ns.zip(ps).sliding(2).foreach { case Seq((n1, p1), (n2, p2)) =>
+      val doublings = math.log(n2.toDouble / n1) / math.log(2.0)
+      assert(p2 - p1 <= math.ceil(doublings) + 1e-9,
+        s"planes must not outrun the doublings: $n1->$n2 gave $p1->$p2")
+    }
+  }
+
   test("semDeDup on a TRAINED k-means clustering (the paper's shape): " +
        "planted clusters collapse to few keepers, every planted label " +
        "survives, CC keepers ⊆ direct keepers, clones drop") {
