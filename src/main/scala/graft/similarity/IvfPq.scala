@@ -370,11 +370,11 @@ object IvfPq {
     * search). One scan reads the UNION of the batch's probed cluster
     * partitions (partition pruning at the file index; everything
     * outside every query's probe set is never listed); each scanned row
-    * posexplodes its Q ADC distances MAP-SIDE ([[Pq.adcPairs]], all Q
-    * distance tables as one plan literal), and each (query, row) pair
-    * survives only if the row's cluster is in THAT query's probe set —
-    * so per query the candidate set is EXACTLY [[ivfPqTopK]]'s, and the
-    * output matches it row-for-row (SimilaritySpec pins it). Shuffle
+    * explodes to ONLY the queries whose probe set contains its cluster
+    * (a cluster → [qi] plan literal, r12) and is ADC-scored map-side
+    * for those survivors alone — so per query the candidate set is
+    * EXACTLY [[ivfPqTopK]]'s, and the output matches it row-for-row
+    * (SimilaritySpec pins it). Shuffle
     * after the scan is O(Q × k·refine) TopKByScore buffers; the exact
     * re-rank touches only shortlist vectors. Chunked at
     * [[graft.Tuning.IvfPqBatchMaxQ]] (its OWN ceiling since r12: the
@@ -503,40 +503,20 @@ object IvfPq {
       observeName + "_pq")
   }
 
-  /** RAW-mode ADC distance of the exploded (row, qi) pair: the per-query
-    * M×K distance tables ride as one Q×M×K plan literal (as in
-    * [[Pq.adcPairs]]), but `qi` is a runtime COLUMN — one M-term sum
-    * serves every query, so the generated code stays M-sized at any Q. */
+  /** RAW-mode ADC distance of the exploded (row, qi) pair: the shared
+    * [[Pq.adcTables]] tables as one Q×M×K plan literal, summed via the
+    * shared qi-column expression [[Pq.adcSumAtQi]] — one definition with
+    * the flat batch scorer, so the "bit-identical to the single-query
+    * plan" guarantee cannot drift between the two paths. */
   private def rawAdcExpr(books: Pq.Codebooks, qIds: Seq[Long],
-                         qVecs: Map[Long, Array[Float]]): Column = {
-    val m = books.length
-    val sub = books.head.head.length
-    val tables: Seq[Seq[Seq[Double]]] = qIds.map { id =>
-      val q = qVecs(id)
-      books.zipWithIndex.map { case (cw, mi) =>
-        cw.map { c =>
-          var s = 0.0
-          var i = 0
-          while (i < sub) {
-            val dlt = q(mi * sub + i).toDouble - c(i)
-            s += dlt * dlt
-            i += 1
-          }
-          s
-        }.toSeq
-      }.toSeq
-    }
-    val t = typedlit(tables)
-    (0 until m).map { mi =>
-      element_at(element_at(element_at(t, col("qi") + 1), mi + 1),
-        element_at(col("codes"), mi + 1) + 1)
-    }.reduce(_ + _)
-  }
+                         qVecs: Map[Long, Array[Float]]): Column =
+    Pq.adcSumAtQi(typedlit(Pq.adcTables(books, qIds, qVecs)), books.length)
 
   /** RESIDUAL-mode ADC distance of the exploded (row, qi) pair: one 4-D
     * plan literal holds each query's PER-CLUSTER distance tables
-    * (Q·k·M·K doubles — at the AdcBatchMaxQ chunk size ≈1 MB, still
-    * model-sized), built only for the (query, cluster) slots the query
+    * (Q·k·M·K doubles — ≈1 MB at the IvfPqBatchMaxQ chunk size of 32
+    * this path runs at; ~8× that if a caller forces AdcBatchMaxQ-sized
+    * residual chunks), built only for the (query, cluster) slots the query
     * actually probes; everything else rides as zeros and — since the
     * probers-by-cluster explode generates only probed (query, row)
     * pairs — is never even looked up. `qi` is a runtime column, so the

@@ -278,15 +278,17 @@ object Pq {
     * single-query runs row-for-row. Returns (q_id, rk, vec_id, cos_sim).
     *
     * Batches larger than `maxChunk` ([[graft.Tuning.AdcBatchMaxQ]]) are
-    * CHUNKED into independent sub-batch scans and unioned: the Q-wide
-    * projection is Q×M nested lookups in one generated method, and the
-    * r10 sweep measured its per-row cost growing super-linearly past
-    * Q≈64 until Q=256 in one plan ran SLOWER than 256 singles and OOM'd
-    * a 16 GB driver; chunked at the measured-best 32, Q=256 runs 13.7 s
-    * vs 169 s single-plan and 127 s singles (Tuning scaladoc has the
-    * table). Queries are independent, so chunking is result-invariant
-    * (SimilaritySpec pins chunked == unchunked) and the scan count grows
-    * only as ceil(Q / maxChunk). */
+    * CHUNKED into independent sub-batch scans and unioned. HISTORY: the
+    * ceiling existed because the pre-r12 Q-wide projection defeated
+    * codegen past Q≈64 (Q=256 one-plan ran slower than 256 singles and
+    * OOM'd a 16 GB driver); the r12 explode-first scorer keeps the
+    * generated code M-sized at any Q, remeasured one-plan FASTER than
+    * chunked to Q=256 (18.5 vs 24.1 s sf0.1; 22.0 vs 25.9 s sf1 —
+    * every chunk on this path is a full extra codes scan), and the
+    * default rose 32 → 256. The remaining ceiling is the Q×M×K
+    * distance-table literal (~0.5 MB at 256). Queries are independent,
+    * so chunking is result-invariant (SimilaritySpec pins chunked ==
+    * unchunked) and the scan count grows only as ceil(Q / maxChunk). */
   def adcTopKBatch(codes: DataFrame, emb: DataFrame, queryIds: Seq[Long],
                    k: Int, books: Codebooks, refine: Int = 0,
                    corpusSize: Long = -1L,
@@ -335,18 +337,45 @@ object Pq {
     qVecs
   }
 
-  /** Map-side batch scoring: every codes row posexplodes to Q
+  /** Map-side batch scoring: every codes row explodes to Q
     * (qi, adc_dist) pairs — all Q M×K distance tables ride the plan as
-    * ONE 3-D literal, sums in fixed subspace order (bit-identical to the
-    * single-query plan), each query's own row excluded. Extra input
-    * columns (IvfPq's `cluster`) pass through, so callers can restrict
-    * the per-(query, row) candidate set after the explode. */
+    * ONE 3-D literal ([[adcTables]]), the lookup keyed by the qi COLUMN
+    * ([[adcSumAtQi]] — one M-term sum at any Q), sums in fixed subspace
+    * order (bit-identical to the single-query plan), each query's own
+    * row excluded. (The IVF-PQ batch path has its own prober-restricted
+    * explode in IvfPq — it no longer routes through here.) */
   private[similarity] def adcPairs(codes: DataFrame, books: Codebooks,
                                    qIds: Seq[Long],
                                    qVecs: Map[Long, Array[Float]]): DataFrame = {
-    val m = books.length
+    val t = typedlit(adcTables(books, qIds, qVecs))
+    val qIdsLit = typedlit(qIds)
+    // Explode qi FIRST, then score with qi as a runtime COLUMN (r12) —
+    // the previous shape posexploded a Q-wide array of per-query
+    // expressions, so the generated projection grew Q×M element_at
+    // chains wide and defeated whole-stage codegen past Q≈64 (the
+    // measured AdcBatchMaxQ ceiling, BENCHMARKS.md "ADC batch-size
+    // sweep": Q=256 single-plan ran 0.75× of SINGLES and OOM'd a 16 GB
+    // driver on a JIT deopt of the giant method). With the lookup keyed
+    // by the qi column, the generated code is ONE M-term sum at any Q —
+    // same (row, qi) pair multiset, same distances (PqSpec pins batch ==
+    // singles row-for-row).
+    codes
+      .select(col("*"),
+        explode(typedlit(qIds.indices.toList)).as("qi"))
+      .withColumn("adc_dist", adcSumAtQi(t, books.length))
+      .filter(element_at(qIdsLit, col("qi") + 1) =!= col("vec_id"))
+  }
+
+  /** The Q×M×K raw ADC distance tables (squared-distance contribution of
+    * each (query, subspace, code) cell) — ONE definition shared by the
+    * flat batch scorer above and IvfPq's raw batch path, so the
+    * "bit-identical to the single-query plan" guarantee lives in one
+    * place (r12 review find: the builder had been duplicated verbatim). */
+  private[similarity] def adcTables(
+      books: Codebooks, qIds: Seq[Long],
+      qVecs: Map[Long, Array[Float]]): Seq[Seq[Seq[Double]]] = {
     val sub = books.head.head.length
-    val tables: Seq[Seq[Seq[Double]]] = qIds.map { id =>
+    qIds.map { id =>
       val q = qVecs(id)
       books.zipWithIndex.map { case (cents, mi) =>
         cents.map { c =>
@@ -361,28 +390,15 @@ object Pq {
         }.toSeq
       }.toSeq
     }
-    val t = typedlit(tables)
-    val qIdsLit = typedlit(qIds)
-    // Explode qi FIRST, then score with qi as a runtime COLUMN (r12) —
-    // the previous shape posexploded a Q-wide array of per-query
-    // expressions, so the generated projection grew Q×M element_at
-    // chains wide and defeated whole-stage codegen past Q≈64 (the
-    // measured AdcBatchMaxQ ceiling, BENCHMARKS.md "ADC batch-size
-    // sweep": Q=256 single-plan ran 0.75× of SINGLES and OOM'd a 16 GB
-    // driver on a JIT deopt of the giant method). With the lookup keyed
-    // by the qi column, the generated code is ONE M-term sum at any Q —
-    // same (row, qi) pair multiset, same distances (PqSpec pins batch ==
-    // singles row-for-row).
-    val adc = (0 until m).map { mi =>
+  }
+
+  /** The qi-COLUMN-keyed M-term ADC sum over a 3-D tables literal —
+    * the expression shape that keeps generated code M-sized at any Q. */
+  private[similarity] def adcSumAtQi(t: Column, m: Int): Column =
+    (0 until m).map { mi =>
       element_at(element_at(element_at(t, col("qi") + 1), mi + 1),
         element_at(col("codes"), mi + 1) + 1)
     }.reduce(_ + _)
-    codes
-      .select(col("*"),
-        explode(typedlit(qIds.indices.toList)).as("qi"))
-      .withColumn("adc_dist", adc)
-      .filter(element_at(qIdsLit, col("qi") + 1) =!= col("vec_id"))
-  }
 
   /** Bounded per-query shortlists + exact re-rank over scored
     * (vec_id, qi, adc_dist) pairs: the only shuffle after the scan is

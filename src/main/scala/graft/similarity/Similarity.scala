@@ -426,12 +426,20 @@ object Similarity {
     * portable constant their SQL twins recompute; production corpora
     * pass `derivePlanes(count)` to [[semDeDup]]/[[semDeDupIngest]],
     * whose fingerprints already cover the chosen value — a different
-    * derivation rebuilds, never silently mixes. */
+    * derivation rebuilds, never silently mixes.
+    *
+    * CLAMPED at 31: [[portableSignatureCol]] packs plane bits into an
+    * INT (`1 << p`), so planes ≥ 32 would silently alias onto low bits —
+    * bucket corruption, not an error (r12 review find). 31 planes cover
+    * n ≈ base·2²³ ≈ 1.7×10¹⁰ vectors at the default base; past that,
+    * swap the bucket key for a trained clustering
+    * ([[semDeDupKMeans]] — the paper's shape, no bit-packing limit) or
+    * widen the signature type alongside its oracle convention. */
   def derivePlanes(n: Long, base: Long = 2000L,
                    planes0: Int = NumPlanes): Int =
     if (n <= base) planes0
-    else planes0 +
-      math.ceil(math.log(n.toDouble / base) / math.log(2.0)).toInt
+    else math.min(31, planes0 +
+      math.ceil(math.log(n.toDouble / base) / math.log(2.0)).toInt)
 
   /** SemDeDup over a TRAINED k-means clustering — the paper's actual
     * shape (Abbas et al. §2 scopes candidate pairs by k-means cluster;

@@ -60,7 +60,8 @@ object IvfPqProbe {
       // min of 2 (the PqBench discipline); same-run comparison so box
       // noise cancels.
       val nprobe = 6
-      for (q <- Seq(32, 64, 128, 256)) {
+      val chunk = graft.Tuning.IvfPqBatchMaxQ
+      for (q <- Seq(64, 128, 256)) { // q == chunk would time one plan twice
         val ids = (0L until q.toLong).toSeq
         def run(mc: Int): Double = {
           val t0 = System.nanoTime()
@@ -68,11 +69,11 @@ object IvfPqProbe {
             nprobe, corpusSize = n, maxChunk = mc).count()
           (System.nanoTime() - t0) / 1e9
         }
-        run(q); run(graft.Tuning.IvfPqBatchMaxQ) // warm both plans
+        run(q); run(chunk) // warm both plans
         val onePlan = (1 to 2).map(_ => run(q)).min
-        val chunked = (1 to 2).map(_ => run(graft.Tuning.IvfPqBatchMaxQ)).min
-        println(f"""{"metric":"ivfpq_qscale","q":$q,""" +
-          f""""one_plan_sec":$onePlan%.2f,"chunked32_sec":$chunked%.2f}""")
+        val chunked = (1 to 2).map(_ => run(chunk)).min
+        println(f"""{"metric":"ivfpq_qscale","q":$q,"chunk":$chunk,""" +
+          f""""one_plan_sec":$onePlan%.2f,"chunked_sec":$chunked%.2f}""")
       }
       spark.stop()
       return
