@@ -757,6 +757,10 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.derivePlanes(200000L) == 15)
     // floor: tiny corpora never go below the portable default
     assert(Similarity.derivePlanes(10L) == 8)
+    // ceiling: the int-packed signature has 32 usable bits — planes must
+    // clamp at 31 instead of silently aliasing buckets (1 << 32 == 1)
+    assert(Similarity.derivePlanes(Long.MaxValue / 4) == 31)
+    assert(Similarity.derivePlanes(100L * 1000 * 1000 * 1000) == 31)
     // monotone nondecreasing across three decades
     val ns = Seq(1L, 2000L, 5000L, 20000L, 90000L, 200000L, 2000000L)
     val ps = ns.map(Similarity.derivePlanes(_))
