@@ -244,12 +244,14 @@ object Bench {
     // driver; results recorded in BENCHMARKS.md.
     val gcBefore = sys.env.get("SPARK_GRAFT_BENCH_GC_BEFORE")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
-    val results = queries.map { case (name, fn) =>
-      System.err.println(s"BENCH_RUN $name")
-      if (gcBefore(name)) System.gc()
+    // One timed execution of `name` — shared by the timed pass and the
+    // solo-retry pass so both readings time the identical action
+    // (collect for observed queries, count otherwise). stdout stays a
+    // single JSON line; failures go to stderr so a broken query is
+    // visible instead of silently benching as wall-clock-to-throw.
+    def runTimed(name: String, fn: (SparkSession, String) => DataFrame,
+                 harvest: Boolean): Double = {
       val t0 = System.nanoTime()
-      // stdout stays a single JSON line; failures go to stderr so a broken
-      // query is visible instead of silently benching as wall-clock-to-throw
       try {
         val wrapped = observes.get(name).map(w => w(fn(spark, sfDir)))
           .orElse(if (observedInPlan(name)) Some(fn(spark, sfDir)) else None)
@@ -268,7 +270,7 @@ object Bench {
                   .map { case (f, v) => (nm, f, v) } }
             val dup = fields.groupBy(_._2).collect {
               case (f, vs) if vs.size > 1 => f }.toSet
-            if (fields.nonEmpty)
+            if (harvest && fields.nonEmpty)
               observedOut(name) = fields
                 .map { case (nm, f, v) =>
                   "\"" + (if (dup(f)) s"${nm}_$f" else f) + "\":" + jsonValue(v) }
@@ -278,10 +280,46 @@ object Bench {
       } catch {
         case e: Throwable => System.err.println(s"BENCH_FAIL $name: $e")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val results = queries.map { case (name, fn) =>
+      System.err.println(s"BENCH_RUN $name")
+      if (gcBefore(name)) System.gc()
+      name -> runTimed(name, fn, harvest = true)
+    }
+    // SOLO-RETRY adjudication (r12 verdict task #1). Three consecutive
+    // rounds shipped a red gate on a line that probed fine solo — the
+    // shared host has multi-hour noisy-neighbor windows where one query's
+    // in-suite reading lands 3-6x its steady state with byte-identical
+    // shuffle volume (r12: q124 44.9 s in-suite vs 6.1-7.6 s solo), and
+    // check_bench's whole-suite box factor cannot catch a window that
+    // degrades MID-RUN. So Bench itself adjudicates: compute the exact
+    // budget model the gate uses (graft.Budgets == check_bench.py,
+    // lockstep pinned by BudgetSyncSpec), and re-run each over-budget
+    // QUERY line once, solo, at the end of the suite — quiet-tail timing
+    // with a fresh GC, the same action, the same JVM warmth. Both
+    // readings ship in the artifact (`retry` field); check_bench passes
+    // the line as NOISY when the retry is within budget and keeps FAIL
+    // when it is not (a real plan regression is slow twice). Ingest
+    // lines never retry: each xN builds persistent standing state, so a
+    // second run would measure a different (reuse/no-op) code path.
+    val retry =
+      if (sys.env.get("SPARK_GRAFT_BENCH_NORETRY").contains("1")) Nil
+      else {
+        val box = Budgets.boxFactor(ingestResults ++ results)
+        val qmap = queries.toMap
+        results.filter { case (n, sec) => sec > Budgets.budget(n, box) }
+          .map { case (name, sec) =>
+            System.err.println(
+              f"BENCH_RETRY $name (in-suite $sec%.2fs > budget " +
+                f"${Budgets.budget(name, box)}%.2fs at box $box%.2f)")
+            System.gc()
+            name -> runTimed(name, qmap(name), harvest = false)
+          }
+      }
     emit((ingestResults ++ results).toMap, sfDir,
-      failed = ingestFailed.toSeq, observed = observedOut.toSeq)
+      failed = ingestFailed.toSeq, observed = observedOut.toSeq,
+      retry = retry)
     spark.stop()
   }
 
@@ -328,7 +366,8 @@ object Bench {
   // of any capture carry the headline number.
   private def emit(results: Map[String, Double], sfDir: String,
                    failed: Seq[String] = Nil,
-                   observed: Seq[(String, String)] = Nil): Unit = {
+                   observed: Seq[(String, String)] = Nil,
+                   retry: Seq[(String, Double)] = Nil): Unit = {
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
@@ -338,13 +377,24 @@ object Bench {
     // byte budget is what survives the driver's tail capture
     val obsJson = observed.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // solo-retry readings (over-budget lines re-run at suite end). On
+    // BOTH lines: the retry map is empty on a quiet box and a handful of
+    // entries in a noisy window, so it fits the compact line's tail-
+    // capture byte budget — and the gate's adjudication must survive the
+    // driver's 2000-char capture or the retry was measured for nothing.
+    val retryVerbose = retry.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val retryCompact = retry.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000).toLong
+    }.mkString("{", ",", "}")
     val meta = s""""n_queries":${results.size},"n_failed":${failed.size},""" +
       s""""unit":"sec","metric":"total","value":${ms(total)}"""
     println(s"""{"queries":$qs,"failed":$failedJson,"observed":$obsJson,""" +
-      s""""sf":"$sfDir",$meta}""")
+      s""""retry":$retryVerbose,"sf":"$sfDir",$meta}""")
     val qms = results.toSeq.sortBy(_._2).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000).toLong
     }.mkString("{", ",", "}")
-    println(s"""{"qms":$qms,"failed":$failedJson,"sf":"$sfDir",$meta}""")
+    println(s"""{"qms":$qms,"failed":$failedJson,"retry":$retryCompact,""" +
+      s""""sf":"$sfDir",$meta}""")
   }
 }

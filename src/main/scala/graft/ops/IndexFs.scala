@@ -46,16 +46,26 @@ object IndexFs {
   // loops (committedBatchDirs probes per batch dir, claimId retries per
   // candidate). Every call site in this library runs after the driver
   // session exists, so the first call captures the session's conf.
+  // `getActiveSession` is THREAD-LOCAL: the first IndexFs call can land
+  // on a user pool thread with no active session (concurrent claimId
+  // callers do exactly this), and caching `new Configuration()` there
+  // would permanently drop the session's Hadoop config — s3a credentials,
+  // HA namenode mappings — for all later metadata I/O on exactly the
+  // cluster deployments this façade targets (r12 advisor find). So: fall
+  // back to the JVM-GLOBAL default session, and NEVER cache the bare
+  // no-session Configuration — retry until a session exists.
   @volatile private var conf0: Configuration = null
   private def conf: Configuration = {
     val c = conf0
     if (c != null) c
     else {
-      val built = org.apache.spark.sql.SparkSession.getActiveSession
+      val fromSession = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
         .map(_.sessionState.newHadoopConf())
-        .getOrElse(new Configuration())
-      conf0 = built
-      built
+      fromSession match {
+        case Some(built) => conf0 = built; built
+        case None => new Configuration() // uncached: next call retries
+      }
     }
   }
 
@@ -95,10 +105,17 @@ object IndexFs {
     ()
   }
 
-  /** Recursive delete; a missing path is a no-op. */
+  /** Recursive delete; a missing path is a no-op. THROWS when Hadoop
+    * reports failure (`delete` → false on an EXISTING path) — the rebuild
+    * cleanup in semDeDupIngest deletes stale committed `batch_*` dirs and
+    * then writes the validity marker that blesses whatever survived; a
+    * silently-failed delete there is exactly the stale-append pollution
+    * the cleanup exists to prevent (r12 advisor find — mirrors rename's
+    * throw-on-false contract). */
   def delete(p: String): Unit = {
     val (fs, path) = fsOf(p)
-    fs.delete(path, true)
+    if (!fs.delete(path, true) && fs.exists(path))
+      sys.error(s"IndexFs.delete failed: $p still exists")
     ()
   }
 

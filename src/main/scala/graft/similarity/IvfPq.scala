@@ -208,12 +208,22 @@ object IvfPq {
       s"ivfPqAppendDedup: no standing IVF-PQ index at $root — run" +
         " ivfPqIngest first (appends extend a trained model)"))
     val (cents, books, n, residual) = parse(p)
+    // True standing size, straight from data — but NOT as its own
+    // count() scan: at the documented 10^11-vector target that second
+    // O(corpus) pass per trigger doubles the maintenance read volume
+    // (r12 advisor find). The anti join below already streams every
+    // standing vec_id through its build side exactly once, so an
+    // in-plan observe node rides that same pass for free; the metric
+    // lands when `missing.count()` executes the join.
+    val obs = new org.apache.spark.sql.Observation()
     val standingIds = spark.read.parquet(root).select("vec_id")
-    val actual = standingIds.count() // true standing size, straight from data
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("standing_n"))
     val missing = newEmb.join(standingIds, Seq("vec_id"), "left_anti")
       .persist() // read by the append's count AND its encode+write
     try {
       val missN = missing.count()
+      val actual = obs.get("standing_n").asInstanceOf[Long]
       val trueN = actual + missN
       if (missN > 0L) ivfPqAppend(missing, root)
       // the payload count is recomputed FROM DATA, never trusted from

@@ -16,6 +16,16 @@ Usage:  python3 tools/check_bench.py [BENCH_rN.json | bench.log]
 
 Exit 0 = within budget, exit 1 = regression (or any failed query).
 
+Solo-retry adjudication (r12 verdict task #1): Bench re-runs over-budget
+query lines solo at suite end and ships both readings in a `retry` field.
+A line whose retry is within budget prints NOISY (mid-run noisy-neighbor
+window — the shared host has multi-hour ones) and does not fail the gate;
+its retry reading also replaces the in-suite one in the total check. A
+retry still over budget fails loudly: a real regression is slow twice.
+The budget model here is mirrored in src/main/scala/graft/Budgets.scala
+(Bench needs it in-process to pick retry lines); BudgetSyncSpec parses
+this file and fails the build if the two tables drift.
+
 Calibration: budgets derive from per-query TYPICAL times (measured sf0.1
 local[32] steady state) scaled by a BOX FACTOR computed at run time — the
 median of observed/typical across the whole suite. A box that runs
@@ -206,14 +216,27 @@ TOTAL_HEADROOM = 1.6    # suite total: tighter than per-query (noise
 _SHORT_TO_NAME = {name.split("_")[0]: name for name in TYPICAL}
 
 
+def _retry_map(bench):
+    """The solo-retry readings (r12: Bench re-runs over-budget query lines
+    solo at suite end and ships both numbers). Verbose line: full names +
+    seconds; compact line: short ids + millis (same convention as qms)."""
+    r = bench.get("retry") or {}
+    if "qms" in bench:  # compact line: short id -> millis
+        return {_SHORT_TO_NAME.get(sid, sid): ms / 1000.0
+                for sid, ms in r.items()}
+    return dict(r)
+
+
 def _normalize(bench):
-    """-> (queries {name: sec}, total sec or None, failed [name])."""
+    """-> (queries {name: sec}, total sec or None, failed [name],
+    retry {name: sec})."""
     failed = bench.get("failed", [])
     if "queries" in bench:
-        return dict(bench["queries"]), bench.get("value"), failed
+        return (dict(bench["queries"]), bench.get("value"), failed,
+                _retry_map(bench))
     qs = {_SHORT_TO_NAME.get(sid, sid): ms / 1000.0
           for sid, ms in bench["qms"].items()}
-    return qs, bench.get("value"), failed
+    return qs, bench.get("value"), failed, _retry_map(bench)
 
 
 def load_bench(raw):
@@ -246,7 +269,17 @@ def load_bench(raw):
             return _normalize(bench)
     # regex fallback: a capture that cut even the compact line mid-object
     # still carries "qNN":millis pairs and the trailing metadata; pre-r8
-    # artifacts only have verbose "qNN_name":sec pairs — recover those too
+    # artifacts only have verbose "qNN_name":sec pairs — recover those too.
+    # The retry object's pairs use the SAME key convention, so extract and
+    # strip it FIRST — otherwise a retry entry would silently overwrite
+    # its query's timed reading in the recovered dict.
+    retry = {}
+    for robj in re.findall(r'"retry":(\{[^}]*\})', text):
+        retry.update({_SHORT_TO_NAME.get(sid, sid): int(ms) / 1000.0
+                      for sid, ms in re.findall(r'"([qx]\d+)":(\d+)', robj)})
+        retry.update({name: float(sec) for name, sec in
+                      re.findall(r'"([qx]\d+_[a-z0-9_]+)":([0-9.]+)', robj)})
+    text = re.sub(r'"retry":\{[^}]*\}', '"retry":{}', text)
     qs = {_SHORT_TO_NAME.get(sid, sid): int(ms) / 1000.0
           for sid, ms in re.findall(r'"([qx]\d+)":(\d+)[,}]', text)}
     qs.update({name: float(sec) for name, sec in
@@ -260,13 +293,13 @@ def load_bench(raw):
         total = float(totals[-1]) if totals and complete else None
         print(f"NOTE: truncated capture — regex fallback recovered "
               f"{len(qs)} per-query entries (remaining rows are lost)")
-        return qs, total, []
+        return qs, total, [], retry
     raise SystemExit("check_bench: no parseable bench line in input")
 
 
 def main() -> int:
     raw = open(sys.argv[1]).read() if len(sys.argv) > 1 else sys.stdin.read()
-    queries, total, failed_queries = load_bench(raw)
+    queries, total, failed_queries, retry = load_bench(raw)
 
     # Box factor: median observed/typical over the whole suite, clamped —
     # a broken box claim can at most 4x the budgets, never erase the gate.
@@ -275,33 +308,62 @@ def main() -> int:
     box = ratios[len(ratios) // 2] if ratios else 1.0
     box = max(0.5, min(4.0, box))
 
-    failures, warns = [], []
+    failures, warns, noisy = [], [], []
     for name in failed_queries:
         failures.append(f"FAIL {name}: query failed (excluded from total)")
+    # Adjudicated total: when a line's solo retry passes, the in-suite
+    # reading was box noise, so the retry reading (the query's real cost)
+    # replaces it for the suite-total check too — otherwise one 45s noise
+    # spike fails the total gate even after its own line is adjudicated.
+    adj_total_delta = 0.0
     for name, sec in sorted(queries.items()):
         budget = max(FLOOR_SEC * box,
                      TYPICAL.get(name, DEFAULT_TYPICAL) * HEADROOM * box)
         if sec > budget:
-            failures.append(f"FAIL {name}: {sec:.2f}s > budget {budget:.1f}s "
-                            f"(typical {TYPICAL.get(name, DEFAULT_TYPICAL):.1f}s"
-                            f" x box {box:.2f})")
+            rsec = retry.get(name)
+            if rsec is not None and rsec <= budget:
+                # solo-retry adjudication (r12 task #1): Bench re-ran this
+                # line solo at suite end and it came back within budget —
+                # a mid-run noisy-neighbor window, not a plan regression
+                # (a real regression is slow twice)
+                noisy.append(f"NOISY {name}: {sec:.2f}s in-suite > budget "
+                             f"{budget:.1f}s, but solo retry {rsec:.2f}s is "
+                             f"within budget — adjudicated box noise")
+                adj_total_delta += sec - rsec
+            elif rsec is not None:
+                failures.append(f"FAIL {name}: {sec:.2f}s > budget "
+                                f"{budget:.1f}s AND solo retry {rsec:.2f}s "
+                                f"still over (typical "
+                                f"{TYPICAL.get(name, DEFAULT_TYPICAL):.1f}s"
+                                f" x box {box:.2f}) — regression, not noise")
+            else:
+                failures.append(f"FAIL {name}: {sec:.2f}s > budget "
+                                f"{budget:.1f}s (typical "
+                                f"{TYPICAL.get(name, DEFAULT_TYPICAL):.1f}s"
+                                f" x box {box:.2f})")
     if total is None:
         total = sum(queries.values())
+    adj_total = total - adj_total_delta
     typ_total = sum(TYPICAL.get(n, DEFAULT_TYPICAL) for n in queries)
     total_budget = typ_total * TOTAL_HEADROOM * box
-    if total > total_budget:
-        failures.append(f"FAIL total: {total:.1f}s > budget {total_budget:.0f}s "
+    if adj_total > total_budget:
+        failures.append(f"FAIL total: {adj_total:.1f}s > budget "
+                        f"{total_budget:.0f}s "
                         f"(typical {typ_total:.0f}s x box {box:.2f})")
-    elif total > typ_total * 1.3 * box:
-        warns.append(f"WARN total: {total:.1f}s above the observed same-code "
-                     f"band ({typ_total * 1.3 * box:.0f}s; re-run before "
-                     f"concluding)")
+    elif adj_total > typ_total * 1.3 * box:
+        warns.append(f"WARN total: {adj_total:.1f}s above the observed "
+                     f"same-code band ({typ_total * 1.3 * box:.0f}s; re-run "
+                     f"before concluding)")
 
+    for n in noisy:
+        print(n)
     for w in warns:
         print(w)
     for f in failures:
         print(f)
-    print(f"== bench total {total:.1f}s, {len(queries)} queries, "
+    adj = (f" (adjudicated {adj_total:.1f}s after {len(noisy)} noisy "
+           f"retries)") if noisy else ""
+    print(f"== bench total {total:.1f}s{adj}, {len(queries)} queries, "
           f"box factor {box:.2f}, {len(failures)} over budget ==")
     return 1 if failures else 0
 
