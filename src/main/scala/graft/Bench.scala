@@ -78,7 +78,14 @@ object Bench {
     ("x7_ingest_semdedup", Set("q134_semdedup_direct"),
       (s, d) => { val (n, kept) =
         graft.similarity.Similarity.semDeDupIngest(s, d)
-        s"n=$n kept=$kept" }))
+        // planes is DERIVED from corpus size since r13 (r12 verdict
+        // task #3: fixed planes=8 made this line grow 5.2x at 10x
+        // data); read the resolved dial back from the marker payload
+        // so the ingest record carries it
+        val planes = graft.ops.Standing
+          .current(graft.ops.Scratch.root(s, d, "semdedup_idx"))
+          .map(_._2.trim.split(" ")(0)).getOrElse("?")
+        s"planes=$planes n=$n kept=$kept" }))
 
   /** Per-query JVM isolation (`SPARK_GRAFT_BENCH_FORK=1`): run every
     * registry query in a FRESH child JVM and aggregate the children's

@@ -29,6 +29,7 @@ object Budgets {
     "q73_dedup_clusters" -> 4.5,
     "q132_simjoin_rarecap" -> 1.5,
     "q133_semdedup" -> 4.5,
+    "q135_semdedup_kmeans" -> 7.0,
     "q81_edit_distance" -> 2.2,
     "q123_triangles" -> 10.0,
     "q124_triangles_sampled" -> 10.5,

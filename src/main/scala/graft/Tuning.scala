@@ -86,6 +86,20 @@ object Tuning {
   val IvfPqBatchMaxQ: Int =
     envLong("GRAFT_IVFPQ_BATCH_MAX_Q", 32L).toInt
 
+  /** Appended-mass fraction past which an IVF-PQ index should retrain
+    * (the model-drift contract, r12 verdict task #7). The PQ codebooks
+    * and IVF centroids quantize the distribution they trained on;
+    * appends from that distribution are free, but once appended mass is
+    * a substantial share of the trained corpus the model can be
+    * quantizing a moved distribution — ~25% is the documented
+    * operational threshold (Jégou et al. §V; FAISS practice; COVERAGE.md
+    * drift note). [[graft.similarity.IvfPq.ivfPqAppend]] warns on stderr
+    * at the crossing; [[graft.similarity.IvfPq.ivfPqDrift]] exposes the
+    * fraction programmatically. Env knob: the fraction × 100 (percent),
+    * because envLong is the established integer-only surface here. */
+  val IvfPqRetrainFraction: Double =
+    envLong("GRAFT_IVFPQ_RETRAIN_PCT", 25L) / 100.0
+
   /** Row count past which SMJ/cartesian per-key match buffers switch from
     * an on-heap ArrayBuffer to a spillable UnsafeExternalSorter
     * (`spark.sql.{sortMergeJoinExec,cartesianProductExec}.buffer.in.memory

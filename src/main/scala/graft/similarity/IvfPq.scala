@@ -54,12 +54,16 @@ object IvfPq {
     * index did — a raw append into a residual index would corrupt every
     * appended distance silently. */
   private def payload(cents: Array[Array[Float]], books: Pq.Codebooks,
-                      n: Long, residual: Boolean): String = {
+                      n: Long, residual: Boolean, trainedN: Long): String = {
     val sb = new StringBuilder
     sb.append(n).append('\n')
     sb.append(cents.length).append(' ')
       .append(books.length).append(' ').append(books.head.length)
-      .append(' ').append(if (residual) "res" else "raw").append('\n')
+      .append(' ').append(if (residual) "res" else "raw")
+      // the corpus size the MODEL was trained on — appends grow n but
+      // never this, so (n − trainedN)/trainedN is the appended-mass
+      // drift fraction the retrain contract watches (r12 verdict #7)
+      .append(" trained=").append(trainedN).append('\n')
     cents.foreach(c => sb.append(Pq.floatRowHex(c)).append('\n'))
     for (m <- books; cent <- m)
       sb.append(Pq.floatRowHex(cent)).append('\n')
@@ -67,16 +71,39 @@ object IvfPq {
   }
 
   private def parse(p: String)
-      : (Array[Array[Float]], Pq.Codebooks, Long, Boolean) = {
+      : (Array[Array[Float]], Pq.Codebooks, Long, Boolean, Long) = {
     val lines = p.split("\n")
     val n = lines(0).toLong
     val dims = lines(1).split(" ")
     val (kc, m, k) = (dims(0).toInt, dims(1).toInt, dims(2).toInt)
     val residual = dims.length > 3 && dims(3) == "res"
+    // pre-r13 payloads have no trained= token: treat the recorded size
+    // as the trained size (zero drift) — the next append re-records it
+    val trainedN = dims.find(_.startsWith("trained="))
+      .map(_.stripPrefix("trained=").toLong).getOrElse(n)
     val cents = Array.tabulate(kc)(i => Pq.parseFloatRowHex(lines(2 + i)))
     val books: Pq.Codebooks = Array.tabulate(m, k)((mi, ki) =>
       Pq.parseFloatRowHex(lines(2 + kc + mi * k + ki)))
-    (cents, books, n, residual)
+    (cents, books, n, residual, trainedN)
+  }
+
+  /** The automated model-drift contract (r12 verdict task #7). The PQ
+    * model quantizes the DISTRIBUTION it was trained on, so appends are
+    * free until their mass is large enough to move the distribution —
+    * the documented operational threshold is ~25% appended mass
+    * ([[graft.Tuning.IvfPqRetrainFraction]]; Jégou et al. §V, FAISS
+    * practice). Returns (appended-mass fraction, exceeded?) read from
+    * the standing marker: fraction = (n − trainedN)/trainedN where
+    * trainedN rides the payload from ingest. [[ivfPqAppend]] checks
+    * this after every append and warns LOUDLY on stderr at the
+    * crossing; callers automating retrains poll this instead of
+    * grepping logs. */
+  def ivfPqDrift(root: String): (Double, Boolean) = {
+    val (_, p) = graft.ops.Standing.current(root).getOrElse(sys.error(
+      s"ivfPqDrift: no standing IVF-PQ index at $root"))
+    val (_, _, n, _, trainedN) = parse(p)
+    val frac = if (trainedN <= 0) 0.0 else (n - trainedN).toDouble / trainedN
+    (frac, frac > graft.Tuning.IvfPqRetrainFraction)
   }
 
   /** INGEST: train IVF centroids + PQ codebooks, assign + encode the
@@ -101,7 +128,7 @@ object IvfPq {
       s":k=$nClusters" + (if (residual) ":res" else "")
     graft.ops.Standing.validPayload(root, fp) match {
       case Some(p) =>
-        val (cents, books, n, _) = parse(p)
+        val (cents, books, n, _, _) = parse(p)
         (cents, books, n, root)
       case None =>
         val emb = Tables.embeddings(spark, d)
@@ -122,7 +149,7 @@ object IvfPq {
           .select("vec_id", "cluster", "codes")
           .write.partitionBy("cluster").mode("overwrite").parquet(root)
         graft.ops.Standing.markValid(root, fp,
-          payload(cents, books, n, residual))
+          payload(cents, books, n, residual, trainedN = n))
         (cents, books, n, root)
     }
   }
@@ -167,7 +194,7 @@ object IvfPq {
     val (fp, p) = graft.ops.Standing.current(root).getOrElse(sys.error(
       s"ivfPqAppend: no standing IVF-PQ index at $root — run ivfPqIngest" +
         " first (appends extend a trained model; they never train one)"))
-    val (cents, books, n, residual) = parse(p)
+    val (cents, books, n, residual, trainedN) = parse(p)
     val delta = newEmb.count()
     val assigned = Similarity.assignClusters(newEmb, cents)
     // encode exactly as the standing index does — mode from the payload
@@ -176,7 +203,18 @@ object IvfPq {
       .select("vec_id", "cluster", "codes")
       .write.partitionBy("cluster").mode("append").parquet(root)
     graft.ops.Standing.markValid(root, fp,
-      payload(cents, books, n + delta, residual))
+      payload(cents, books, n + delta, residual, trainedN))
+    // the drift contract, checked where drift is CREATED: warn loudly
+    // at the crossing so unattended append pipelines surface the
+    // retrain need without a metrics scrape ([[ivfPqDrift]] is the
+    // programmatic twin for callers automating the retrain)
+    val frac =
+      if (trainedN <= 0) 0.0 else (n + delta - trainedN).toDouble / trainedN
+    if (frac > graft.Tuning.IvfPqRetrainFraction)
+      System.err.println(f"WARN ivfPqAppend: appended mass $frac%.2f of " +
+        f"the trained corpus exceeds ${graft.Tuning.IvfPqRetrainFraction}" +
+        f" — the PQ/IVF model quantizes a drifted distribution; retrain" +
+        f" via ivfPqIngest (root=$root)")
     (cents, books, n + delta)
   }
 
@@ -207,7 +245,7 @@ object IvfPq {
     val (fp, p) = graft.ops.Standing.current(root).getOrElse(sys.error(
       s"ivfPqAppendDedup: no standing IVF-PQ index at $root — run" +
         " ivfPqIngest first (appends extend a trained model)"))
-    val (cents, books, n, residual) = parse(p)
+    val (cents, books, n, residual, trainedN) = parse(p)
     // True standing size, straight from data — but NOT as its own
     // count() scan: at the documented 10^11-vector target that second
     // O(corpus) pass per trigger doubles the maintenance read volume
@@ -232,7 +270,7 @@ object IvfPq {
       // whenever the healed total differs from what the marker now says
       if (trueN != (if (missN > 0L) n + missN else n))
         graft.ops.Standing.markValid(root, fp,
-          payload(cents, books, trueN, residual))
+          payload(cents, books, trueN, residual, trainedN))
       (cents, books, trueN)
     } finally { missing.unpersist(); () }
   }
@@ -262,7 +300,7 @@ object IvfPq {
     val (fp, p) = graft.ops.Standing.current(root).getOrElse(sys.error(
       s"ivfPqCompact: no standing IVF-PQ index at $root — nothing to" +
         " compact (run ivfPqIngest first)"))
-    val (cents, _, _, _) = parse(p)
+    val (cents, _, _, _, _) = parse(p)
     val tmp = root + "_compact_tmp"
     val old = root + "_compact_old"
     graft.ops.IndexFs.delete(tmp)

@@ -436,10 +436,18 @@ object Similarity {
     * ([[semDeDupKMeans]] — the paper's shape, no bit-packing limit) or
     * widen the signature type alongside its oracle convention. */
   def derivePlanes(n: Long, base: Long = 2000L,
-                   planes0: Int = NumPlanes): Int =
-    if (n <= base) planes0
-    else math.min(31, planes0 +
-      math.ceil(math.log(n.toDouble / base) / math.log(2.0)).toInt)
+                   planes0: Int = NumPlanes): Int = {
+    // Integer-exact: planes0 + |{j ≥ 0 : base·2^j < n}|, capped at 31 —
+    // identical to planes0 + ceil(log₂(n/base)) but with no float in the
+    // decision, because since r13 q134's DuckDB oracle recomputes THIS
+    // derivation (COUNT over a doubling series) and a one-ulp log₂
+    // wobble at an exact power-of-two boundary would silently disagree
+    // on the bucket scope between the two engines.
+    var p = planes0
+    var t = base
+    while (p < 31 && t < n) { p += 1; t <<= 1 }
+    p
+  }
 
   /** SemDeDup over a TRAINED k-means clustering — the paper's actual
     * shape (Abbas et al. §2 scopes candidate pairs by k-means cluster;
@@ -560,14 +568,31 @@ object Similarity {
     * with); a dir's `_SUCCESS` is the commit, and [[semDeDupIndex]]
     * reads COMMITTED batches only, so a crashed half-written append is
     * invisible until its replay overwrites it, and a replayed committed
-    * batch no-ops — exactly-once under streaming replay for free. */
+    * batch no-ops — exactly-once under streaming replay for free.
+    *
+    * `planes < 0` (the DEFAULT since r13) means DERIVE the dial from the
+    * corpus size ([[derivePlanes]]) — the r12 verdict's x7 finding: a
+    * fixed planes=8 ingest grows its candidate pairs quadratically with
+    * the corpus (measured 5.2× build time at 10× data), while the
+    * derived dial holds them ~linear. The corpus count is one parquet
+    * metadata read (footer row counts — no data scan). The RESOLVED
+    * value lands in the fingerprint and the payload, so a different
+    * derivation (corpus growth past a power-of-two boundary) rebuilds
+    * rather than silently mixing scopes, and [[semDeDupAppend]] keeps
+    * appending under whatever the index was built with. At every
+    * oracle-validated corpus size (≤ [[derivePlanes]]'s base) the
+    * derived dial IS the portable constant, and q134's DuckDB oracle
+    * recomputes the same integer-exact derivation — so the derived
+    * default stays oracle-gated at ANY scale. */
   def semDeDupIngest(spark: SparkSession, d: String, root0: String = null,
-                     planes: Int = NumPlanes, num: Int = 1,
+                     planes: Int = -1, num: Int = 1,
                      den: Int = 4): (Long, Long) = {
     val root = if (root0 != null) root0
       else graft.ops.Scratch.root(spark, d, "semdedup_idx")
+    val resolved = if (planes >= 0) planes
+      else derivePlanes(Tables.embeddings(spark, d).count())
     val fp = graft.ops.Standing.fingerprint(s"$d/embeddings.parquet") +
-      s":p=$planes:t=$num/$den"
+      s":p=$resolved:t=$num/$den"
     graft.ops.Standing.validPayload(root, fp) match {
       case Some(p) =>
         val a = p.trim.split(" "); (a(3).toLong, a(4).toLong)
@@ -585,13 +610,13 @@ object Similarity {
           .filter(n => n.startsWith("batch_") || n == "_claims")
           .foreach(n => graft.ops.IndexFs.delete(s"$root/$n"))
         val emb = Tables.embeddings(spark, d)
-        val sigs = signatureTable(emb, planes)
+        val sigs = signatureTable(emb, resolved)
         sigs.join(directVerdicts(sigs, num, den), "vec_id")
           .select("vec_id", "sig", "micro", "dself", "keep")
           .write.mode("overwrite").parquet(s"$root/base")
         val (n, kept, _) = indexStats(spark, root)
         graft.ops.Standing.markValid(root, fp,
-          s"$planes $num $den $n $kept")
+          s"$resolved $num $den $n $kept")
         (n, kept)
     }
   }
@@ -707,6 +732,26 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** q135: SemDeDup over the TRAINED k-means clustering — the paper's
+    * literal shape ([[semDeDupKMeans]]) — rolled up per planted label
+    * like q133/q134, so the three bucket-scope choices (portable LSH CC,
+    * portable LSH direct, trained clustering CC) are directly
+    * comparable from the registry alone. Registered ROWS-ONLY (r12
+    * verdict task #4): the trained centroids are engine-side state no
+    * SQL oracle can recompute (k-means init order is Spark-specific),
+    * so this query has no oracleSql entry — the driver records the
+    * weaker rows/schema check, and the strong correctness pin lives in
+    * SimilaritySpec (planted 16-cluster structure: CC == direct at
+    * τ=2/3, every label survives, keeper-per-component invariants). */
+  def qSemDeDupKMeans(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    semDeDupKMeans(emb).join(emb.select("vec_id", "label"), "vec_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("label")
+  }
+
   /** IVF ANN top-10, as its oracle-checkable contract ([[annContract]]);
     * the raw neighbor list + planted-cluster recall stay spec-pinned. */
   def qIvfAnn(spark: SparkSession, d: String): DataFrame = {
@@ -759,6 +804,7 @@ object Similarity {
     "q86_knn_join"      -> (qKnnJoin _),
     "q133_semdedup"     -> (qSemDeDup _),
     "q134_semdedup_direct" -> (qSemDeDupDirect _),
+    "q135_semdedup_kmeans" -> (qSemDeDupKMeans _),
   )
 
   // DuckDB twin of the sequential-fold cosine. list_inner_product sums in
@@ -914,7 +960,15 @@ object Similarity {
         GROUP BY e.label ORDER BY e.label""",
       // q134: the direct rule needs no recursion — dropped = "has any
       // smaller within-bucket τ-neighbor", one EXISTS over the same
-      // integer-exact edge set q133's oracle builds.
+      // integer-exact edge set q133's oracle builds. Since r13 the
+      // planes dial is DERIVED from the corpus size (np CTE) with the
+      // same integer-exact doubling count as Similarity.derivePlanes —
+      // 8 + |{j ≥ 0 : 2000·2^j < n}| capped at 31 — so this oracle
+      // stays the exact twin of the derived-default ingest at ANY
+      // corpus size (at every shipped testdata size n ≤ 2000, so the
+      // derived dial IS the portable 8 and results are unchanged).
+      // q133 keeps the pinned range(8): it documents the portable-
+      // constant reference point the derived dial floors at.
       "q134_semdedup_direct" -> """
         WITH v AS (
           SELECT vec_id, i - 1 AS i,
@@ -922,11 +976,16 @@ object Similarity {
           FROM (SELECT vec_id, unnest(embedding) AS e,
                        generate_subscripts(embedding, 1) AS i
                 FROM embeddings)),
+        np AS (
+          SELECT 8 + COUNT(*) AS np
+          FROM range(23) dbl(j)
+          WHERE 2000 * (1 << j) < (SELECT COUNT(*) FROM embeddings)),
         w AS (
           SELECT p, i,
                  CASE WHEN CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
                       THEN 1 ELSE -1 END AS w
-          FROM range(8) t(p) CROSS JOIN range(64) s(i)),
+          FROM range(31) t(p) CROSS JOIN range(64) s(i)
+          WHERE p < (SELECT np FROM np)),
         sig AS (
           SELECT vec_id,
                  CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig

@@ -584,6 +584,101 @@ class SimilaritySpec extends SparkSpec {
     assert(nAgain == nFull, "marker must survive compaction unchanged")
   }
 
+  test("ivfPqDrift: the appended-mass fraction rides the payload and " +
+       "the retrain flag flips exactly at the documented 25% crossing " +
+       "(r12 verdict task #7)") {
+    import graft.similarity.IvfPq
+    val emb = Tables.embeddings(spark, sf)
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+    val n0 = even.count() // the trained corpus size
+    val srcDir = java.nio.file.Files.createTempDirectory("ivfpq_drift_src")
+      .toString
+    even.write.parquet(srcDir + "/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_drift")
+      .toString + "/idx"
+    IvfPq.ivfPqIngest(spark, srcDir, root)
+    assert(IvfPq.ivfPqDrift(root) == ((0.0, false)),
+      "fresh ingest has zero drift")
+    // append JUST under the threshold: floor(0.25·n0) new vectors
+    val under = (n0 * graft.Tuning.IvfPqRetrainFraction).toLong
+    val oddIds = odd.select("vec_id").collect().map(_.getLong(0)).sorted
+    IvfPq.ivfPqAppend(
+      odd.filter(col("vec_id") <= oddIds(under.toInt - 1)), root)
+    val (fUnder, xUnder) = IvfPq.ivfPqDrift(root)
+    assert(fUnder == under.toDouble / n0 && !xUnder,
+      s"at $fUnder (= $under/$n0) the flag must still be down")
+    // one more vector crosses it: fraction strictly exceeds 0.25
+    IvfPq.ivfPqAppend(
+      odd.filter(col("vec_id") === oddIds(under.toInt)), root)
+    val (fOver, xOver) = IvfPq.ivfPqDrift(root)
+    assert(fOver == (under + 1).toDouble / n0 && xOver,
+      s"at $fOver the retrain flag must be up")
+    // trainedN is sticky across appends: the fraction keeps growing
+    // against the ORIGINAL trained size, not the inflated current one
+    IvfPq.ivfPqAppend(
+      odd.filter(col("vec_id") === oddIds(under.toInt + 1)), root)
+    assert(IvfPq.ivfPqDrift(root)._1 == (under + 2).toDouble / n0)
+  }
+
+  test("URI-schemed index root: the full ivf-pq ingest → append → " +
+       "compact → reuse cycle works through an explicit file:// root " +
+       "(r12 verdict task #6 — pins IndexFs's scheme resolution and " +
+       "raw-FS unwrap, which plain-path tests never exercise)") {
+    import graft.similarity.IvfPq
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    val srcDir = java.nio.file.Files.createTempDirectory("ivfpq_uri_src")
+      .toString
+    half.write.parquet(srcDir + "/embeddings.parquet")
+    // the URI form a cluster deployment would pass (hdfs://… there):
+    // Path.getFileSystem resolves the scheme, and the local FS comes
+    // back CHECKSUMMED — the raw unwrap must still apply or every
+    // marker write grows a .crc sidecar that torn-write rewrites break
+    val root = "file://" + java.nio.file.Files
+      .createTempDirectory("ivfpq_uri_spec").toString + "/idx"
+    val localRoot = new java.io.File(new java.net.URI(root))
+    val (cents, books, _, _) = IvfPq.ivfPqIngest(spark, srcDir, root)
+    assert(graft.ops.Standing.current(root).isDefined,
+      "validity marker must exist under the URI-schemed root")
+    assert(!new java.io.File(localRoot.getPath + "/_VALID.crc").exists &&
+      !new java.io.File(localRoot.getPath + "/._VALID.crc").exists,
+      "raw-FS unwrap: metadata writes must not grow checksum sidecars")
+    val (_, _, nFull) = IvfPq.ivfPqAppend(rest, root)
+    def topk() = IvfPq.ivfPqTopK(spark, root, emb, cents, books,
+        queryVecId = 1L, k = 10, nprobe = 16, corpusSize = nFull)
+      .collect().map(_.toString).toSeq
+    val want = topk()
+    IvfPq.ivfPqCompact(spark, root)
+    val clusterDirs = localRoot.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+    assert(clusterDirs.nonEmpty, "compact must leave the partition layout")
+    assert(clusterDirs.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "compact must leave exactly one file per cluster dir")
+    assert(topk() == want, "compact must be invisible to the query")
+    val (_, _, nAgain, _) = IvfPq.ivfPqIngest(spark, srcDir, root)
+    assert(nAgain == nFull,
+      "reuse: the marker must survive compaction under the URI root")
+    // and the CLAIM primitive (atomic create-if-absent → NIO O_EXCL on
+    // the raw local FS) through the same scheme: semDeDup's auto-id
+    // append burns ids via _claims files under the URI root
+    val sdSrc = java.nio.file.Files.createTempDirectory("semdd_uri_src")
+      .toString
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    emb.filter(col("vec_id") < mid)
+      .write.parquet(sdSrc + "/embeddings.parquet")
+    val sdRoot = "file://" + java.nio.file.Files
+      .createTempDirectory("semdd_uri").toString + "/idx"
+    Similarity.semDeDupIngest(spark, sdSrc, sdRoot)
+    val (nApp, _) = // batchId = -1 → claimBatchId → createExclusive
+      Similarity.semDeDupAppend(emb.filter(col("vec_id") >= mid), sdRoot)
+    assert(nApp == ids.length,
+      "auto-id append through a URI-schemed root must land its batch")
+  }
+
   test("semDeDup: one keeper per component (the minimum), total " +
        "preserved, a planted exact duplicate collapses onto its source") {
     val emb = Tables.embeddings(spark, sf)
@@ -705,6 +800,48 @@ class SimilaritySpec extends SparkSpec {
       "stale batch dirs are deleted by the rebuild")
     assert(!new java.io.File(s"$root/_claims").exists,
       "the burned-id claims namespace resets with the rebuild")
+  }
+
+  test("semDeDupIngest default derives the planes dial from corpus size " +
+       "and equals an explicit derivePlanes(n) ingest (r12 task #3)") {
+    // a corpus PAST the derivation base (4096 > 2000 → 2 doublings →
+    // planes 10), so the default path actually derives instead of
+    // coasting on the floor like every shipped testdata size does
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = (0L until 4096L).map { id =>
+      (id, Array.tabulate(64)(i => (((id * 31 + i * 7) % 17) - 8).toFloat / 8f),
+        (id % 5).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val src = java.nio.file.Files.createTempDirectory("semdd_dp_src").toString
+    emb.write.parquet(src + "/embeddings.parquet")
+    val expected = Similarity.derivePlanes(4096L)
+    assert(expected == 10, "4096 rows = 2 doublings past base 2000")
+    def payloadPlanes(root: String): Int = graft.ops.Standing.current(root)
+      .map(_._2.trim.split(" ")(0).toInt)
+      .getOrElse(fail(s"no marker at $root"))
+    val rootDef = java.nio.file.Files.createTempDirectory("semdd_dp_a")
+      .toString + "/idx"
+    Similarity.semDeDupIngest(spark, src, rootDef)
+    assert(payloadPlanes(rootDef) == expected,
+      "default ingest must record the DERIVED dial in its payload")
+    val rootExp = java.nio.file.Files.createTempDirectory("semdd_dp_b")
+      .toString + "/idx"
+    Similarity.semDeDupIngest(spark, src, rootExp, planes = expected)
+    assert(payloadPlanes(rootExp) == expected)
+    def tbl(root: String) = Similarity.semDeDupIndex(spark, root)
+      .select("vec_id", "sig", "keep").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sorted.toSeq
+    assert(tbl(rootDef) == tbl(rootExp),
+      "ingest(default) must equal ingest(derivePlanes(n)) row-for-row")
+    // the floor: at a ≤base corpus the derived default IS the portable
+    // constant — which is why q134's oracle results are unchanged at
+    // every shipped testdata size
+    val rootFloor = java.nio.file.Files.createTempDirectory("semdd_dp_c")
+      .toString + "/idx"
+    Similarity.semDeDupIngest(spark, sf, rootFloor)
+    assert(payloadPlanes(rootFloor) == Similarity.NumPlanes,
+      "≤base corpus must resolve the derived dial to the portable floor")
   }
 
   test("ivfPqAppendDedup: presence-keyed exactly-once — a torn batch " +

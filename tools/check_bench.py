@@ -72,6 +72,12 @@ TYPICAL = {
                                   # threshold edges + star-CC rounds
                                   # (solo r11: 4.4-4.7s warm, 374 KB
                                   # shuffle - stage-latency bound)
+    "q135_semdedup_kmeans": 7.0,  # q133's pipeline with a TRAINED
+                                  # k-means bucket key: +3 training
+                                  # iterations (posexplode+groupBy+collect
+                                  # each) before the pair join + CC —
+                                  # stage-latency bound at toy sf (solo
+                                  # steady 7.3-9.4s warm, ~1 MB shuffle)
     "q81_edit_distance": 2.2,
     "q123_triangles": 10.0,       # exact triangle census of the dense
                                   # co-order graph (degree-oriented plan;
