@@ -64,7 +64,7 @@ object Budgets {
     "q125_gram_index" -> 1.8,
     "q127_shingle_index" -> 2.8,
     "q128_shingle_bucketed" -> 3.3,
-    "q131_ivf_pq_residual" -> 4.5,
+    "q131_ivf_pq_residual" -> 2.0,
     "q129_ivf_pq" -> 2.0,
     "q130_triangles_budget" -> 4.0,
     "q68_boilerplate" -> 1.2,

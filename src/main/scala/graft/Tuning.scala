@@ -68,12 +68,21 @@ object Tuning {
     * lookup by the qi COLUMN, so the generated expression is ONE M-term
     * sum at any Q — remeasured same-box A/B at Q=256: one plan 18.5 s
     * vs chunked-32 24.1 s at sf0.1 and 22.0 s vs 25.9 s at sf1, no OOM,
-    * every chunk being a FULL extra codes scan on this path. The
-    * ceiling is now the Q×M×K distance-table plan literal (task-binary
-    * bloat), not codegen: 256 → ~0.5 MB, the largest measured point.
+    * every chunk being a FULL extra codes scan on this path.
+    * r13 swept the remaining ceiling — the distance-table plan literal —
+    * to Q=2000 and found the r12 shape shipped M COPIES of the whole
+    * Q×M×K literal per task binary (one copy per sum term: 59 KB/query,
+    * 117.9 MiB task binary and 183 s at Q=2000). Per-subspace literals
+    * (Pq.adcSubspaceTableCols — each referenced once) dropped the task
+    * binary to ~3.8 KB/query (7.6 MiB at Q=2000) and the one-plan wall
+    * to 2.6/4.6/8.6/23.3 s at Q=256/512/1024/2000 — LINEAR, no cliff
+    * through the full sf0.1 corpus, so the ceiling rises to 2048
+    * (task binary ≈ Q×M×K×8 B×2 ≈ 8 MiB there; chunked@256 measured
+    * equal at toy sf but pays ceil(Q/chunk)−1 extra FULL corpus scans
+    * at real scale). BENCHMARKS r13 has the sweep table.
     * Used by [[graft.similarity.Pq.adcTopKBatch]]. */
   val AdcBatchMaxQ: Int =
-    envLong("GRAFT_ADC_BATCH_MAX_Q", 256L).toInt
+    envLong("GRAFT_ADC_BATCH_MAX_Q", 2048L).toInt
 
   /** The IVF-PQ batch path's chunk ceiling ([[graft.similarity.IvfPq
     * .ivfPqTopKBatch]]) — SEPARATE from [[AdcBatchMaxQ]] because its

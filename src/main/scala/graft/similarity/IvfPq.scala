@@ -552,13 +552,15 @@ object IvfPq {
   }
 
   /** RAW-mode ADC distance of the exploded (row, qi) pair: the shared
-    * [[Pq.adcTables]] tables as one Q×M×K plan literal, summed via the
-    * shared qi-column expression [[Pq.adcSumAtQi]] — one definition with
+    * [[Pq.adcTables]] cell values as per-subspace Q×K plan literals
+    * ([[Pq.adcSubspaceTableCols]] — each referenced once, so the task
+    * binary stays model-sized at any Q; r13), summed via the shared
+    * qi-column expression [[Pq.adcSumAtQi]] — one definition with
     * the flat batch scorer, so the "bit-identical to the single-query
     * plan" guarantee cannot drift between the two paths. */
   private def rawAdcExpr(books: Pq.Codebooks, qIds: Seq[Long],
                          qVecs: Map[Long, Array[Float]]): Column =
-    Pq.adcSumAtQi(typedlit(Pq.adcTables(books, qIds, qVecs)), books.length)
+    Pq.adcSumAtQi(Pq.adcSubspaceTableCols(books, qIds, qVecs))
 
   /** RESIDUAL-mode ADC distance of the exploded (row, qi) pair: one 4-D
     * plan literal holds each query's PER-CLUSTER distance tables
@@ -596,10 +598,14 @@ object IvfPq {
           }.toSeq
         }
     }
-    val t = typedlit(tables)
+    // per-subspace Q×k×K literals, each referenced by exactly ONE sum
+    // term — the same task-binary fix as Pq.adcSubspaceTableCols (r13):
+    // one 4-D literal referenced M times serialized M copies of the
+    // whole table set into every task binary
+    val ts = (0 until m).map(mi => typedlit(tables.map(_.map(_(mi)))))
     (0 until m).map { mi =>
-      element_at(element_at(element_at(element_at(t, col("qi") + 1),
-        col("cluster") + 1), mi + 1),
+      element_at(element_at(element_at(ts(mi), col("qi") + 1),
+        col("cluster") + 1),
         element_at(col("codes"), mi + 1) + 1)
     }.reduce(_ + _)
   }

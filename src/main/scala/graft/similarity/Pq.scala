@@ -285,10 +285,17 @@ object Pq {
     * generated code M-sized at any Q, remeasured one-plan FASTER than
     * chunked to Q=256 (18.5 vs 24.1 s sf0.1; 22.0 vs 25.9 s sf1 —
     * every chunk on this path is a full extra codes scan), and the
-    * default rose 32 → 256. The remaining ceiling is the Q×M×K
-    * distance-table literal (~0.5 MB at 256). Queries are independent,
-    * so chunking is result-invariant (SimilaritySpec pins chunked ==
-    * unchunked) and the scan count grows only as ceil(Q / maxChunk). */
+    * default rose 32 → 256. r13 swept the remaining ceiling — the
+    * distance-table literal — to Q=2000 and removed it too: the r12
+    * shape serialized M copies of the whole Q×M×K literal into every
+    * task binary (one per sum term — 59 KB/query, 117.9 MiB and 183 s
+    * at Q=2000); per-subspace literals ([[adcSubspaceTableCols]]) are
+    * each referenced once, task binary ~3.8 KB/query, one-plan wall
+    * LINEAR through the full corpus (2.6/4.6/8.6/23.3 s at Q=256/512/
+    * 1024/2000), and the default rose 256 → 2048. Queries are
+    * independent, so chunking is result-invariant (SimilaritySpec pins
+    * chunked == unchunked) and the scan count grows only as
+    * ceil(Q / maxChunk). */
   def adcTopKBatch(codes: DataFrame, emb: DataFrame, queryIds: Seq[Long],
                    k: Int, books: Codebooks, refine: Int = 0,
                    corpusSize: Long = -1L,
@@ -347,7 +354,7 @@ object Pq {
   private[similarity] def adcPairs(codes: DataFrame, books: Codebooks,
                                    qIds: Seq[Long],
                                    qVecs: Map[Long, Array[Float]]): DataFrame = {
-    val t = typedlit(adcTables(books, qIds, qVecs))
+    val ts = adcSubspaceTableCols(books, qIds, qVecs)
     val qIdsLit = typedlit(qIds)
     // Explode qi FIRST, then score with qi as a runtime COLUMN (r12) —
     // the previous shape posexploded a Q-wide array of per-query
@@ -362,7 +369,7 @@ object Pq {
     codes
       .select(col("*"),
         explode(typedlit(qIds.indices.toList)).as("qi"))
-      .withColumn("adc_dist", adcSumAtQi(t, books.length))
+      .withColumn("adc_dist", adcSumAtQi(ts))
       .filter(element_at(qIdsLit, col("qi") + 1) =!= col("vec_id"))
   }
 
@@ -392,11 +399,34 @@ object Pq {
     }
   }
 
-  /** The qi-COLUMN-keyed M-term ADC sum over a 3-D tables literal —
-    * the expression shape that keeps generated code M-sized at any Q. */
-  private[similarity] def adcSumAtQi(t: Column, m: Int): Column =
-    (0 until m).map { mi =>
-      element_at(element_at(element_at(t, col("qi") + 1), mi + 1),
+  /** The M per-subspace Q×K distance-table literals, transposed from
+    * [[adcTables]] (which stays the ONE definition of the cell values).
+    *
+    * WHY PER-SUBSPACE, not one 3-D literal (r13, the measured Q ceiling
+    * of the r12 explode-first rewrite): Catalyst serializes each
+    * `element_at(... element_at(t, ...))` term with its OWN copy of the
+    * literal it references, so an M-term sum over one Q×M×K literal
+    * ships M×Q×M×K doubles in every task binary — measured 59 KB/query
+    * (117.9 MiB task binary at Q=2000, M=K=16) against 2 KB/query of
+    * raw table bytes. Giving each sum term its own Q×K literal makes
+    * every literal referenced exactly once: the task binary drops to
+    * the raw model size (~2 KB/query, re-measured in BENCHMARKS r13)
+    * with the generated code unchanged — still one M-term sum, still
+    * fixed subspace order, bit-identical distances. */
+  private[similarity] def adcSubspaceTableCols(
+      books: Codebooks, qIds: Seq[Long],
+      qVecs: Map[Long, Array[Float]]): IndexedSeq[Column] = {
+    val t = adcTables(books, qIds, qVecs)
+    books.indices.map(mi => typedlit(t.map(_(mi))))
+  }
+
+  /** The qi-COLUMN-keyed M-term ADC sum over per-subspace table
+    * literals — the expression shape that keeps generated code M-sized
+    * at any Q, and (since r13) each literal single-referenced so the
+    * task binary stays model-sized at any Q too. */
+  private[similarity] def adcSumAtQi(ts: Seq[Column]): Column =
+    ts.zipWithIndex.map { case (tmi, mi) =>
+      element_at(element_at(tmi, col("qi") + 1),
         element_at(col("codes"), mi + 1) + 1)
     }.reduce(_ + _)
 

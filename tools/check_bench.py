@@ -170,7 +170,7 @@ TYPICAL = {
                                   # — slightly slower than q127 at toy
                                   # sf, 1.5x faster at sf1/sf10;
                                   # measured 3.32 at box 0.87)
-    "q131_ivf_pq_residual": 4.5,  # r11: the residual (classic IVFADC)
+    "q131_ivf_pq_residual": 2.0,  # r11: the residual (classic IVFADC)
                                   # twin of q129, served through the
                                   # residual BATCH plan; ingest on x6's
                                   # line since r12. Solo probed steady
