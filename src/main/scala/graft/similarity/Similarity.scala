@@ -460,9 +460,30 @@ object Similarity {
     * form is spec-pinned on planted structure (SimilaritySpec) and
     * measured in BENCHMARKS.md, not oracle-gated. Same contract as
     * [[semDeDup]]: (vec_id, component, keep). */
-  def semDeDupKMeans(emb: DataFrame, k: Int = 16, num: Int = 1,
+  /** The k dial as a FUNCTION of corpus size — [[derivePlanes]]'s
+    * argument applied to the trained-clustering bucket key (and the
+    * paper's own practice: Abbas et al. scale cluster count with corpus
+    * so cluster SIZE stays fixed). Within-cluster candidate pairs grow
+    * ~n²/(2k), so holding n/k at a fixed target keeps them linear in n;
+    * k0=16 at the 2000-vector test corpora IS n/125, so every pinned
+    * fixture and oracle-scale run resolves to the same 16 (measured:
+    * fixed k=16 made q135 the suite's one super-linear line — 20.8× at
+    * 10× data, 101 s at sf1; derived k=160 re-measured in BENCHMARKS
+    * r13). Integer-exact like derivePlanes. Capped at 4096: past that,
+    * [[assignClusters]]'s k-literal argmax projection is the wrong
+    * mechanism anyway (use the partitioned IVF index and assign by
+    * probe — the 10⁹-vector path). */
+  def deriveKMeansK(n: Long, targetPerCluster: Long = 125L,
+                    k0: Int = 16): Int =
+    math.max(k0, math.min(4096L,
+      (n + targetPerCluster - 1) / targetPerCluster).toInt)
+
+  /** `k < 0` (the default since r13) derives the cluster count from the
+    * corpus size ([[deriveKMeansK]]) — one count() over the embeddings. */
+  def semDeDupKMeans(emb: DataFrame, k: Int = -1, num: Int = 1,
                      den: Int = 4): DataFrame = {
-    val cents = trainCentroids(emb, k)
+    val kR = if (k > 0) k else deriveKMeansK(emb.count())
+    val cents = trainCentroids(emb, kR)
     val sigs = signatureTableWith(assignClusters(emb, cents),
       col("cluster").cast("long"))
     val edges = dupEdges(sigs, num, den)
@@ -475,9 +496,10 @@ object Similarity {
   /** The chain-free direct rule ([[semDeDupDirect]]) over the trained
     * clustering: drop iff a smaller-id τ-neighbor shares the k-means
     * cluster. Returns (vec_id, keep). */
-  def semDeDupDirectKMeans(emb: DataFrame, k: Int = 16, num: Int = 1,
+  def semDeDupDirectKMeans(emb: DataFrame, k: Int = -1, num: Int = 1,
                            den: Int = 4): DataFrame = {
-    val cents = trainCentroids(emb, k)
+    val kR = if (k > 0) k else deriveKMeansK(emb.count())
+    val cents = trainCentroids(emb, kR)
     directVerdicts(signatureTableWith(assignClusters(emb, cents),
       col("cluster").cast("long")), num, den)
   }

@@ -584,6 +584,34 @@ class SimilaritySpec extends SparkSpec {
     assert(nAgain == nFull, "marker must survive compaction unchanged")
   }
 
+  test("deriveKMeansK holds cluster size fixed (the q135 scale dial) " +
+       "and floors at 16 so every test corpus resolves unchanged") {
+    // the floor: all shipped testdata sizes (500/2000) resolve to 16 —
+    // which is also exactly n/125 at 2000, so the dial is CONTINUOUS at
+    // the floor, not a cliff
+    assert(Similarity.deriveKMeansK(500L) == 16)
+    assert(Similarity.deriveKMeansK(2000L) == 16)
+    // held n/k: candidate pairs ~n²/2k stay linear iff k tracks n/125
+    assert(Similarity.deriveKMeansK(20000L) == 160)
+    assert(Similarity.deriveKMeansK(200000L) == 1600)
+    assert(Similarity.deriveKMeansK(2001L) == 17, "integer-exact ceil")
+    // cap: past 4096 clusters the literal-argmax assignment is the
+    // wrong mechanism (IVF-partitioned assignment is the path there)
+    assert(Similarity.deriveKMeansK(100L * 1000 * 1000) == 4096)
+    // monotone
+    val ns = Seq(1L, 2000L, 2001L, 50000L, 999999L)
+    val ks = ns.map(Similarity.deriveKMeansK(_))
+    assert(ks == ks.sorted)
+    // and the derived DEFAULT equals the explicit floor on a ≤2000
+    // corpus: q135's results at every oracle/test scale are unchanged
+    val emb = Tables.embeddings(spark, sf)
+    val d = Similarity.semDeDupKMeans(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+    val e = Similarity.semDeDupKMeans(emb, k = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+    assert(d == e, "derived default must equal explicit k=16 at n<=2000")
+  }
+
   test("ivfPqDrift: the appended-mass fraction rides the payload and " +
        "the retrain flag flips exactly at the documented 25% crossing " +
        "(r12 verdict task #7)") {
