@@ -383,10 +383,18 @@ object Similarity {
     *    dropped); planes=12 keeps the scope local (8,115 dropped).
     *    SemDeDup's within-cluster restriction (paper §2) is doing
     *    exactly this job; this library keeps it a declared part of the
-    *    similarity, like q132's rare-gram sub-universe. */
-  def semDeDup(emb: DataFrame, planes: Int = NumPlanes,
+    *    similarity, like q132's rare-gram sub-universe.
+    *
+    * `planes < 0` (the DEFAULT since r13, matching [[semDeDupIngest]]):
+    * derive the dial from the corpus size ([[derivePlanes]] — one
+    * count() over the frame). Both measured failure modes above are the
+    * FIXED-dial modes; q133's DuckDB oracle recomputes the same
+    * integer-exact derivation, and at every shipped testdata size the
+    * derived dial IS the portable 8, so oracle results are unchanged. */
+  def semDeDup(emb: DataFrame, planes: Int = -1,
                num: Int = 1, den: Int = 4): DataFrame = {
-    val edges = dupEdges(signatureTable(emb, planes), num, den)
+    val p = if (planes >= 0) planes else derivePlanes(emb.count())
+    val edges = dupEdges(signatureTable(emb, p), num, den)
     val (labels, _) = graft.graph.Graph.connectedComponentsFast(
       edges, emb.select(col("vec_id").as("id")))
     labels.select(col("id").as("vec_id"), col("label").as("component"),
@@ -563,9 +571,11 @@ object Similarity {
     * ingest, row-for-row (SimilaritySpec), the first-seen-wins
     * discipline of streaming dedup (q30/Streams) expressed as id order.
     * Returns (vec_id, keep). */
-  def semDeDupDirect(emb: DataFrame, planes: Int = NumPlanes,
-                     num: Int = 1, den: Int = 4): DataFrame =
-    directVerdicts(signatureTable(emb, planes), num, den)
+  def semDeDupDirect(emb: DataFrame, planes: Int = -1,
+                     num: Int = 1, den: Int = 4): DataFrame = {
+    val p = if (planes >= 0) planes else derivePlanes(emb.count())
+    directVerdicts(signatureTable(emb, p), num, den)
+  }
 
   /** keep = no smaller-id τ-neighbor, over a [[signatureTable]]. */
   private def directVerdicts(sigs: DataFrame, num: Int,
@@ -929,7 +939,10 @@ object Similarity {
           JOIN embeddings eb ON eb.vec_id = b.vec_id)
         SELECT * FROM pairs ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""",
       // q133: the full SemDeDup pipeline recomputed end-to-end — portable
-      // signature buckets, INTEGER-exact τ=1/4 threshold edges
+      // signature buckets (planes DERIVED from corpus size since r13 —
+      // the np CTE counts the same integer doubling series as
+      // derivePlanes, flooring at 8 for every shipped testdata size, so
+      // results are unchanged there), INTEGER-exact τ=1/4 threshold edges
       // ((4·dab)² ≥ daa·dbb over the ⌊v·10⁶⌋ micro copies; HUGEINT on
       // DuckDB's side, DECIMAL(38,0) on Spark's — both exact at ≤ 10²⁸),
       // recursive-CTE connected components (q73's pattern), keeper =
@@ -941,11 +954,16 @@ object Similarity {
           FROM (SELECT vec_id, unnest(embedding) AS e,
                        generate_subscripts(embedding, 1) AS i
                 FROM embeddings)),
+        np AS (
+          SELECT 8 + COUNT(*) AS np
+          FROM range(23) dbl(j)
+          WHERE 2000 * (1 << j) < (SELECT COUNT(*) FROM embeddings)),
         w AS (
           SELECT p, i,
                  CASE WHEN CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
                       THEN 1 ELSE -1 END AS w
-          FROM range(8) t(p) CROSS JOIN range(64) s(i)),
+          FROM range(31) t(p) CROSS JOIN range(64) s(i), np
+          WHERE p < np.np),
         sig AS (
           SELECT vec_id,
                  CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig
@@ -989,8 +1007,9 @@ object Similarity {
       // stays the exact twin of the derived-default ingest at ANY
       // corpus size (at every shipped testdata size n ≤ 2000, so the
       // derived dial IS the portable 8 and results are unchanged).
-      // q133 keeps the pinned range(8): it documents the portable-
-      // constant reference point the derived dial floors at.
+      // q133's oracle carries the same np CTE — both rules' defaults
+      // derive since r13 (fixed planes=8 was the measured chain-
+      // collapse drift AND the one quadratic cost at sf1).
       "q134_semdedup_direct" -> """
         WITH v AS (
           SELECT vec_id, i - 1 AS i,
