@@ -469,31 +469,76 @@ object Similarity {
     * measured in BENCHMARKS.md, not oracle-gated. Same contract as
     * [[semDeDup]]: (vec_id, component, keep). */
   /** The k dial as a FUNCTION of corpus size — [[derivePlanes]]'s
-    * argument applied to the trained-clustering bucket key (and the
-    * paper's own practice: Abbas et al. scale cluster count with corpus
-    * so cluster SIZE stays fixed). Within-cluster candidate pairs grow
-    * ~n²/(2k), so holding n/k at a fixed target keeps them linear in n;
-    * k0=16 at the 2000-vector test corpora IS n/125, so every pinned
-    * fixture and oracle-scale run resolves to the same 16 (measured:
-    * fixed k=16 made q135 the suite's one super-linear line — 20.8× at
-    * 10× data, 101 s at sf1; derived k=160 re-measured in BENCHMARKS
-    * r13). Integer-exact like derivePlanes. Capped at 4096: past that,
-    * [[assignClusters]]'s k-literal argmax projection is the wrong
-    * mechanism anyway (use the partitioned IVF index and assign by
-    * probe — the 10⁹-vector path). */
-  def deriveKMeansK(n: Long, targetPerCluster: Long = 125L,
-                    k0: Int = 16): Int =
-    math.max(k0, math.min(4096L,
-      (n + targetPerCluster - 1) / targetPerCluster).toInt)
+    * argument applied to the trained-clustering bucket key, with the
+    * scaling law MEASURED rather than borrowed: the pipeline's cost has
+    * two terms that pull k in opposite directions,
+    *   assignment ≈ c·n·k·d   (every row dots every centroid literal)
+    *   pairs      ≈ c·(n²/2k)·d (within-cluster exact integer dots),
+    * so the balanced choice is k* ≈ √(n/2) — NOT the fixed cluster
+    * SIZE (k ∝ n) a first reading of Abbas et al. suggests, because
+    * their FAISS assignment is itself sub-linear in k while
+    * [[assignClusters]]'s k-literal argmax is honestly O(k) per row.
+    * Ladder that forced each revision (q135, warm solo):
+    *   fixed k=16:   sf1 101 s, 20.8× at 10× data (pairs quadratic);
+    *   k = n/125:    sf1 22.5 s — but sf10 (k=1600) 315 s, 14× at 10×
+    *                 (assignment now dominates);
+    *   k = √(n/2):   re-measured in BENCHMARKS r13.
+    * Floor 16 (≈ √(500/2), so the smallest corpora are continuous with
+    * the planted-fixture k); cap 512 — the measured-feasible envelope
+    * of the k-literal argmax. Past ~500k vectors, cap k there or swap
+    * the assignment mechanism (the IVF-partitioned probe path) — the
+    * 10⁹-vector answer is hierarchical assignment, not a wider
+    * projection. */
+  def deriveKMeansK(n: Long, k0: Int = 16): Int =
+    math.max(k0, math.min(512,
+      math.ceil(math.sqrt(n.toDouble / 2.0)).toInt))
+
+  /** The trained-clustering bucket table with a SKEW GUARD — measured
+    * necessity, not caution (SemDedupProbe kmeans mode, sf1 n=20k): the
+    * cheap trainer (3 sampled Lloyd iterations) can concentrate mass
+    * into a few mega-clusters at larger k — one init draw at k=160 put
+    * ~7k of 20k rows in one cluster, whose pair join then carried 25M
+    * of the run's 25.1M candidate pairs IN ONE TASK (cluster is the
+    * join key → one partition) and chain-collapsed 16,073/20,000
+    * verdicts; k=320 reached 187M pairs / 1,276 s. So clusters whose
+    * occupancy exceeds 8× the expected n/k are SUB-BUCKETED by the
+    * portable LSH signature (corpus-derived planes): within a hot
+    * cluster, pairs additionally require an exact signature match —
+    * the MinHash path's hot-bucket-cap discipline, as a declared part
+    * of the similarity's scope. Exact duplicates always share the
+    * sub-bucket (identical embedding → identical signature), balanced
+    * clusterings are untouched (every planted fixture and shipped
+    * testdata size resolves hot = ∅), and the worst-case pair count is
+    * bounded by the LSH rate regardless of how badly an init draw
+    * concentrates. Keys: cold cluster c → c (< 4096); hot → (c+1)·2³²
+    * + unsigned(sig) — disjoint ranges, no collisions.
+    * Returns (bucket table, hot clusters, resolved k). */
+  private[graft] def kmeansSigTable(emb: DataFrame,
+                                    k: Int): (DataFrame, Set[Int], Int) = {
+    val n = emb.count()
+    val kR = if (k > 0) k else deriveKMeansK(n)
+    val cents = trainCentroids(emb, kR)
+    val assigned = assignClusters(emb, cents)
+    val cap = 8L * ((n + kR - 1) / kR)
+    val hot = assigned.groupBy("cluster").agg(count(lit(1)).as("c"))
+      .filter(col("c") > cap).select("cluster")
+      .collect().map(_.getInt(0)).toSet // ≤ k entries: model-sized
+    val key: Column =
+      if (hot.isEmpty) col("cluster").cast("long")
+      else when(col("cluster").isInCollection(hot),
+          (col("cluster").cast("long") + 1L) * lit(4294967296L) +
+            portableSignatureCol("embedding", derivePlanes(n), 64)
+              .cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+        .otherwise(col("cluster").cast("long"))
+    (signatureTableWith(assigned, key), hot, kR)
+  }
 
   /** `k < 0` (the default since r13) derives the cluster count from the
-    * corpus size ([[deriveKMeansK]]) — one count() over the embeddings. */
+    * corpus size ([[deriveKMeansK]]) — one count() over the embeddings.
+    * Pair scope = trained cluster, skew-guarded ([[kmeansSigTable]]). */
   def semDeDupKMeans(emb: DataFrame, k: Int = -1, num: Int = 1,
                      den: Int = 4): DataFrame = {
-    val kR = if (k > 0) k else deriveKMeansK(emb.count())
-    val cents = trainCentroids(emb, kR)
-    val sigs = signatureTableWith(assignClusters(emb, cents),
-      col("cluster").cast("long"))
+    val (sigs, _, _) = kmeansSigTable(emb, k)
     val edges = dupEdges(sigs, num, den)
     val (labels, _) = graft.graph.Graph.connectedComponentsFast(
       edges, emb.select(col("vec_id").as("id")))
@@ -506,10 +551,8 @@ object Similarity {
     * cluster. Returns (vec_id, keep). */
   def semDeDupDirectKMeans(emb: DataFrame, k: Int = -1, num: Int = 1,
                            den: Int = 4): DataFrame = {
-    val kR = if (k > 0) k else deriveKMeansK(emb.count())
-    val cents = trainCentroids(emb, kR)
-    directVerdicts(signatureTableWith(assignClusters(emb, cents),
-      col("cluster").cast("long")), num, den)
+    val (sigs, _, _) = kmeansSigTable(emb, k)
+    directVerdicts(sigs, num, den)
   }
 
   /** Within-bucket τ-threshold duplicate edges (src < dst), decided in

@@ -20,8 +20,14 @@ import org.apache.spark.sql.functions._
   * the knob under test.
   *
   * Usage: runMain graft.tools.SemDedupProbe <sfDir> [planesList] [reps]
-  *        [rule: cc|direct]
-  */
+  *        [rule: cc|direct|kmeans]
+  *
+  * `kmeans` mode (r13): the list is CLUSTER COUNTS, not plane counts —
+  * the rig behind [[Similarity.deriveKMeansK]]'s scaling law. Here the
+  * cost has two opposed terms (assignment O(n·k·d) vs within-cluster
+  * pairs O(n²d/2k)), so the dial's job is balancing them, not just
+  * bounding pairs; this sweep measures the actual trade on the actual
+  * assignment mechanism (k-literal argmax), which is what caps k. */
 object SemDedupProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -35,13 +41,18 @@ object SemDedupProbe {
     val n = emb.count()
     for (planes <- planesList) {
       // candidate pairs = the within-bucket self-join size BEFORE the
-      // threshold — the quantity the plane count exists to bound
-      val sig = emb.withColumn("sig",
-        Similarity.portableSignatureCol("embedding", planes, 64))
-        .select("vec_id", "sig")
-      val cands = sig.groupBy("sig").agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * (col("c") - 1)).cast("long"))
-        .collect()(0).getLong(0) / 2
+      // threshold — the quantity the dial exists to bound. In kmeans
+      // mode the bucket key is the trained assignment, so candidates
+      // are computed from it (and the training cost is INSIDE the
+      // timed reps below, as it is in q135).
+      val cands = if (rule == "kmeans") -1L else {
+        val sig = emb.withColumn("sig",
+          Similarity.portableSignatureCol("embedding", planes, 64))
+          .select("vec_id", "sig")
+        sig.groupBy("sig").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - 1)).cast("long"))
+          .collect()(0).getLong(0) / 2
+      }
       for (rep <- 1 to reps) {
         metrics.reset()
         val t0 = System.nanoTime()
@@ -49,6 +60,10 @@ object SemDedupProbe {
           case "direct" =>
             val dd = Similarity.semDeDupDirect(emb, planes).collect()
             (dd.count(r => !r.getBoolean(1)).toLong, -1L)
+          case "kmeans" => // planes == cluster count in this mode
+            val dd = Similarity.semDeDupKMeans(emb, k = planes).collect()
+            (dd.count(r => !r.getBoolean(2)).toLong,
+              dd.map(_.getLong(1)).distinct.length.toLong)
           case _ =>
             val dd = Similarity.semDeDup(emb, planes).collect()
             (dd.count(r => !r.getBoolean(2)).toLong,

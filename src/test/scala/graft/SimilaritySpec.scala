@@ -584,32 +584,75 @@ class SimilaritySpec extends SparkSpec {
     assert(nAgain == nFull, "marker must survive compaction unchanged")
   }
 
-  test("deriveKMeansK holds cluster size fixed (the q135 scale dial) " +
-       "and floors at 16 so every test corpus resolves unchanged") {
-    // the floor: all shipped testdata sizes (500/2000) resolve to 16 —
-    // which is also exactly n/125 at 2000, so the dial is CONTINUOUS at
-    // the floor, not a cliff
+  test("deriveKMeansK balances assignment against pair cost (√n — the " +
+       "q135 scale dial) with a floor and a measured-envelope cap") {
+    // the floor: the smallest corpora resolve to the planted-fixture 16
+    // (≈ √(500/2) — continuous at the floor, not a cliff)
     assert(Similarity.deriveKMeansK(500L) == 16)
-    assert(Similarity.deriveKMeansK(2000L) == 16)
-    // held n/k: candidate pairs ~n²/2k stay linear iff k tracks n/125
-    assert(Similarity.deriveKMeansK(20000L) == 160)
-    assert(Similarity.deriveKMeansK(200000L) == 1600)
-    assert(Similarity.deriveKMeansK(2001L) == 17, "integer-exact ceil")
-    // cap: past 4096 clusters the literal-argmax assignment is the
-    // wrong mechanism (IVF-partitioned assignment is the path there)
-    assert(Similarity.deriveKMeansK(100L * 1000 * 1000) == 4096)
+    assert(Similarity.deriveKMeansK(512L) == 16)
+    // √(n/2): assignment is O(n·k), pairs O(n²/2k) — equal at k=√(n/2).
+    // Both alternatives were MEASURED worse (BENCHMARKS r13): fixed
+    // k=16 → pairs quadratic (101 s at sf1); k=n/125 → assignment
+    // dominant (315 s at sf10, k=1600)
+    assert(Similarity.deriveKMeansK(2000L) == 32)
+    assert(Similarity.deriveKMeansK(20000L) == 100)
+    assert(Similarity.deriveKMeansK(200000L) == 317)
+    // cap: the k-literal argmax projection's measured-feasible envelope
+    assert(Similarity.deriveKMeansK(100L * 1000 * 1000) == 512)
     // monotone
     val ns = Seq(1L, 2000L, 2001L, 50000L, 999999L)
     val ks = ns.map(Similarity.deriveKMeansK(_))
     assert(ks == ks.sorted)
-    // and the derived DEFAULT equals the explicit floor on a ≤2000
-    // corpus: q135's results at every oracle/test scale are unchanged
+    // the derived DEFAULT equals the explicit k at the corpus size —
+    // same clustering, same verdicts, row-for-row
     val emb = Tables.embeddings(spark, sf)
+    val kD = Similarity.deriveKMeansK(emb.count())
     val d = Similarity.semDeDupKMeans(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
-    val e = Similarity.semDeDupKMeans(emb, k = 16).collect()
+    val e = Similarity.semDeDupKMeans(emb, k = kD).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
-    assert(d == e, "derived default must equal explicit k=16 at n<=2000")
+    assert(d == e, s"derived default must equal explicit k=$kD")
+  }
+
+  test("semDeDupKMeans skew guard: a degenerate clustering is " +
+       "sub-bucketed by signature — bounded pairs, exact dups still " +
+       "collapse, balanced corpora untouched") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a corpus the cheap trainer genuinely concentrates: 64 ORTHOGONAL
+    // one-hot directions × 31 exact copies. Init samples ≤16 distinct
+    // directions as centroids; every copy of an UNSAMPLED direction
+    // dots 0.0 with every centroid — an exact tie, which the struct-max
+    // argmax breaks identically — so ~48 directions' copies pile into
+    // ONE cluster (the measured sf1 mega-cluster shape, reproduced
+    // deterministically). Cross-group cos = 0 < τ, so ground truth is
+    // exactly one keeper per group — 64 — regardless of bucketing,
+    // PROVIDED copies share a bucket (they do: identical embedding →
+    // identical cluster and identical signature).
+    val blob = (0 until 64).flatMap { g =>
+      val v = Array.tabulate(64)(d => if (d == g) 1f else 0f)
+      (0 until 31).map(c => (g * 31L + c, v, g))
+    }.toDF("vec_id", "embedding", "label")
+    val (_, hot, kR) = Similarity.kmeansSigTable(blob, k = 16)
+    assert(hot.nonEmpty,
+      s"the tie-concentrated corpus at k=$kR must trip the 8x guard")
+    val dd = Similarity.semDeDupKMeans(blob, k = 16, num = 2, den = 3)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(dd.count(_._2) == 64,
+      "exactly one keeper per exact-copy group under the guard")
+    // every keeper is its group's minimum id (CC keeper = component min)
+    dd.filter(_._2).foreach { case (id, _) =>
+      assert(id % 31 == 0, s"keeper $id must be its group's min id") }
+    // the direct rule agrees on this corpus (no chains: edges only
+    // inside exact-copy groups)
+    val dir = Similarity.semDeDupDirectKMeans(blob, k = 16, num = 2,
+      den = 3).collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(dir.count(_._2) == 64)
+    // balanced corpora never trip the guard: the shipped testdata and
+    // every planted fixture resolve hot = ∅ (behavior unchanged)
+    val emb = Tables.embeddings(spark, sf)
+    val (_, hotReg, _) = Similarity.kmeansSigTable(emb, k = -1)
+    assert(hotReg.isEmpty, "regular corpus must not trip the skew guard")
   }
 
   test("ivfPqDrift: the appended-mass fraction rides the payload and " +
