@@ -477,12 +477,16 @@ object Similarity {
     * so the balanced choice is k* ≈ √(n/2) — NOT the fixed cluster
     * SIZE (k ∝ n) a first reading of Abbas et al. suggests, because
     * their FAISS assignment is itself sub-linear in k while
-    * [[assignClusters]]'s k-literal argmax is honestly O(k) per row.
-    * Ladder that forced each revision (q135, warm solo):
+    * [[assignClusters]]'s k-literal argmax is honestly O(k) per row
+    * (and its PLAN grows with k: at k=1600 the argmax literal alone
+    * pushes task binaries to 1.8 MB). Ladder that forced each revision
+    * (SemDedupProbe kmeans mode, same box back-to-back):
     *   fixed k=16:   sf1 101 s, 20.8× at 10× data (pairs quadratic);
-    *   k = n/125:    sf1 22.5 s — but sf10 (k=1600) 315 s, 14× at 10×
-    *                 (assignment now dominates);
-    *   k = √(n/2):   re-measured in BENCHMARKS r13.
+    *   k = n/125:    sf1 (k=160) 21–23 s, but sf10 (k=1600) 482 s —
+    *                 assignment dominates: 3.3× SLOWER than k=317
+    *                 despite 5× fewer pairs (12.5M vs 63.1M);
+    *   k = √(n/2):   sf1 (k=100) 25 s warm, sf10 (k=317) 144 s —
+    *                 both cost terms n^1.5, the mechanism's optimum.
     * Floor 16 (≈ √(500/2), so the smallest corpora are continuous with
     * the planted-fixture k); cap 512 — the measured-feasible envelope
     * of the k-literal argmax. Past ~500k vectors, cap k there or swap
@@ -493,25 +497,29 @@ object Similarity {
     math.max(k0, math.min(512,
       math.ceil(math.sqrt(n.toDouble / 2.0)).toInt))
 
-  /** The trained-clustering bucket table with a SKEW GUARD — measured
-    * necessity, not caution (SemDedupProbe kmeans mode, sf1 n=20k): the
-    * cheap trainer (3 sampled Lloyd iterations) can concentrate mass
-    * into a few mega-clusters at larger k — one init draw at k=160 put
-    * ~7k of 20k rows in one cluster, whose pair join then carried 25M
-    * of the run's 25.1M candidate pairs IN ONE TASK (cluster is the
-    * join key → one partition) and chain-collapsed 16,073/20,000
-    * verdicts; k=320 reached 187M pairs / 1,276 s. So clusters whose
-    * occupancy exceeds 8× the expected n/k are SUB-BUCKETED by the
-    * portable LSH signature (corpus-derived planes): within a hot
-    * cluster, pairs additionally require an exact signature match —
-    * the MinHash path's hot-bucket-cap discipline, as a declared part
-    * of the similarity's scope. Exact duplicates always share the
-    * sub-bucket (identical embedding → identical signature), balanced
-    * clusterings are untouched (every planted fixture and shipped
-    * testdata size resolves hot = ∅), and the worst-case pair count is
-    * bounded by the LSH rate regardless of how badly an init draw
-    * concentrates. Keys: cold cluster c → c (< 4096); hot → (c+1)·2³²
-    * + unsigned(sig) — disjoint ranges, no collisions.
+  /** The trained-clustering bucket table with a SKEW GUARD: clusters
+    * whose occupancy exceeds 8× the expected n/k are SUB-BUCKETED by
+    * the portable LSH signature (corpus-derived planes) — within a hot
+    * cluster, pairs additionally require an exact signature match, the
+    * MinHash path's hot-bucket-cap discipline as a declared part of the
+    * similarity's scope. The failure mode is REAL but adversarial, not
+    * typical: the cheap trainer (3 sampled Lloyd iterations, k sampled
+    * init vectors) concentrates mass when many directions tie — the
+    * spec plants 64 orthogonal one-hot directions × 31 copies at k=16,
+    * where every copy of an unsampled direction dots 0 with every
+    * centroid and the tie-broken argmax piles ~48 groups into one
+    * cluster, tripping the guard deterministically. On the shipped
+    * corpora the trained clustering is balanced: the r13 sweep
+    * (SemDedupProbe kmeans, sf1 k=100/160/320 and sf10 k=317/1600)
+    * measures hot = ∅ at every cell with candidate pairs exactly
+    * n²/2k, so the guard's steady-state cost is one extra map-only
+    * assignment pass for the occupancy histogram (model-sized result,
+    * no shuffle of data rows). Exact duplicates always share the
+    * sub-bucket (identical embedding → identical cluster and
+    * signature), and the worst-case pair count is bounded by the LSH
+    * rate regardless of how badly an init draw concentrates. Keys:
+    * cold cluster c → c (< 4096); hot → (c+1)·2³² + unsigned(sig) —
+    * disjoint ranges, no collisions.
     * Returns (bucket table, hot clusters, resolved k). */
   private[graft] def kmeansSigTable(emb: DataFrame,
                                     k: Int): (DataFrame, Set[Int], Int) = {

@@ -45,13 +45,22 @@ object SemDedupProbe {
       // mode the bucket key is the trained assignment, so candidates
       // are computed from it (and the training cost is INSIDE the
       // timed reps below, as it is in q135).
-      val cands = if (rule == "kmeans") -1L else {
+      val (cands, hotN) = if (rule == "kmeans") {
+        // POST-GUARD candidates over the actual bucket key (trained
+        // cluster, sub-bucketed where the skew guard trips) — the
+        // bounded quantity, plus how many clusters tripped the guard
+        val (tbl, hot, _) = Similarity.kmeansSigTable(emb, k = planes)
+        val c = tbl.groupBy("sig").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - 1)).cast("long"))
+          .collect()(0).getLong(0) / 2
+        (c, hot.size.toLong)
+      } else {
         val sig = emb.withColumn("sig",
           Similarity.portableSignatureCol("embedding", planes, 64))
           .select("vec_id", "sig")
-        sig.groupBy("sig").agg(count(lit(1)).as("c"))
+        (sig.groupBy("sig").agg(count(lit(1)).as("c"))
           .agg(sum(col("c") * (col("c") - 1)).cast("long"))
-          .collect()(0).getLong(0) / 2
+          .collect()(0).getLong(0) / 2, -1L)
       }
       for (rep <- 1 to reps) {
         metrics.reset()
@@ -71,7 +80,7 @@ object SemDedupProbe {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"SEMDEDUP rule=$rule sfDir=$sfDir planes=$planes " +
-          f"rep=$rep n=$n cand_pairs=$cands dropped=$dropped " +
+          f"rep=$rep n=$n cand_pairs=$cands hot=$hotN dropped=$dropped " +
           f"components=$comps sec=$sec%.2f ${metrics.line}")
       }
     }

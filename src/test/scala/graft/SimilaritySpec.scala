@@ -593,7 +593,8 @@ class SimilaritySpec extends SparkSpec {
     // √(n/2): assignment is O(n·k), pairs O(n²/2k) — equal at k=√(n/2).
     // Both alternatives were MEASURED worse (BENCHMARKS r13): fixed
     // k=16 → pairs quadratic (101 s at sf1); k=n/125 → assignment
-    // dominant (315 s at sf10, k=1600)
+    // dominant (sf10: k=1600 reads 482 s vs k=317's 144 s, same box
+    // back-to-back, despite 5× fewer candidate pairs)
     assert(Similarity.deriveKMeansK(2000L) == 32)
     assert(Similarity.deriveKMeansK(20000L) == 100)
     assert(Similarity.deriveKMeansK(200000L) == 317)
@@ -624,8 +625,10 @@ class SimilaritySpec extends SparkSpec {
     // directions as centroids; every copy of an UNSAMPLED direction
     // dots 0.0 with every centroid — an exact tie, which the struct-max
     // argmax breaks identically — so ~48 directions' copies pile into
-    // ONE cluster (the measured sf1 mega-cluster shape, reproduced
-    // deterministically). Cross-group cos = 0 < τ, so ground truth is
+    // ONE cluster — a deterministic adversarial reproduction of the
+    // concentration failure (the shipped corpora themselves cluster
+    // balanced: the r13 sweeps measure hot=∅ at every sf1/sf10 cell).
+    // Cross-group cos = 0 < τ, so ground truth is
     // exactly one keeper per group — 64 — regardless of bucketing,
     // PROVIDED copies share a bucket (they do: identical embedding →
     // identical cluster and identical signature).
