@@ -25,4 +25,38 @@ object SpatialKernels {
     * the clustering key behind multi-column data skipping. */
   def zOrder2(a: Long, b: Long): Long =
     spread31(a) | (spread31(b) << 1)
+
+  /** Nearest-centroid argmax over a centroid MATRIX — the loop form of
+    * the k-literal `array_max(array(struct(dot, -cid)))` projection it
+    * replaces, bit-identical by construction: each dot is
+    * [[TextKernels.dotFloat]]'s sequential double fold (same ascending
+    * accumulation order), and the comparison is
+    * `java.lang.Double.compare`, which IS Spark's total ordering on
+    * doubles (-0.0 < 0.0, NaN greatest) — ties keep the LOWEST cid,
+    * exactly the struct form's max-negcid tie-break. One tight two-level
+    * loop in one JIT-compiled method, instead of k inlined expression
+    * terms: the plan carries the matrix as one reference object, so
+    * task-binary size is the model's (4 bytes/cell), not O(k) codegen. */
+  def nearestCentroid(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                      cents: Array[Array[Float]]): Int = {
+    val dim = cents(0).length
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: vector length ${v.numElements()} vs centroid dim $dim")
+    var best = Double.NegativeInfinity
+    var bestC = 0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        s += v.getFloat(i).toDouble * cent(i).toDouble
+        i += 1
+      }
+      if (java.lang.Double.compare(s, best) > 0) { best = s; bestC = c }
+      c += 1
+    }
+    bestC
+  }
 }

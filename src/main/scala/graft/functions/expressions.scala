@@ -123,6 +123,38 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def prettyName: String = "float_vec_dot"
 }
 
+/** Nearest-centroid assignment against a trained centroid matrix —
+  * argmax over k dots in ONE expression. The naive declarative form
+  * (`array_max(array(struct(vecDot(emb, c0), 0), ..., struct(..., -k)))`)
+  * inlines k dot kernels as separate expression terms, so the generated
+  * code and the serialized plan both grow O(k·d): at k=1600, d=64 that
+  * measured 1.8 MB task binaries and assignment-dominated walls
+  * (BENCHMARKS r13, the k-means dial section). Here the matrix rides
+  * `ctx.addReferenceObj` — one object in the plan's references array,
+  * model-sized on the wire — and the kernel is one two-level loop the
+  * JIT compiles once. Bit-identical to the struct form: same
+  * per-centroid double fold, and `Double.compare` reproduces Spark's
+  * total ordering (ties → lowest cid, like max over negcid).
+  * `cents` is a Seq-of-Seq so the case class keeps structural equality
+  * (Catalyst canonicalization); the kernel-facing array is derived
+  * lazily and serializes with the reference object. */
+case class NearestCentroid(child: Expression, cents: Seq[Seq[Float]])
+    extends UnaryExpression {
+  @transient private lazy val matrix: Array[Array[Float]] =
+    cents.map(_.toArray).toArray
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    SpatialKernels.nearestCentroid(input.asInstanceOf[ArrayData], matrix)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", matrix, "float[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SpatialKernels.nearestCentroid($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroid"
+}
+
 /** Morton/Z-order code of two long columns (low 31 bits each) — the
   * space-filling-curve clustering key for multi-dimension data skipping. */
 case class ZOrder2(left: Expression, right: Expression)
@@ -155,6 +187,9 @@ object exprs {
     GraftBridge.column(FloatVecDot(e(a), e(b)))
   def zorder2(a: Column, b: Column): Column =
     GraftBridge.column(ZOrder2(e(a), e(b)))
+  def nearestCentroid(c: Column, cents: Array[Array[Float]]): Column =
+    GraftBridge.column(NearestCentroid(e(c),
+      cents.toSeq.map(_.toSeq)))
 
   /** Spark's native bloom sketch pair (the expressions behind the
     * optimizer's runtime join filters), exposed as Columns — they are not

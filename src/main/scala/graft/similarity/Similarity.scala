@@ -126,19 +126,19 @@ object Similarity {
     } finally sample.unpersist()
   }
 
-  /** Map-only nearest-centroid assignment: the k centroids are literals in
-    * the plan, each dot a codegen'd [[graft.functions.exprs.vecDot]] kernel;
-    * argmax = max over array<struct<dot, -cid>> (struct ordering breaks dot
-    * ties toward the lowest cid). No shuffle, no join — a narrow projection
-    * that scales linearly with the corpus. */
-  def assignClusters(emb: DataFrame, cents: Array[Array[Float]]): DataFrame = {
-    import graft.functions.exprs.vecDot
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      struct(vecDot(col("embedding"), typedlit(c.toSeq)).as("dot"),
-             lit(-i).as("negcid"))
-    }
-    emb.withColumn("cluster", (-array_max(array(scored: _*)).getField("negcid")).cast("int"))
-  }
+  /** Map-only nearest-centroid assignment — one codegen'd
+    * [[graft.functions.NearestCentroid]] expression looping the centroid
+    * MATRIX (a single plan reference object), not k inlined dot terms.
+    * Bit-identical to the expression-tree form it replaced (same double
+    * fold per dot, `Double.compare` = Spark's struct ordering, ties →
+    * lowest cid — AssignmentSpec pins equality against that form), but
+    * the plan stays O(1) in k: the old shape's generated code and task
+    * binary grew O(k·d) and measured 1.8 MB binaries at k=1600
+    * (BENCHMARKS r13). No shuffle, no join — a narrow projection that
+    * scales linearly with the corpus. */
+  def assignClusters(emb: DataFrame, cents: Array[Array[Float]]): DataFrame =
+    emb.withColumn("cluster",
+      graft.functions.exprs.nearestCentroid(col("embedding"), cents))
 
   private def centroidsDf(spark: SparkSession, cents: Array[Array[Float]]): DataFrame = {
     import spark.implicits._
@@ -470,32 +470,31 @@ object Similarity {
     * [[semDeDup]]: (vec_id, component, keep). */
   /** The k dial as a FUNCTION of corpus size — [[derivePlanes]]'s
     * argument applied to the trained-clustering bucket key, with the
-    * scaling law MEASURED rather than borrowed: the pipeline's cost has
-    * two terms that pull k in opposite directions,
-    *   assignment ≈ c·n·k·d   (every row dots every centroid literal)
-    *   pairs      ≈ c·(n²/2k)·d (within-cluster exact integer dots),
-    * so the balanced choice is k* ≈ √(n/2) — NOT the fixed cluster
-    * SIZE (k ∝ n) a first reading of Abbas et al. suggests, because
-    * their FAISS assignment is itself sub-linear in k while
-    * [[assignClusters]]'s k-literal argmax is honestly O(k) per row
-    * (and its PLAN grows with k: at k=1600 the argmax literal alone
-    * pushes task binaries to 1.8 MB). Ladder that forced each revision
-    * (SemDedupProbe kmeans mode, same box back-to-back):
-    *   fixed k=16:   sf1 101 s, 20.8× at 10× data (pairs quadratic);
-    *   k = n/125:    sf1 (k=160) 21–23 s, but sf10 (k=1600) 482 s —
-    *                 assignment dominates: 3.3× SLOWER than k=317
-    *                 despite 5× fewer pairs (12.5M vs 63.1M);
-    *   k = √(n/2):   sf1 (k=100) 25 s warm, sf10 (k=317) 144 s —
-    *                 both cost terms n^1.5, the mechanism's optimum.
-    * Floor 16 (≈ √(500/2), so the smallest corpora are continuous with
-    * the planted-fixture k); cap 512 — the measured-feasible envelope
-    * of the k-literal argmax. Past ~500k vectors, cap k there or swap
-    * the assignment mechanism (the IVF-partitioned probe path) — the
-    * 10⁹-vector answer is hierarchical assignment, not a wider
-    * projection. */
+    * scaling law FIT to measurement rather than borrowed: the
+    * pipeline's cost has two terms that pull k in opposite directions,
+    *   assignment ≈ a₀·n·k·d   (every row against every centroid)
+    *   pairs      ≈ p₀·(n²/2k)·d (within-cluster exact integer dots),
+    * balanced at k* = √(p₀/2a₀ · n) ∝ √n. The CONSTANT belongs to the
+    * assignment mechanism: under the r13 k-literal expression tree the
+    * fit gave k* ≈ √(n/2), but the [[graft.functions.NearestCentroid]]
+    * loop rewrite dropped a₀ ~6× (sf10 k=1600: 482 s → 73 s, same box
+    * same day) and the re-fit over the measured sf10 bowl
+    * (97.8 / 74.3 / 73.0 / 139.7 s at k=317/800/1600/3200, n=200k)
+    * lands k* ≈ √(7.5·n) ≈ 2.7√n; sf1 confirms (flat 12–14 s across
+    * k=200–800, with 2.7√n = 388 inside the flat). The full revision
+    * ladder that got here, each step measured (BENCHMARKS r13):
+    * fixed k=16 (pairs quadratic, sf1 101 s) → k = n/125 (assignment
+    * quadratic-in-n, sf10 482 s) → √(n/2) (balanced for the tree form)
+    * → √(7.5n) (balanced for the loop form). Cap 2048: the k=3200 cell
+    * measures super-linear (139.7 s) — past the cap, widen clusters or
+    * move to hierarchical/IVF-partitioned assignment (the 10⁹-vector
+    * path). Floor 16 guards degenerate tiny corpora (k must stay ≤ the
+    * init sample). Sanity anchor at production scale: √(7.5n) at
+    * LAION-440M is ≈57k clusters — within 15% of the 50k Abbas et al.
+    * actually shipped. */
   def deriveKMeansK(n: Long, k0: Int = 16): Int =
-    math.max(k0, math.min(512,
-      math.ceil(math.sqrt(n.toDouble / 2.0)).toInt))
+    math.max(k0, math.min(2048,
+      math.ceil(math.sqrt(7.5 * n.toDouble)).toInt))
 
   /** The trained-clustering bucket table with a SKEW GUARD: clusters
     * whose occupancy exceeds 8× the expected n/k are SUB-BUCKETED by

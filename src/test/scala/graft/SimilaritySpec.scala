@@ -584,22 +584,23 @@ class SimilaritySpec extends SparkSpec {
     assert(nAgain == nFull, "marker must survive compaction unchanged")
   }
 
-  test("deriveKMeansK balances assignment against pair cost (√n — the " +
-       "q135 scale dial) with a floor and a measured-envelope cap") {
-    // the floor: the smallest corpora resolve to the planted-fixture 16
-    // (≈ √(500/2) — continuous at the floor, not a cliff)
-    assert(Similarity.deriveKMeansK(500L) == 16)
-    assert(Similarity.deriveKMeansK(512L) == 16)
-    // √(n/2): assignment is O(n·k), pairs O(n²/2k) — equal at k=√(n/2).
-    // Both alternatives were MEASURED worse (BENCHMARKS r13): fixed
-    // k=16 → pairs quadratic (101 s at sf1); k=n/125 → assignment
-    // dominant (sf10: k=1600 reads 482 s vs k=317's 144 s, same box
-    // back-to-back, despite 5× fewer candidate pairs)
-    assert(Similarity.deriveKMeansK(2000L) == 32)
-    assert(Similarity.deriveKMeansK(20000L) == 100)
-    assert(Similarity.deriveKMeansK(200000L) == 317)
-    // cap: the k-literal argmax projection's measured-feasible envelope
-    assert(Similarity.deriveKMeansK(100L * 1000 * 1000) == 512)
+  test("deriveKMeansK balances assignment against pair cost (2.7√n — " +
+       "the q135 scale dial) with a floor and a measured-envelope cap") {
+    // the floor binds only on degenerate tiny corpora (k ≤ init sample)
+    assert(Similarity.deriveKMeansK(30L) == 16)
+    // √(7.5n): the balanced optimum RE-FIT after the NearestCentroid
+    // loop rewrite dropped the assignment constant ~6× (BENCHMARKS
+    // r13): the measured sf10 bowl (k=317/800/1600/3200 →
+    // 97.8/74.3/73.0/139.7 s) bottoms at k*≈1200 = √(7.5·200000);
+    // earlier laws measured worse — fixed k=16 pairs-quadratic (sf1
+    // 101 s), n/125 assignment-quadratic (sf10 482 s under the tree
+    // form), √(n/2) off-bottom 1.34× under the loop form
+    assert(Similarity.deriveKMeansK(2000L) == 123)
+    assert(Similarity.deriveKMeansK(20000L) == 388)
+    assert(Similarity.deriveKMeansK(200000L) == 1225)
+    // cap: k=3200 measures super-linear (139.7 s) — hierarchical/IVF
+    // assignment is the mechanism past this, not a wider loop
+    assert(Similarity.deriveKMeansK(100L * 1000 * 1000) == 2048)
     // monotone
     val ns = Seq(1L, 2000L, 2001L, 50000L, 999999L)
     val ks = ns.map(Similarity.deriveKMeansK(_))
