@@ -59,4 +59,49 @@ object SpatialKernels {
     }
     bestC
   }
+
+  /** Product-quantization encoder: per subspace i, the code is the
+    * L2-nearest codeword via the argmax(x·c − ||c||²/2) identity —
+    * the loop form of M×K inlined `struct(vecDot(slice(...)) − half,
+    * −k)` terms (see [[nearestCentroid]] for why the loop form wins:
+    * O(1) plan, one JIT kernel, reference-object codebooks).
+    * Bit-identical: the subspace dot folds ascending in double
+    * (dotFloat's order over the slice), `− halves(i)(k)` subtracts
+    * AFTER the fold exactly like the expression form's
+    * `vecDot(...) − lit(half)`, and `Double.compare` + keep-first
+    * reproduces the struct-max lowest-code tie-break. */
+  def pqEncode(v: org.apache.spark.sql.catalyst.util.ArrayData,
+               books: Array[Array[Array[Float]]],
+               halves: Array[Array[Double]]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = books.length
+    val sub = books(0)(0).length
+    if (v.numElements() != m * sub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector length ${v.numElements()} vs M*sub = ${m * sub}")
+    val codes = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      val cb = books(i)
+      val hv = halves(i)
+      val off = i * sub
+      var best = Double.NegativeInfinity
+      var bestK = 0
+      var k = 0
+      while (k < cb.length) {
+        val cent = cb(k)
+        var s = 0.0
+        var j = 0
+        while (j < sub) {
+          s += v.getFloat(off + j).toDouble * cent(j).toDouble
+          j += 1
+        }
+        s -= hv(k)
+        if (java.lang.Double.compare(s, best) > 0) { best = s; bestK = k }
+        k += 1
+      }
+      codes(i) = bestK
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
 }

@@ -155,6 +155,34 @@ case class NearestCentroid(child: Expression, cents: Seq[Seq[Float]])
   override def prettyName: String = "nearest_centroid"
 }
 
+/** Product-quantization encoder: array<float> → array<int> of M
+  * subspace codes in ONE expression — [[NearestCentroid]]'s loop
+  * treatment applied to PQ's per-subspace argmin, which as an
+  * expression tree is M×K inlined dot terms (256 at the default
+  * M=K=16; 4096 at the literature-standard K=256 — past what codegen
+  * tolerates). Codebooks and the precomputed ||c||²/2 table ride
+  * `addReferenceObj`; semantics are bit-identical to the tree form
+  * (AssignmentSpec pins row-for-row equality and the tie-break). */
+case class PqEncodeCodes(child: Expression, books: Seq[Seq[Seq[Float]]])
+    extends UnaryExpression {
+  @transient private lazy val matrix: Array[Array[Array[Float]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val halves: Array[Array[Double]] =
+    books.map(_.map(c => c.map(x => x.toDouble * x).sum / 2.0).toArray).toArray
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SpatialKernels.pqEncode(input.asInstanceOf[ArrayData], matrix, halves)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refB = ctx.addReferenceObj("pqBooks", matrix, "float[][][]")
+    val refH = ctx.addReferenceObj("pqHalves", halves, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SpatialKernels.pqEncode($c, $refB, $refH)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeCodes =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
 /** Morton/Z-order code of two long columns (low 31 bits each) — the
   * space-filling-curve clustering key for multi-dimension data skipping. */
 case class ZOrder2(left: Expression, right: Expression)
@@ -190,6 +218,9 @@ object exprs {
   def nearestCentroid(c: Column, cents: Array[Array[Float]]): Column =
     GraftBridge.column(NearestCentroid(e(c),
       cents.toSeq.map(_.toSeq)))
+  def pqEncodeCodes(c: Column, books: Array[Array[Array[Float]]]): Column =
+    GraftBridge.column(PqEncodeCodes(e(c),
+      books.toSeq.map(_.toSeq.map(_.toSeq))))
 
   /** Spark's native bloom sketch pair (the expressions behind the
     * optimizer's runtime join filters), exposed as Columns — they are not

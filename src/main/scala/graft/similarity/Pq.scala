@@ -61,30 +61,17 @@ object Pq {
     s.split(",").map(x =>
       java.lang.Float.intBitsToFloat(Integer.parseUnsignedInt(x, 16)))
 
-  /** One argmin-coded subspace: codes = index of the L2-nearest centroid.
-    * argmin ||x−c||² = argmax (x·c − ||c||²/2); the struct-max trick breaks
-    * score ties toward the LOWEST code (negated id in the struct). */
-  private def codeCol(vec: Column, cents: Array[Array[Float]], off: Int,
-                      sub: Int): Column = {
-    import graft.functions.exprs.vecDot
-    val sl = slice(vec, off + 1, sub)
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      val half = c.map(x => x.toDouble * x).sum / 2.0
-      struct((vecDot(sl, typedlit(c.toSeq)) - lit(half)).as("s"),
-             lit(-i).as("negk"))
-    }
-    (-array_max(array(scored: _*)).getField("negk")).cast("int")
-  }
-
-  /** Encode every vector as an array<int> of M codes — map-only, codebooks
-    * are literals in the plan. */
-  def encode(emb: DataFrame, books: Codebooks): DataFrame = {
-    val m = books.length
-    val sub = books.head.head.length
-    val codes = (0 until m).map(i =>
-      codeCol(col("embedding"), books(i), i * sub, sub))
-    emb.withColumn("codes", array(codes: _*))
-  }
+  /** Encode every vector as an array<int> of M codes — map-only, one
+    * codegen'd [[graft.functions.PqEncodeCodes]] expression per row
+    * (codebooks ride a plan reference object), not M×K inlined argmin
+    * terms. argmin ||x−c||² = argmax (x·c − ||c||²/2), ties toward the
+    * LOWEST code — bit-identical to the expression-tree form it
+    * replaced (AssignmentSpec pins it), but the plan is O(1) in M·K,
+    * which is what makes the literature-standard K=256 codebooks
+    * feasible (the tree form was 4096 terms there). */
+  def encode(emb: DataFrame, books: Codebooks): DataFrame =
+    emb.withColumn("codes",
+      graft.functions.exprs.pqEncodeCodes(col("embedding"), books))
 
   /** Sampled Lloyd's k-means per subspace. All M subspaces update from a
     * single posexplode aggregation per iteration: explode (dim, v), derive

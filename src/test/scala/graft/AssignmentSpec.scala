@@ -73,6 +73,59 @@ class AssignmentSpec extends SparkSpec {
       "all-zero dots tie at +0.0 on both paths; lowest cid wins")
   }
 
+  /** The OLD PQ-encode shape, verbatim: per subspace, K inlined
+    * `struct(vecDot(slice) − half, −k)` terms under array_max. */
+  private def encodeStructForm(emb: org.apache.spark.sql.DataFrame,
+                               books: graft.similarity.Pq.Codebooks) = {
+    val m = books.length
+    val sub = books.head.head.length
+    val codes = (0 until m).map { i =>
+      val sl = slice(col("embedding"), i * sub + 1, sub)
+      val scored = books(i).zipWithIndex.map { case (c, k) =>
+        val half = c.map(x => x.toDouble * x).sum / 2.0
+        struct((exprs.vecDot(sl, typedlit(c.toSeq)) - lit(half)).as("s"),
+               lit(-k).as("negk"))
+      }
+      (-array_max(array(scored: _*)).getField("negk")).cast("int")
+    }
+    emb.withColumn("codes", array(codes: _*))
+  }
+
+  test("pqEncodeCodes expression == the per-subspace struct-argmin " +
+       "form, row-for-row, including the tie-break") {
+    val emb = Tables.embeddings(spark, sf)
+    val books = graft.similarity.Pq.trainCodebooks(emb, m = 8, k = 16)
+    val got = graft.similarity.Pq.encode(emb, books)
+      .select("vec_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).mkString(","))).sorted.toSeq
+    val ref = encodeStructForm(emb, books)
+      .select("vec_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).mkString(","))).sorted.toSeq
+    assert(got == ref, "PQ codes diverged from the struct form")
+    // tie-break: duplicate codewords in one subspace — the duplicate
+    // (higher code) can never be emitted, on either path
+    val spark0 = spark
+    import spark0.implicits._
+    val small = (0L until 50L)
+      .map(i => (i, Array.tabulate(8)(d => ((i * 7 + d) % 5).toFloat - 2f)))
+      .toDF("vec_id", "embedding")
+    val c0 = Array(1f, 0f)
+    val tied: graft.similarity.Pq.Codebooks = Array(
+      Array(c0, c0.clone(), Array(0f, 1f)),
+      Array(Array(0f, -1f), Array(0f, -1f), Array(-1f, 0f)),
+      Array(c0, Array(0f, 1f), Array(-1f, -1f)),
+      Array(c0, Array(0f, 1f), Array(1f, 1f)))
+    val gotT = graft.similarity.Pq.encode(small, tied)
+      .select("vec_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).mkString(","))).sorted.toSeq
+    val refT = encodeStructForm(small, tied)
+      .select("vec_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).mkString(","))).sorted.toSeq
+    assert(gotT == refT)
+    assert(gotT.forall { case (_, cs) => { val a = cs.split(","); a(0) != "1" && a(1) != "1" } },
+      "a tied duplicate codeword can never win over the lower code")
+  }
+
   test("the plan carries ONE projection expression regardless of k " +
        "(the codegen/task-binary fix the loop form exists for)") {
     val emb = Tables.embeddings(spark, sf)
