@@ -109,6 +109,20 @@ object Tuning {
   val IvfPqRetrainFraction: Double =
     envLong("GRAFT_IVFPQ_RETRAIN_PCT", 25L) / 100.0
 
+  /** Cap on the triangle census's wedge-prefilter Bloom sketch
+    * ([[graft.graph.Graph.trianglesOriented]], r13). The sketch rides
+    * the plan as a literal, so its size is a per-task-binary cost: at
+    * the 1% fpp's ~9.6 bits/edge, 2^28 bits ≈ 32 MiB covers ~2.8e7
+    * edges; past the cap the realized fpp rises smoothly (more wedges
+    * survive the prefilter and are verified by the unchanged closing
+    * join — graceful degradation, never a wrong row). Measured at
+    * sf0.1: 41.1M wedges → ~0.3% close; the prefilter removes the
+    * suite's largest exchange (456 MB → ~6 MB). A cluster with more
+    * executor headroom can raise this to keep fpp at 1% on bigger
+    * graphs. */
+  val TriangleBloomMaxBits: Long =
+    envLong("GRAFT_TRIANGLE_BLOOM_MAX_BITS", 1L << 28)
+
   /** Row count past which SMJ/cartesian per-key match buffers switch from
     * an on-heap ArrayBuffer to a spillable UnsafeExternalSorter
     * (`spark.sql.{sortMergeJoinExec,cartesianProductExec}.buffer.in.memory

@@ -102,12 +102,19 @@ object Graph {
     * t's degree carried so wedge generation can order out-neighbors by
     * π without another join. Shared by [[trianglesOriented]] and the
     * disk-bounded K-pass census (tools.TriangleCensusDump). */
-  def orientedEdges(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("u"),
-              greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+  def orientedEdges(edges: DataFrame): DataFrame =
+    orientedFromCanonical(canonicalUndirected(edges))
+
+  /** [[orientedEdges]] for an input that is ALREADY the canonical
+    * undirected edge set (src < dst, deduped, no self-loops) — the
+    * triangle-family entry points all start from such a frame
+    * (coOrderEdges, the sparsifier's keep-filter output), and the
+    * general form's re-canonicalization was a full extra |E| exchange +
+    * hash aggregate spent proving `distinct` of a distinct set (the
+    * optimizer cannot know least/greatest of ordered pairs is the
+    * identity). */
+  private def orientedFromCanonical(canon: DataFrame): DataFrame = {
+    val und = canon.select(col("src").as("u"), col("dst").as("v"))
     val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("d"))
     val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
@@ -189,15 +196,71 @@ object Graph {
     * carrying it can tell a volume change from scheduler noise. Names
     * must be unique per plan; callers composing two censuses in one
     * query (q124) pass distinct names or null. */
-  def trianglesOriented(edges: DataFrame, observeAs: String = null): DataFrame = {
-    val oriented = orientedEdges(edges)
+  def trianglesOriented(edges: DataFrame, observeAs: String = null): DataFrame =
+    trianglesOrientedCanonical(canonicalUndirected(edges), observeAs,
+      materialize = true)
+
+  /** The census body over an already-canonical edge set. Two measured
+    * r13 optimizations over the r12 shape (OPTIMIZATION_r13.md):
+    *
+    * 1. The canonical frame is `localCheckpoint`ed (q130's established
+    *    idiom): the edge BUILD — often itself a join, e.g. the co-order
+    *    graph's lineitem self-join — is materialized once and read by
+    *    the degree aggregation, both wedge sides, the closing side, and
+    *    the Bloom build, instead of riding as three copies of a
+    *    70-operator subtree that only runtime exchange reuse deduplicates.
+    *    `materialize = false` skips it when the caller already
+    *    checkpointed upstream (q130's budget probe) — a second
+    *    checkpoint of a cheap filter would buy nothing, and the sampled
+    *    path's `observe` counter must not be swallowed by a checkpoint
+    *    boundary (observed metrics are harvested from the FINAL query's
+    *    plan; a checkpoint would truncate the CollectMetrics node out).
+    *
+    * 2. The wedge stream is Bloom-PRE-FILTERED before its exchange
+    *    (optimization guide §3.2): a wedge only survives the closing
+    *    join if its (x, y) endpoints are an edge, and measured closure
+    *    rates are ~0.3% (sf0.1: 130,509 triangles / 41,087,491 wedges)
+    *    — so ~99.7% of the suite's LARGEST shuffle (456 MB at sf0.1,
+    *    4.8 GB at sf1) was moving rows the join immediately dropped.
+    *    A Bloom sketch of the |E| canonical edges (~9.6 bits/edge at
+    *    the 1% fpp), keyed on xxhash64(src, dst) and probed map-side
+    *    with xxhash64(least(x,y), greatest(x,y)) — the wedge's (x, y)
+    *    is degree-ordered, not id-ordered, so the probe re-canonicalizes
+    *    — drops non-closing wedges BEFORE the exchange. No false
+    *    negatives, and false positives are verified away by the
+    *    unchanged equi-join, so the triangle set is identical
+    *    (GraphSpec pins set-equality with the naive census). The sketch
+    *    bits are capped (fpp degrades gracefully, never wrongly) so the
+    *    plan literal stays bounded at any |E|. The filter sits ABOVE
+    *    the `observe` node: the wedges counter still reports the full
+    *    stream, so artifact volumes stay comparable across rounds. */
+  private[graft] def trianglesOrientedCanonical(
+      canon0: DataFrame, observeAs: String,
+      materialize: Boolean): DataFrame = {
+    val canon = if (materialize) canon0.localCheckpoint(true) else canon0
+    val nEdges = canon.count()
+    // Bloom sizing: optimal bits for 1% fpp, capped so the broadcast
+    // literal stays task-binary-sized at any scale (the cap trades fpp
+    // up — more surviving wedges — never correctness). 2^28 bits =
+    // 32 MiB covers ~2.8e7 edges at 1%; past that fpp rises smoothly.
+    val bfBytes = if (nEdges == 0L) null else {
+      val bits = math.min(
+        org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nEdges, 0.01),
+        graft.Tuning.TriangleBloomMaxBits)
+      graft.functions.exprs.bloomSketchBytes(canon,
+        xxhash64(col("src"), col("dst")), nEdges, bits)
+    }
+    val oriented = orientedFromCanonical(canon)
     val wedges0 = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") &&
         struct(col("e1.td"), col("e1.t")) < struct(col("e2.td"), col("e2.t")))
       .select(col("e1.s").as("ctr"), col("e1.t").as("x"), col("e2.t").as("y"))
     val wedges = if (observeAs == null) wedges0
       else wedges0.observe(observeAs, count(lit(1)).as("wedges"))
-    wedges
+    val preFiltered = if (bfBytes == null) wedges
+      else wedges.filter(graft.functions.exprs.bloomMightContain(bfBytes,
+        xxhash64(least(col("x"), col("y")), greatest(col("x"), col("y")))))
+    preFiltered
       .join(oriented.as("e3"),
         col("x") === col("e3.s") && col("y") === col("e3.t"))
       .select(array_sort(array(col("ctr"), col("x"), col("y"))).as("tri"))
@@ -279,8 +342,14 @@ object Graph {
     // stream (contracts ~p²); zero extra passes, see trianglesOriented
     val spars = if (observeAs == null) spars0
       else spars0.observe(observeAs, count(lit(1)).as("sampled_edges"))
-    trianglesOriented(spars,
-        if (observeAs == null) null else observeAs + "_w")
+    // the keep-filter output of a canonical set is still canonical —
+    // no re-canonicalization distinct; materialize=false because q130's
+    // budget path already checkpointed `canon` upstream (the filter is
+    // cheap to re-run) and a checkpoint here would swallow the
+    // sampled_edges observe node out of the final plan
+    trianglesOrientedCanonical(spars,
+        if (observeAs == null) null else observeAs + "_w",
+        materialize = false)
       .agg(count(lit(1)).as("n_sampled"))
       .select(col("n_sampled"),
         expr(s"(n_sampled * $den3 + ${num3 / 2}) div $num3").as("est"))

@@ -228,8 +228,11 @@ object Extra {
     * a join key) and reduced to an exact census the DuckDB triple join
     * recomputes: triangle count + corner-id checksum. */
   def q123Triangles(spark: SparkSession, d: String): DataFrame =
-    graft.graph.Graph.trianglesOriented(coOrderEdges(spark, d),
-        observeAs = "census")
+    // coOrderEdges is already canonical (src < dst, distinct): the
+    // canonical entry skips the general form's re-canonicalization
+    // distinct — one |E| exchange + aggregate gone (r13)
+    graft.graph.Graph.trianglesOrientedCanonical(coOrderEdges(spark, d),
+        observeAs = "census", materialize = true)
       .agg(count(lit(1)).as("n_triangles"),
         sum(col("a") + col("b") + col("c")).cast("long").as("corner_sum"))
 
@@ -253,8 +256,8 @@ object Extra {
     * p ≤ 1/10 WITHOUT any exact side (q130; wedge work contracts ~p²,
     * measured in SCALING.md). */
   def q124TrianglesSampled(spark: SparkSession, d: String): DataFrame = {
-    val tri = graft.graph.Graph.trianglesOriented(coOrderEdges(spark, d),
-      observeAs = "census")
+    val tri = graft.graph.Graph.trianglesOrientedCanonical(
+      coOrderEdges(spark, d), observeAs = "census", materialize = true)
     // corners are sorted a<b<c, so the triangle's three edges are
     // already canonical (u<v) — the coin applies directly
     def coin(u: String, v: String) =
