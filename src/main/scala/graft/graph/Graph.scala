@@ -488,7 +488,14 @@ object Graph {
         .select(col("node").as("src"), col("m").as("dst")).distinct()
     }
     // order-insensitive fingerprint: (edge count, decimal hash sum — longs
-    // would overflow under ANSI arithmetic) — stable ⇔ fixpoint
+    // would overflow under ANSI arithmetic) — stable ⇔ fixpoint. The fp
+    // aggregate reads the just-checkpointed blocks (an O(|E|) block read,
+    // not a recompute). NOTE (r13, measured): folding this into the
+    // checkpoint action as an `observe` + Observation.get HALVED the job
+    // count but ran 2.4-2.8x SLOWER wall (q73 5.5→13.2 s, q133 3.3→9.2 s
+    // solo warm) — Observation.get waits on the async listener bus, ~2 s
+    // per round of pure event-delivery latency. Two cheap synchronous
+    // jobs beat one job plus a listener wait; reverted.
     def fp(d: DataFrame): (Long, String) = {
       val r = d.agg(count(lit(1)),
         sum(xxhash64(col("src"), col("dst"))
