@@ -68,6 +68,10 @@ object Multimodal {
     * round-trips the exact pixels — fixtures and features are reproducible
     * across JVMs and partitionings. */
   private[graft] def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    // Without this, ImageIO.write(…, OutputStream) wraps the sink in a
+    // FileCacheImageOutputStream — a temp FILE per encoded row on executor
+    // local disk (the decode paths already disable it; static, idempotent).
+    javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -85,6 +89,41 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** The javax.sound SPI providers, resolved ONCE per JVM. Every
+    * `AudioSystem.write` / `getAudioInputStream` call re-scans the
+    * provider ServiceLoader under the GLOBAL `JSSecurityManager` class
+    * lock (jstack on the q39 stage: 30 of 32 executor threads BLOCKED on
+    * that monitor, stage run 225 s vs 21.5 s cpu — the audio third of the
+    * corpus serialized the whole stage). Holding the provider instances
+    * (stateless, thread-safe) and dispatching directly is what
+    * AudioSystem does after its scan, minus the per-row scan and lock. */
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    // SoftMidiAudioFileReader precedes the WAV reader in provider order
+    // and its accept probe runs a MidiSystem provider scan under the same
+    // global JSSecurityManager lock (second jstack round: 30/32 executor
+    // threads re-blocked there). Audio-format magics are disjoint, so
+    // first-accept dispatch is order-independent on results — sink the
+    // Midi readers to the tail and WAV payloads never reach them.
+    val (midi, rest) = b.result().partition(_.getClass.getName.contains("Midi"))
+    rest ++ midi
+  }
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var found: javax.sound.sampled.spi.AudioFileWriter = null
+    while (found == null && it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        found = w
+    }
+    require(found != null, "no WAVE AudioFileWriter on this JVM")
+    found
   }
 
   /** Deterministic mono 16-bit PCM WAV: a sine whose frequency/amplitude
@@ -105,8 +144,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -116,8 +154,22 @@ object Multimodal {
     * else (or a non-WAV payload) returns None → stub path. */
   private def decodeAudio(payload: Array[Byte]): Option[(Long, Int, Double)] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      // First provider that accepts wins — AudioSystem.getAudioInputStream's
+      // own dispatch rule, run over the cached provider list (see
+      // [[audioReaders]]); each gets a fresh stream so a rejecting
+      // provider cannot disturb the next one's read position.
+      val ais = audioReaders.iterator
+        .flatMap { rd =>
+          try Iterator.single(rd.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload)))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException =>
+              Iterator.empty
+          }
+        }
+        .nextOption()
+        .getOrElse(throw new javax.sound.sampled.UnsupportedAudioFileException(
+          "no provider accepted the payload"))
       try {
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian) None
@@ -426,7 +478,19 @@ object Multimodal {
     * MultimodalSpec. */
   def mediaFeatures(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val media = withRealMedia(mediaTable(spark, d).as[MediaRow])
+    val base = mediaTable(spark, d).as[MediaRow]
+    // Synthesis + decode are codec-bound (ms/row, not µs/row), so unlike
+    // the columnar queries this stage cannot live with the source's file
+    // parallelism: a small-sf documents parquet yields 4 tasks and leaves
+    // the rest of the machine idle through the most CPU-dense stage in the
+    // suite. Fan the PRE-synthesis frame (payload still the small text
+    // bytes) out to core count when the source gives fewer partitions —
+    // the moved bytes are trivial next to the per-row codec work, and at
+    // scale (input splits ≥ cores) the branch is a no-op. The groupBy
+    // above this re-shuffles anyway, so results are unchanged.
+    val par = spark.sparkContext.defaultParallelism
+    val fanned = if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+    val media = withRealMedia(fanned)
     decodeAndFeaturize(media).toDF()
       .withColumn("feature_norm", round(col("feature_norm"), 6))
       .withColumn("mean_r", round(col("mean_r"), 6))

@@ -35,7 +35,10 @@ object QueryProbe {
       val tm = Option(si.taskMetrics)
       val cpuMs = tm.map(_.executorCpuTime / 1000000).getOrElse(-1L)
       val runMs = tm.map(_.executorRunTime).getOrElse(-1L)
-      stages += f"    stage=${si.stageId}%-4d wall=${wall}ms cpu=${cpuMs}ms run=${runMs}ms tasks=${si.numTasks} ${si.name.takeWhile(_ != '\n').take(60)}"
+      // gc splits run−cpu into collector pauses vs lock/IO blocking — the
+      // two have opposite fixes (allocation rate vs contention).
+      val gcMs = tm.map(_.jvmGCTime).getOrElse(-1L)
+      stages += f"    stage=${si.stageId}%-4d wall=${wall}ms cpu=${cpuMs}ms run=${runMs}ms gc=${gcMs}ms tasks=${si.numTasks} ${si.name.takeWhile(_ != '\n').take(60)}"
     }
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
       val m = e.taskMetrics

@@ -56,6 +56,41 @@ class MultimodalSpec extends SparkSpec {
       s"rms ${f.rms} != expected $expectedRms from the generator formula")
   }
 
+  test("cached javax.sound providers match AudioSystem byte-for-byte and share its accept set") {
+    // syntheticWav/decodeAudio dispatch to SPI providers cached once per
+    // JVM instead of AudioSystem's per-call provider scan (which holds a
+    // global lock — BENCHMARKS.md r13 q39). Pin that the cached path is
+    // the same computation: identical encoded bytes, and the same
+    // accept/reject decisions on WAV vs non-audio payloads.
+    val id = 11L; val rate = 8000; val nFrames = 500
+    val cached = Multimodal.syntheticWav(id, nFrames, rate)
+    // reference encode through the AudioSystem front door, same PCM
+    val freq = 200.0 + (id % 17) * 40.0
+    val amp = 0.25 + (id % 5) * 0.1
+    val data = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * amp * 32767.0).toInt.toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(java.util.Arrays.equals(cached, bos.toByteArray),
+      "provider-cached WAV encode must be byte-identical to AudioSystem.write")
+    // accept set: the WAV decodes through the real path; a payload
+    // AudioSystem rejects (plain text) takes the stub, same as before
+    val rows = Seq(
+      Multimodal.MediaRow(id, "audio", cached, 0, 0, rate),
+      Multimodal.MediaRow(id + 1, "audio", "not audio".getBytes("UTF-8"), 0, 0, rate))
+    val out = Multimodal.decodeAndFeaturize(rows.toDS()).collect().sortBy(_.media_id)
+    assert(out(0).decoded && out(0).n_frames == nFrames && out(0).sample_rate_hz == rate)
+    assert(!out(1).decoded && out(1).feature_norm > 0.0)
+  }
+
   test("image decode extracts the exact pixels of a known fixture") {
     // fixture: media_id=3 → 11x11 synthetic PNG. Recompute the expected
     // channel means straight from the generator formula (lossless PNG
